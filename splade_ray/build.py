@@ -1,0 +1,374 @@
+"""Index build: corpus Dataset -> segments + manifests (Ray-Data-first).
+
+Replaces the reference build path — serial per-file loops feeding a Milvus
+``SPARSE_INVERTED_INDEX`` (ingest.py:86-97 chunking, ingest.py:111-129 sparse
+embedding, ingest.py:132-172 insert + create_index) — with a streaming
+Ray Data pipeline:
+
+  1. STAGE    corpus -> map_batches(prepare) -> staging parquet
+              (doc_id, identity cols, content_sha256, doc_len, terms, tfs):
+              tokenize ONCE, checkpoint the analyzed corpus; empty /
+              whitespace-only rows dropped with a counter (M10).
+  2. STATS    n_docs / avgdl / langs from the staging table (Ray aggregates,
+              partial-per-block; reference analogue: BM25 ``fit`` ST1).
+  3. HOT      deterministic doc sample (doc_id % sample_mod == 0) ->
+              partial-df per batch -> groupby(term).sum -> hot-term set
+              (df above threshold).  Broadcast to the shuffle stage.
+  4. SHUFFLE  staging -> explode (term, doc_id, tf, dl, shard) with salted
+              shards for hot terms (salt = top bits of doc_id, so a hot
+              term's sub-lists cover disjoint doc_id ranges) ->
+              groupby(shard).map_groups(build one segment per shard).
+  5. FINAL    MANIFEST.json with stats + per-segment lineage.
+
+Resumability (north_rule): staging and every segment are validated
+checkpoints; a rerun skips valid ones (shards are filtered out of the
+shuffle input *before* the exchange, so finished work costs nothing).
+
+Scoring determinism: BM25 contributions are quantized to integer units of
+1e-9 (``SCORE_SCALE``) before summation, so ranks/scores are bit-identical
+across scorers, summation orders, and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from . import MASK63
+from .analyzer import doc_token_stats
+from .ids import doc_id63_column, hash63_bytes, sha256_hex_column
+from .segments import SegmentBuilder, validate_segment
+
+SCORE_SCALE = 1_000_000_000  # integer score units per 1.0 of BM25 score
+
+STAGING_SCHEMA_COLS = [
+    "doc_id", "repo", "path", "commit", "lang", "content_sha256", "doc_len",
+    "terms", "tfs",
+]
+
+
+def prepare_batch(t: pa.Table, *, lang_tagged: bool) -> pa.Table:
+    """Corpus batch -> staging batch. Drops empty/whitespace-only content."""
+    content = t["content"]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(content, ""))
+    keep = pc.not_equal(trimmed, "")
+    t = t.filter(keep)
+    content = t["content"]
+    langs = t["lang"] if lang_tagged else None
+    terms, tfs, doc_len = doc_token_stats(content, langs)
+    return pa.table(
+        {
+            "doc_id": doc_id63_column(t["repo"], t["path"], t["commit"]),
+            "repo": t["repo"],
+            "path": t["path"],
+            "commit": t["commit"],
+            "lang": t["lang"],
+            "content_sha256": sha256_hex_column(content),
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )
+
+
+def _sample_df_batch(t: pa.Table, *, sample_mod: int) -> pa.Table:
+    """Partial document-frequencies over a deterministic doc sample."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % sample_mod == 0))
+    if t.num_rows == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "pdf": pa.array([], type=pa.int64())})
+    terms = t["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    flat = terms.flatten()
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(codes, minlength=len(enc.dictionary))
+    return pa.table({"term": enc.dictionary,
+                     "pdf": pa.array(counts.astype(np.int64))})
+
+
+def explode_postings_batch(
+    t: pa.Table, *, n_shards: int, hot_terms: dict[str, bool],
+    salt_bits: int, skip_shards: frozenset[int],
+) -> pa.Table:
+    """Staging batch -> (term, salt, doc_id, tf, dl, shard) posting rows.
+
+    Cold terms: salt 0, shard = h(term) % P.  Hot terms: salt = top
+    ``salt_bits`` bits of doc_id (disjoint, ordered doc ranges per salt),
+    shard = h(term # salt) % P — spreads the heavy list over the cluster.
+    Shards already completed (resume) are filtered out here, before the
+    shuffle moves any bytes.
+    """
+    terms = t["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+    flat_terms = terms.flatten()
+    tfs = t["tfs"]
+    if isinstance(tfs, pa.ChunkedArray):
+        tfs = tfs.combine_chunks()
+    flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents]
+    dls = t["doc_len"].to_numpy(zero_copy_only=False)[parents]
+
+    enc = pc.dictionary_encode(flat_terms)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pylist()
+    base_shard = np.array([hash63_bytes(v.encode()) % n_shards for v in vocab],
+                          dtype=np.int32)
+    is_hot = np.array([v in hot_terms for v in vocab], dtype=bool)
+
+    shard = base_shard[codes]
+    salt = np.zeros(len(codes), dtype=np.int32)
+    if is_hot.any() and salt_bits > 0:
+        hot_rows = is_hot[codes]
+        salt[hot_rows] = (doc_ids[hot_rows] >> (63 - salt_bits)).astype(np.int32)
+        for c in np.nonzero(is_hot)[0]:
+            term = vocab[c]
+            rows = codes == c
+            for s in np.unique(salt[rows]):
+                sh = hash63_bytes(f"{term}#{s}".encode()) % n_shards
+                shard[rows & (salt == s)] = sh
+
+    out = pa.table(
+        {
+            "term": flat_terms,
+            "salt": pa.array(salt),
+            "doc_id": pa.array(doc_ids),
+            "tf": pa.array(flat_tfs.astype(np.int32)),
+            "dl": pa.array(dls.astype(np.int32)),
+            "shard": pa.array(shard),
+        }
+    )
+    if skip_shards:
+        out = out.filter(
+            pa.array(~np.isin(shard, np.fromiter(skip_shards, dtype=np.int32)))
+        )
+    return out
+
+
+def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+    """One shuffle partition -> one segment on disk; returns its manifest row.
+
+    Postings are sorted (term, salt, doc_id) and encoded per (term, salt) run.
+    Duplicate (term, salt, doc_id) entries (duplicate input rows) collapse if
+    their tf agrees; a conflicting duplicate raises (doc_id collision check).
+    """
+    if group.num_rows == 0:
+        return pa.table({"shard": pa.array([], type=pa.int32())})
+    shard = int(group["shard"][0].as_py())
+    group = group.sort_by([("term", "ascending"), ("salt", "ascending"),
+                           ("doc_id", "ascending")])
+    terms = group["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    enc = pc.dictionary_encode(terms)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pylist()
+    salts = group["salt"].to_numpy(zero_copy_only=False)
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = group["tf"].to_numpy(zero_copy_only=False)
+    dls = group["dl"].to_numpy(zero_copy_only=False)
+
+    n = len(codes)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or(codes[1:] != codes[:-1], salts[1:] != salts[:-1], out=change[1:])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+
+    builder = SegmentBuilder(f"seg-{shard:05d}", shard)
+    builder.set_lineage(n_input_postings=n)
+    for lo, hi in zip(starts, ends):
+        ids = doc_ids[lo:hi]
+        tf = tfs[lo:hi]
+        dl = dls[lo:hi]
+        keep = np.ones(hi - lo, dtype=bool)
+        if hi - lo > 1:
+            dup = ids[1:] == ids[:-1]
+            if dup.any():
+                if (tf[1:][dup] != tf[:-1][dup]).any():
+                    raise ValueError(
+                        f"doc_id collision (conflicting tf) for term "
+                        f"{vocab[codes[lo]]!r}; widen doc ids"
+                    )
+                keep[1:] = ~dup
+        builder.add(vocab[codes[lo]], int(salts[lo]), ids[keep], tf[keep],
+                    dl[keep], avgdl)
+    manifest = builder.write(os.path.join(index_dir, "segments", f"seg-{shard:05d}"))
+    return pa.table(
+        {
+            "shard": pa.array([shard], type=pa.int32()),
+            "n_terms": pa.array([manifest["n_terms"]], type=pa.int64()),
+            "n_postings": pa.array([manifest["n_postings"]], type=pa.int64()),
+            "sum_tf": pa.array([manifest["sum_tf"]], type=pa.int64()),
+        }
+    )
+
+
+def _staging_valid(index_dir: str) -> bool:
+    p = os.path.join(index_dir, "STAGING.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+        return os.path.isdir(os.path.join(index_dir, "staging")) and meta.get("ok")
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def build_index(
+    corpus: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    lang_tagged: bool = False,
+    n_shards: int = 32,
+    salt_bits: int = 3,
+    sample_mod: int = 20,
+    hot_df_frac: float = 0.005,
+    hot_df_min: int = 512,
+    overwrite: bool = False,
+    shuffle_concurrency: int | None = None,
+) -> dict:
+    """Build (or resume) the inverted index; returns the final manifest.
+
+    ``n_shards`` sizes the term-hash shuffle partitions (≈ 2-4x cluster CPUs;
+    each shard must fit one worker's heap). ``salt_bits`` gives 2^bits salt
+    buckets for hot terms. The corpus Dataset is consumed streaming; nothing
+    is materialized except small aggregates.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+
+    if overwrite:
+        for sub in ("staging", "segments", "docs"):
+            p = os.path.join(index_dir, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        for f in ("STAGING.json", "MANIFEST.json"):
+            p = os.path.join(index_dir, f)
+            if os.path.exists(p):
+                os.remove(p)
+
+    staging_dir = os.path.join(index_dir, "staging")
+    if not _staging_valid(index_dir):
+        n_input = corpus.count()
+        if os.path.exists(staging_dir):
+            shutil.rmtree(staging_dir)
+        staged_ds = corpus.map_batches(
+            prepare_batch, batch_format="pyarrow",
+            fn_kwargs={"lang_tagged": lang_tagged},
+        )
+        staged_ds.write_parquet(staging_dir)
+        if not os.path.isdir(staging_dir):  # zero indexable rows -> no files
+            raise ValueError("no indexable documents (all rows empty?)")
+        with open(os.path.join(index_dir, "STAGING.json"), "w") as f:
+            json.dump({"ok": True, "n_input_rows": n_input,
+                       "lang_tagged": lang_tagged}, f)
+    with open(os.path.join(index_dir, "STAGING.json")) as f:
+        staging_meta = json.load(f)
+    if staging_meta.get("lang_tagged") != lang_tagged:
+        raise ValueError("index_dir was staged with a different lang_tagged setting")
+
+    staged = ray.data.read_parquet(staging_dir)
+    n_docs = staged.count()
+    if n_docs == 0:
+        raise ValueError("no indexable documents (all rows empty?)")
+    total_len = staged.sum("doc_len")
+    avgdl = total_len / n_docs
+    langs = sorted(staged.unique("lang"))
+    n_dropped = staging_meta["n_input_rows"] - n_docs
+
+    # hot-term detection over a deterministic 1/sample_mod doc sample
+    hot_threshold = max(hot_df_min, int(hot_df_frac * n_docs))
+    sampled_df = (
+        ray.data.read_parquet(staging_dir, columns=["doc_id", "terms"])
+        .map_batches(_sample_df_batch, batch_format="pyarrow",
+                     fn_kwargs={"sample_mod": sample_mod})
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="pdf"))
+    )
+    est_min = max(1, hot_threshold // sample_mod)
+    hot_rows = sampled_df.filter(
+        lambda r, m=est_min: r["pdf"] >= m
+    ).take_all()
+    hot_terms = {r["term"]: True for r in hot_rows}
+
+    seg_root = os.path.join(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    done: dict[int, dict] = {}
+    for name in os.listdir(seg_root):
+        m = validate_segment(os.path.join(seg_root, name))
+        if m is not None:
+            done[m["shard"]] = m
+    todo = [s for s in range(n_shards) if s not in done]
+
+    if todo:
+        postings = ray.data.read_parquet(
+            staging_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
+        ).map_batches(
+            explode_postings_batch, batch_format="pyarrow",
+            fn_kwargs={
+                "n_shards": n_shards, "hot_terms": hot_terms,
+                "salt_bits": salt_bits, "skip_shards": frozenset(done),
+            },
+        )
+        grouped = postings.groupby("shard")
+        seg_stats = grouped.map_groups(
+            partial(build_segment_group, index_dir=index_dir, avgdl=avgdl),
+            batch_format="pyarrow",
+        )
+        seg_stats.count()  # drive execution; manifests land on disk
+        for name in os.listdir(seg_root):
+            m = validate_segment(os.path.join(seg_root, name))
+            if m is not None:
+                done[m["shard"]] = m
+
+    # docs table (identity + sha256 + doc_len; no token lists)
+    docs_dir = os.path.join(index_dir, "docs")
+    if not os.path.isdir(docs_dir):
+        tmp = docs_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ray.data.read_parquet(
+            staging_dir,
+            columns=["doc_id", "repo", "path", "commit", "lang",
+                     "content_sha256", "doc_len"],
+        ).write_parquet(tmp)
+        os.replace(tmp, docs_dir)
+
+    manifest = {
+        "format_version": 1,
+        "n_docs": int(n_docs),
+        "n_dropped_rows": int(n_dropped),
+        "total_doc_len": int(total_len),
+        "avgdl": float(avgdl),
+        "langs": langs,
+        "lang_tagged": lang_tagged,
+        "n_shards": n_shards,
+        "salt_bits": salt_bits,
+        "hot_terms": sorted(hot_terms),
+        "hot_df_threshold": hot_threshold,
+        "n_postings": int(sum(m["n_postings"] for m in done.values())),
+        "segments": [
+            {"shard": s, "segment_id": m["segment_id"],
+             "n_terms": m["n_terms"], "n_postings": m["n_postings"]}
+            for s, m in sorted(done.items())
+        ],
+    }
+    with open(os.path.join(index_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -1,0 +1,181 @@
+"""Posting-list codecs: delta-gap + varbyte, with block-max metadata.
+
+Replaces the opaque Milvus ``SPARSE_INVERTED_INDEX`` posting storage
+(reference ingest.py:159-166) with an explicit, compressed, skippable format:
+
+  * varbyte (LEB128: little-endian 7-bit groups, MSB = continuation), encoded
+    and decoded fully vectorized in numpy (no per-int Python loop);
+  * postings sorted by doc_id, doc ids stored as a single global delta chain
+    (gap of a block's first posting is taken from the previous block's last
+    doc id, so a whole-list decode is one varbyte pass + one cumsum, while a
+    skipped-to block can still be decoded alone from ``block_last_docid``);
+  * per posting we store (gap, tf, doc_len) — carrying doc_len in the posting
+    removes the doc-table join at query time (space: ~1-2 varbyte bytes);
+  * per block of ``BLOCK`` postings: last doc id and an upper bound of the
+    BM25 tf-saturation factor (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)), rounded
+    UP in float32 — the block-max WAND bound.
+
+Block layout in the blob, per block: varbyte(gaps) ++ varbyte(tfs) ++
+varbyte(dls).  No intra-block offsets are needed: a varbyte decode of n ints
+reports consumed bytes, so the three streams are read back-to-back.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import B, K1
+
+BLOCK = 128  # postings per block
+
+
+# ---------------------------------------------------------------- varbyte ---
+
+def vb_encode(values: np.ndarray) -> np.ndarray:
+    """Varbyte-encode a uint64 ndarray -> uint8 ndarray (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):  # 64 bits -> at most 10 groups of 7
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=offs[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        m = nb > j
+        byte = (v[m] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nb[m] - 1 > j).astype(np.uint8) << 7
+        out[offs[m] + j] = byte.astype(np.uint8) | cont
+    return out
+
+
+def vb_decode(buf: np.ndarray, n: int, start: int = 0) -> tuple[np.ndarray, int]:
+    """Decode ``n`` varbyte ints from ``buf[start:]`` (vectorized).
+
+    Returns (values uint64[n], bytes consumed)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    view = buf[start:]
+    term = np.nonzero((view & 0x80) == 0)[0]
+    ends = term[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (view[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals, int(ends[n - 1] + 1)
+
+
+# ----------------------------------------------------------- posting list ---
+
+@dataclass
+class PostingMeta:
+    """Per-term metadata kept in the segment dictionary."""
+
+    df: int
+    cf: int  # collection frequency: sum of tf
+    nbytes: int
+    block_count: np.ndarray  # int32 per block
+    block_nbytes: np.ndarray  # int32 per block
+    block_last_docid: np.ndarray  # int64 per block
+    block_max_tfsat: np.ndarray  # float32 per block (safe upper bound)
+
+
+def tf_saturation(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """BM25 per-posting factor (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)), f64."""
+    tf = tf.astype(np.float64)
+    denom = tf + K1 * (1.0 - B + B * dl.astype(np.float64) / max(avgdl, 1e-9))
+    return (K1 + 1.0) * tf / denom
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+) -> tuple[np.ndarray, PostingMeta]:
+    """Encode one term's postings (doc_id-sorted, unique) into a blob + meta."""
+    df = len(doc_ids)
+    assert df > 0
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    gaps = np.empty(df, dtype=np.uint64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    if df > 1 and (doc_ids[1:] <= doc_ids[:-1]).any():
+        raise ValueError("postings must be strictly doc_id-sorted")
+    n_blocks = (df + BLOCK - 1) // BLOCK
+    chunks: list[np.ndarray] = []
+    block_count = np.empty(n_blocks, dtype=np.int32)
+    block_nbytes = np.empty(n_blocks, dtype=np.int32)
+    block_last = np.empty(n_blocks, dtype=np.int64)
+    block_max = np.empty(n_blocks, dtype=np.float32)
+    sat = tf_saturation(np.asarray(tfs), np.asarray(dls), avgdl)
+    for i in range(n_blocks):
+        lo, hi = i * BLOCK, min((i + 1) * BLOCK, df)
+        enc = np.concatenate(
+            [
+                vb_encode(gaps[lo:hi]),
+                vb_encode(np.asarray(tfs[lo:hi], dtype=np.uint64)),
+                vb_encode(np.asarray(dls[lo:hi], dtype=np.uint64)),
+            ]
+        )
+        chunks.append(enc)
+        block_count[i] = hi - lo
+        block_nbytes[i] = len(enc)
+        block_last[i] = int(doc_ids[hi - 1])
+        # float32 round-up so the f32 bound is >= the f64 truth
+        m = np.float32(sat[lo:hi].max())
+        if float(m) < float(sat[lo:hi].max()):
+            m = np.nextafter(m, np.float32(np.inf))
+        block_max[i] = m
+    blob = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint8)
+    meta = PostingMeta(
+        df=df,
+        cf=int(np.asarray(tfs, dtype=np.uint64).sum()),
+        nbytes=len(blob),
+        block_count=block_count,
+        block_nbytes=block_nbytes,
+        block_last_docid=block_last,
+        block_max_tfsat=block_max,
+    )
+    return blob, meta
+
+
+def decode_postings(blob: np.ndarray, meta: PostingMeta) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full-list decode -> (doc_ids int64, tfs int32, dls int32)."""
+    df = meta.df
+    gaps = np.empty(df, dtype=np.uint64)
+    tfs = np.empty(df, dtype=np.uint64)
+    dls = np.empty(df, dtype=np.uint64)
+    off = 0
+    pos = 0
+    for i in range(len(meta.block_count)):
+        n = int(meta.block_count[i])
+        g, c1 = vb_decode(blob, n, off)
+        t, c2 = vb_decode(blob, n, off + c1)
+        d, c3 = vb_decode(blob, n, off + c1 + c2)
+        gaps[pos : pos + n] = g
+        tfs[pos : pos + n] = t
+        dls[pos : pos + n] = d
+        off += int(meta.block_nbytes[i])
+        pos += n
+    doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
+
+
+def decode_block(
+    blob: np.ndarray, meta: PostingMeta, i: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block ``i`` alone (for WAND skipping) -> (doc_ids, tfs, dls)."""
+    off = int(meta.block_nbytes[:i].sum())
+    n = int(meta.block_count[i])
+    g, c1 = vb_decode(blob, n, off)
+    t, c2 = vb_decode(blob, n, off + c1)
+    d, _ = vb_decode(blob, n, off + c1 + c2)
+    base = np.uint64(meta.block_last_docid[i - 1]) if i > 0 else np.uint64(0)
+    doc_ids = (base + np.cumsum(g, dtype=np.uint64)).astype(np.int64)
+    return doc_ids, t.astype(np.int32), d.astype(np.int32)

@@ -1,0 +1,81 @@
+"""Pure-Python BM25 oracle — the ground truth for parity tests.
+
+Plays the role the Milvus server plays for the reference (SURVEY.md §5):
+an independent ~100-line implementation of tokenize -> dicts -> exact Okapi
+BM25 (k1=1.2, b=0.75) with the same deterministic contract as the engine
+(integer-quantized scores, ties by doc_id ascending).  Deliberately naive:
+plain dicts, no numpy in the scoring path, no shared code with the engine
+beyond the tokenizer-rule constants (tokens_py re-implements the rules with
+``re``; analyzer parity is itself golden-tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .analyzer import analyze_query, tokens_py
+from .build import SCORE_SCALE
+from .ids import doc_id63
+
+
+class OracleIndex:
+    def __init__(self, rows: list[dict], lang_tagged: bool = False,
+                 k1: float = 1.2, b: float = 0.75):
+        """rows: dicts with repo/path/commit/lang/content (corpus shape)."""
+        self.k1, self.b = k1, b
+        self.lang_tagged = lang_tagged
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        self.docs: dict[int, dict] = {}
+        self.dropped = 0
+        langs = set()
+        for row in rows:
+            content = row.get("content") or ""
+            if content.strip() == "":
+                self.dropped += 1
+                continue
+            did = doc_id63(row["repo"], row["path"], row["commit"])
+            toks = tokens_py(content)
+            if lang_tagged:
+                toks = [f"{row['lang']}:{t}" for t in toks]
+            if did in self.docs:
+                continue  # duplicate identity row
+            self.docs[did] = row
+            self.doc_len[did] = len(toks)
+            langs.add(row["lang"])
+            for t in toks:
+                self.postings.setdefault(t, {})
+                self.postings[t][did] = self.postings[t].get(did, 0) + 1
+        self.langs = sorted(langs)
+        self.n_docs = len(self.docs)
+        self.avgdl = (
+            sum(self.doc_len.values()) / self.n_docs if self.n_docs else 0.0
+        )
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, lang: str | None = None, k: int = 10):
+        """Top-k [(doc_id, score_float)], integer-quantized, doc_id tie-break."""
+        qterms = analyze_query(
+            query,
+            lang if (self.lang_tagged and lang) else None,
+            self.langs if self.lang_tagged else None,
+        )
+        acc: dict[int, int] = {}
+        for term, qtf in qterms.items():
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = self.idf(term)
+            for did, tf in plist.items():
+                dl = self.doc_len[did]
+                denom = tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+                contrib = qtf * w * (self.k1 + 1) * tf / denom
+                acc[did] = acc.get(did, 0) + round(contrib * SCORE_SCALE)
+        ranked = sorted(
+            ((u, did) for did, u in acc.items() if u > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        return [(did, u / SCORE_SCALE) for u, did in ranked]

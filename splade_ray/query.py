@@ -1,0 +1,345 @@
+"""Query engine: stateful actor-pool BM25 top-k over the segment index.
+
+Replaces the reference's query side — Milvus sparse inner-product search
+behind ``collection.search`` / ``hybrid_search`` (retrievers.py:120-141) plus
+the per-process BM25 refit (main.py:46-64, eval.py:92-109) — with a
+``QueryEngine`` callable class used as a Ray Data actor pool:
+
+    results = queries_ds.map_batches(QueryEngine, fn_constructor_kwargs=
+        {"index_dir": ...}, batch_format="pyarrow", concurrency=N, batch_size=B)
+
+State (dictionary, mmapped postings, corpus stats) loads ONCE per actor in
+``__init__`` (the ST1/ST3 state of SURVEY.md §2.3); per-batch work is pure
+scoring.  Corpus stats come from the build manifest — never refit at query
+time (the reference's per-process refit is a documented wart, SURVEY §2.1 S7).
+
+Three scorers, parity-tested against each other and the oracle:
+
+  * ``taat``  — vectorized term-at-a-time (numpy gather + segment-sort +
+                unique/add.at).  Fastest in-Python path; bench default.
+  * ``daat``  — naive document-at-a-time heap merge (reference semantics
+                check; test-only).
+  * ``bmw``   — block-max WAND: document-at-a-time pivoting over per-block
+                max-score bounds (codecs.PostingMeta.block_max_tfsat), the
+                scale path for huge posting lists.
+
+Scores are integer-quantized (build.SCORE_SCALE units) before summation so
+rank and score are exactly reproducible across scorers, partitionings and
+the DuckDB oracle; ties break by doc_id ascending (deterministic, matching
+the rank-identity requirement of the north rule).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .analyzer import analyze_query
+from .build import SCORE_SCALE
+from .codecs import tf_saturation
+from .segments import SegmentReader
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def idf(n_docs: int, df: int) -> float:
+    """BM25 idf, Robertson/Lucene form (always > 0)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class QueryEngine:
+    """Callable-class stage: one instance per pool actor, init once per actor."""
+
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat"):
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+        self.langs = self.manifest["langs"]
+        self.lang_tagged = self.manifest["lang_tagged"]
+        self.k = k
+        self.scorer = scorer
+        seg_root = os.path.join(index_dir, "segments")
+        self.segments = [
+            SegmentReader(os.path.join(seg_root, s["segment_id"]))
+            for s in self.manifest["segments"]
+        ]
+        # merged dictionary: term -> [(segment_idx, row_idx)], df summed.
+        # At 10^12-doc scale this in-RAM dict becomes a sorted mmapped term
+        # file per segment + binary search; the per-actor pattern is the same.
+        self.refs: dict[str, list[tuple[int, int]]] = {}
+        self.df: dict[str, int] = {}
+        for si, seg in enumerate(self.segments):
+            dfs = seg.dict["df"].to_pylist()
+            for term, rows in seg.lookup.items():
+                self.refs.setdefault(term, []).extend((si, ri) for ri in rows)
+                self.df[term] = self.df.get(term, 0) + sum(dfs[ri] for ri in rows)
+
+    # ------------------------------------------------------------- gather --
+    def _gather(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full postings for a term merged across segments/salts, doc-sorted."""
+        parts = [self.segments[si].postings_at(ri) for si, ri in self.refs[term]]
+        if len(parts) == 1:
+            return parts[0]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order], dls[order]
+
+    def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
+        return analyze_query(
+            query,
+            lang if (self.lang_tagged and lang) else None,
+            self.langs if self.lang_tagged else None,
+        )
+
+    def _contrib_units(self, qtf: int, w_idf: float, tfs, dls) -> np.ndarray:
+        sat = tf_saturation(np.asarray(tfs), np.asarray(dls), self.avgdl)
+        return np.round(qtf * w_idf * sat * SCORE_SCALE).astype(np.int64)
+
+    # ------------------------------------------------------------- scorers --
+    def _score_taat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+        all_ids, all_units = [], []
+        for term, qtf in qterms.items():
+            if term not in self.refs:
+                continue
+            ids, tfs, dls = self._gather(term)
+            w = idf(self.n_docs, self.df[term])
+            all_ids.append(ids)
+            all_units.append(self._contrib_units(qtf, w, tfs, dls))
+        if not all_ids:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        ids = np.concatenate(all_ids)
+        units = np.concatenate(all_units)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(scores, inv, units)
+        return uniq, scores
+
+    def _score_daat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+        """Naive DAAT heap merge over decoded lists (parity reference)."""
+        cursors = []
+        for term, qtf in qterms.items():
+            if term not in self.refs:
+                continue
+            ids, tfs, dls = self._gather(term)
+            units = self._contrib_units(qtf, idf(self.n_docs, self.df[term]), tfs, dls)
+            cursors.append((ids, units))
+        if not cursors:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        heap = [(int(ids[0]), ci, 0) for ci, (ids, _) in enumerate(cursors)]
+        heapq.heapify(heap)
+        out_ids, out_scores = [], []
+        while heap:
+            doc = heap[0][0]
+            acc = 0
+            while heap and heap[0][0] == doc:
+                _, ci, pos = heapq.heappop(heap)
+                ids, units = cursors[ci]
+                acc += int(units[pos])
+                if pos + 1 < len(ids):
+                    heapq.heappush(heap, (int(ids[pos + 1]), ci, pos + 1))
+            out_ids.append(doc)
+            out_scores.append(acc)
+        return np.asarray(out_ids, dtype=np.int64), np.asarray(out_scores, dtype=np.int64)
+
+    def _score_bmw(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max WAND over decoded lists with per-block upper bounds.
+
+        Returns only the top-k surviving candidates (ids, units).  Bounds are
+        conservative: float upper bounds are inflated by 2 units before the
+        <= theta prune, so quantization can never prune a true top-k doc.
+        Docs are visited in increasing doc_id, so an equal-score candidate
+        can never displace an in-heap doc (ties break doc_id-ascending) and
+        pruning at ``bound <= theta`` is exact.
+        """
+        lists = []
+        for term, qtf in qterms.items():
+            if term not in self.refs:
+                continue
+            w = idf(self.n_docs, self.df[term])
+            for si, ri in self.refs[term]:
+                seg = self.segments[si]
+                ids, tfs, dls = seg.postings_at(ri)
+                units = self._contrib_units(qtf, w, tfs, dls)
+                meta = seg.meta_at(ri)
+                # per-piece block bounds in units (+2 safety margin)
+                bmax = (
+                    qtf * w * meta.block_max_tfsat.astype(np.float64) * SCORE_SCALE
+                    + 2.0
+                )
+                block_last = meta.block_last_docid
+                lists.append(
+                    {
+                        "ids": ids, "units": units, "pos": 0,
+                        "ub": float(bmax.max()),
+                        "block_bounds": bmax, "block_last": block_last,
+                    }
+                )
+        if not lists:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+        k = self.k
+        heap: list[tuple[int, int]] = []  # (units, -doc_id), worst first
+        theta = -1
+
+        def cur(c):
+            return c["ids"][c["pos"]] if c["pos"] < len(c["ids"]) else None
+
+        live = [c for c in lists if len(c["ids"])]
+        while live:
+            live.sort(key=lambda c: cur(c))
+            # pivot: first prefix whose summed list-max bounds beat theta
+            acc = 0.0
+            pivot = -1
+            for i, c in enumerate(live):
+                acc += c["ub"]
+                if acc > theta:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break
+            pivot_doc = cur(live[pivot])
+            # block-max refinement at the pivot doc
+            block_acc = 0.0
+            for c in live[: pivot + 1]:
+                bi = int(np.searchsorted(c["block_last"], pivot_doc))
+                if bi < len(c["block_bounds"]):
+                    block_acc += float(c["block_bounds"][bi])
+            if block_acc <= theta:
+                # skip: advance the lowest cursor past the earliest block end,
+                # capped at cur(pivot+1)-1 — beyond that, lists outside the
+                # pivot prefix start contributing and the bound no longer holds
+                nxt = None
+                for c in live[: pivot + 1]:
+                    bi = int(np.searchsorted(c["block_last"], pivot_doc))
+                    if bi < len(c["block_last"]):
+                        end = int(c["block_last"][bi])
+                        nxt = end if nxt is None else min(nxt, end)
+                if nxt is None:
+                    nxt = pivot_doc
+                if pivot + 1 < len(live):
+                    nxt = min(nxt, int(cur(live[pivot + 1])) - 1)
+                target = max(nxt, pivot_doc) + 1
+                c0 = live[0]
+                c0["pos"] += int(np.searchsorted(c0["ids"][c0["pos"]:], target))
+                live = [c for c in live if c["pos"] < len(c["ids"])]
+                continue
+            if cur(live[0]) == pivot_doc:
+                score = 0
+                for c in live:
+                    if cur(c) == pivot_doc:
+                        score += int(c["units"][c["pos"]])
+                        c["pos"] += 1
+                    else:
+                        break
+                if score > 0 and (len(heap) < k or score > theta):
+                    entry = (score, -int(pivot_doc))
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    else:
+                        heapq.heappushpop(heap, entry)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                live = [c for c in live if c["pos"] < len(c["ids"])]
+            else:
+                for c in live[:pivot]:
+                    c["pos"] += int(
+                        np.searchsorted(c["ids"][c["pos"]:], pivot_doc)
+                    )
+                live = [c for c in live if c["pos"] < len(c["ids"])]
+
+        if not heap:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        ids = np.array([-d for _, d in heap], dtype=np.int64)
+        units = np.array([u for u, _ in heap], dtype=np.int64)
+        return ids, units
+
+    # --------------------------------------------------------------- topk --
+    def _topk(self, ids: np.ndarray, units: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = units > 0
+        ids, units = ids[pos], units[pos]
+        if len(ids) == 0:
+            return ids, units
+        if len(ids) > self.k * 4:
+            # cheap pre-cut at the k-th largest score; >= keeps boundary ties
+            # so the final lexsort can break them by doc_id
+            cut = np.partition(units, len(units) - self.k)[len(units) - self.k]
+            keep = units >= cut
+            ids, units = ids[keep], units[keep]
+        order = np.lexsort((ids, -units))[: self.k]
+        return ids[order], units[order]
+
+    def search_one(self, query: str, lang: str | None = None):
+        qterms = self._query_terms(query, lang)
+        if self.scorer == "taat":
+            ids, units = self._score_taat(qterms)
+        elif self.scorer == "daat":
+            ids, units = self._score_daat(qterms)
+        elif self.scorer == "bmw":
+            ids, units = self._score_bmw(qterms)
+        else:
+            raise ValueError(f"unknown scorer {self.scorer!r}")
+        return self._topk(ids, units)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        queries = batch["query"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.schema.names
+            else [None] * len(qids)
+        )
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for qid, q, lg in zip(qids, queries, langs):
+            ids, units = self.search_one(q or "", lg or None)
+            for r, (d, u) in enumerate(zip(ids, units), start=1):
+                out_qid.append(qid)
+                out_rank.append(r)
+                out_doc.append(int(d))
+                out_score.append(u / SCORE_SCALE)
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float64()),
+            }
+        )
+
+
+def run_queries(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    scorer: str = "taat",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 64,
+):
+    """Queries Dataset -> results Dataset via the QueryEngine actor pool."""
+    # a small query table often arrives as one block, which would starve the
+    # pool (1 block -> 1 task); split so every actor gets work
+    n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
+    queries_ds = queries_ds.repartition(max(n_actors * 2, 4))
+    return queries_ds.map_batches(
+        QueryEngine,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "scorer": scorer},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,221 @@
+"""Index segments: on-disk format, lineage manifests, log-structured merge.
+
+A *segment* is the resumable unit of the build (north_rule: "resumable from
+checkpoint with per-partition lineage"), replacing the Milvus-internal index
+files behind ``create_index`` (reference ingest.py:159-172) with an explicit
+layout:
+
+    seg-XXXXX/
+      dict.parquet   term, salt, df, cf, offset, nbytes, block_count,
+                     block_nbytes, block_last_docid, block_max_tfsat
+      postings.bin   concatenated per-(term,salt) varbyte blobs (codecs.py)
+      manifest.json  segment_id, shard, n_terms, n_postings, sum_tf,
+                     postings_sha256, input lineage, format_version
+
+Writes are atomic (tmp dir + os.replace, manifest written last) so a killed
+build never leaves a half-segment that passes validation; a rerun skips every
+shard whose manifest validates (build.py).  ``merge_segments`` is the
+log-structured merge: k segments -> one, posting lists of the same
+(term, salt) unioned by doc_id with duplicate (doc_id) entries collapsed
+(equal tf asserted), which makes merge idempotent: merge(a, a) == a.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codecs import PostingMeta, decode_postings, encode_postings
+
+FORMAT_VERSION = 1
+
+DICT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("offset", pa.int64()),
+        ("nbytes", pa.int64()),
+        ("block_count", pa.list_(pa.int32())),
+        ("block_nbytes", pa.list_(pa.int32())),
+        ("block_last_docid", pa.list_(pa.int64())),
+        ("block_max_tfsat", pa.list_(pa.float32())),
+    ]
+)
+
+
+class SegmentBuilder:
+    """Accumulates encoded posting lists, then writes one segment atomically."""
+
+    def __init__(self, segment_id: str, shard: int):
+        self.segment_id = segment_id
+        self.shard = shard
+        self._terms: list[str] = []
+        self._salts: list[int] = []
+        self._metas: list[PostingMeta] = []
+        self._blobs: list[np.ndarray] = []
+        self._lineage: dict = {}
+
+    def add(self, term: str, salt: int, doc_ids: np.ndarray, tfs: np.ndarray,
+            dls: np.ndarray, avgdl: float) -> None:
+        blob, meta = encode_postings(doc_ids, tfs, dls, avgdl)
+        self._terms.append(term)
+        self._salts.append(salt)
+        self._metas.append(meta)
+        self._blobs.append(blob)
+
+    def set_lineage(self, **kv) -> None:
+        self._lineage.update(kv)
+
+    def write(self, out_dir: str) -> dict:
+        """Atomic write; returns the manifest dict."""
+        tmp = out_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        blob = (
+            np.concatenate(self._blobs) if self._blobs else np.empty(0, dtype=np.uint8)
+        )
+        offsets = np.zeros(len(self._blobs), dtype=np.int64)
+        if len(self._blobs) > 1:
+            np.cumsum([len(b) for b in self._blobs[:-1]], out=offsets[1:])
+        with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+            f.write(blob.tobytes())
+        table = pa.table(
+            {
+                "term": pa.array(self._terms, type=pa.string()),
+                "salt": pa.array(self._salts, type=pa.int32()),
+                "df": pa.array([m.df for m in self._metas], type=pa.int64()),
+                "cf": pa.array([m.cf for m in self._metas], type=pa.int64()),
+                "offset": pa.array(offsets),
+                "nbytes": pa.array([m.nbytes for m in self._metas], type=pa.int64()),
+                "block_count": pa.array([m.block_count for m in self._metas],
+                                        type=pa.list_(pa.int32())),
+                "block_nbytes": pa.array([m.block_nbytes for m in self._metas],
+                                         type=pa.list_(pa.int32())),
+                "block_last_docid": pa.array([m.block_last_docid for m in self._metas],
+                                             type=pa.list_(pa.int64())),
+                "block_max_tfsat": pa.array([m.block_max_tfsat for m in self._metas],
+                                            type=pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(table, os.path.join(tmp, "dict.parquet"))
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "segment_id": self.segment_id,
+            "shard": self.shard,
+            "n_terms": len(self._terms),
+            "n_postings": int(sum(m.df for m in self._metas)),
+            "sum_tf": int(sum(m.cf for m in self._metas)),
+            "postings_sha256": hashlib.sha256(blob.tobytes()).hexdigest(),
+            "lineage": self._lineage,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        return manifest
+
+
+def validate_segment(seg_dir: str) -> dict | None:
+    """Return the manifest if the segment is complete and checksum-valid."""
+    mpath = os.path.join(seg_dir, "manifest.json")
+    bpath = os.path.join(seg_dir, "postings.bin")
+    dpath = os.path.join(seg_dir, "dict.parquet")
+    if not (os.path.exists(mpath) and os.path.exists(bpath) and os.path.exists(dpath)):
+        return None
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+        with open(bpath, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        if sha != manifest.get("postings_sha256"):
+            return None
+        return manifest
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+class SegmentReader:
+    """Read-side handle: dictionary rows + memory-mapped postings blob.
+
+    Query actors hold one per segment (reference analogue: the loaded Milvus
+    index after ``collection.load()``, ingest.py:172 / ST3).  On shared
+    storage at scale the mmap becomes ranged reads of the blob object.
+    """
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        self.dict = pq.read_table(os.path.join(seg_dir, "dict.parquet"))
+        self.blob = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8,
+                              mode="r") if os.path.getsize(
+            os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
+        # term -> list of dict-row indices (a term may appear once per salt)
+        self.lookup: dict[str, list[int]] = {}
+        for i, t in enumerate(self.dict["term"].to_pylist()):
+            self.lookup.setdefault(t, []).append(i)
+
+    def meta_at(self, i: int) -> PostingMeta:
+        d = self.dict
+        return PostingMeta(
+            df=d["df"][i].as_py(),
+            cf=d["cf"][i].as_py(),
+            nbytes=d["nbytes"][i].as_py(),
+            block_count=np.asarray(d["block_count"][i].as_py(), dtype=np.int32),
+            block_nbytes=np.asarray(d["block_nbytes"][i].as_py(), dtype=np.int32),
+            block_last_docid=np.asarray(d["block_last_docid"][i].as_py(), dtype=np.int64),
+            block_max_tfsat=np.asarray(d["block_max_tfsat"][i].as_py(), dtype=np.float32),
+        )
+
+    def postings_at(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        meta = self.meta_at(i)
+        off = self.dict["offset"][i].as_py()
+        return decode_postings(self.blob[off : off + meta.nbytes], meta)
+
+
+def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
+                   shard: int, avgdl: float) -> dict:
+    """Log-structured merge: union posting lists per (term, salt) by doc_id.
+
+    Duplicate (term, salt, doc_id) entries across inputs collapse to one
+    (their tf must agree — same deterministic doc indexed twice), which makes
+    the merge idempotent and safe to re-run after a partial failure.
+    Output lists are re-encoded (delta chains and block-max recomputed with
+    the supplied ``avgdl``).
+    """
+    readers = [SegmentReader(d) for d in seg_dirs]
+    keys: set[tuple[str, int]] = set()
+    for r in readers:
+        for t, s in zip(r.dict["term"].to_pylist(), r.dict["salt"].to_pylist()):
+            keys.add((t, s))
+    builder = SegmentBuilder(segment_id, shard)
+    builder.set_lineage(merged_from=[os.path.basename(d) for d in seg_dirs])
+    for term, salt in sorted(keys):
+        parts = []
+        for r in readers:
+            for i in r.lookup.get(term, []):
+                if r.dict["salt"][i].as_py() == salt:
+                    parts.append(r.postings_at(i))
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            dup = ids[1:] == ids[:-1]
+            if dup.any() and (tfs[1:][dup] != tfs[:-1][dup]).any():
+                raise ValueError(
+                    f"doc_id collision with conflicting tf for term {term!r}"
+                )
+            keep[1:] = ~dup
+        builder.add(term, salt, ids[keep], tfs[keep], dls[keep], avgdl)
+    return builder.write(out_dir)
