@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in splade_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,57 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the lang-tagged inverted index over
+    the documents-derived corpus, answer the BM25 query set through the
+    actor-pool engine, return the results Dataset."""
+    from splade_ray import pipelines
+
+    return pipelines.bm25_topk(SF_SMOKE, scorer="taat")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from splade_ray import pipelines as p
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    catalog: dict[str, Callable[[str], Any]] = {
+        # full-text core (SURVEY.md §2)
+        "corpus_docs": p.corpus_docs,
+        "postings": p.postings,
+        "term_df": p.term_df,
+        "corpus_stats": p.corpus_stats,
+        "top_terms": p.top_terms,
+        "bm25_topk_taat": lambda sf: p.bm25_topk(sf, scorer="taat"),
+        "bm25_topk_bmw": lambda sf: p.bm25_topk(sf, scorer="bmw"),
+    }
+    try:  # training-data ops (splade_ray.ops) — added as they land
+        from splade_ray.ops import contract as ops_contract
+
+        catalog.update(ops_contract.queries())
+    except ImportError:
+        pass
+    return catalog
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from splade_ray import sql
+    from splade_ray.pipelines import DOC_QUERIES, TOP_K
+
+    catalog = {
+        "corpus_docs": sql.corpus_docs_sql(),
+        "postings": sql.postings_sql(),
+        "term_df": sql.term_df_sql(),
+        "corpus_stats": sql.corpus_stats_sql(),
+        "top_terms": sql.top_terms_sql(20),
+        "bm25_topk_taat": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
+        "bm25_topk_bmw": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
+    }
+    try:
+        from splade_ray.ops import contract as ops_contract
+
+        catalog.update(ops_contract.oracle_sql())
+    except ImportError:
+        pass
+    return catalog

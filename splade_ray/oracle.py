@@ -71,9 +71,11 @@ class OracleIndex:
             w = self.idf(term)
             for did, tf in plist.items():
                 dl = self.doc_len[did]
+                # operation order pinned engine-wide (build.SCORE_SCALE spec):
+                # units = round((qtf*idf) * (((k1+1)*tf)/denom) * 1e9)
                 denom = tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
-                contrib = qtf * w * (self.k1 + 1) * tf / denom
-                acc[did] = acc.get(did, 0) + round(contrib * SCORE_SCALE)
+                sat = (self.k1 + 1) * tf / denom
+                acc[did] = acc.get(did, 0) + round(qtf * w * sat * SCORE_SCALE)
         ranked = sorted(
             ((u, did) for did, u in acc.items() if u > 0),
             key=lambda x: (-x[0], x[1]),

@@ -1,0 +1,173 @@
+"""Driver-facing pipelines: Ray Data callables mirrored 1:1 by sql.py oracles.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+``ray.data.Dataset`` / ``pyarrow.Table``.  All run over the driver's
+``documents`` table mapped to the corpus shape (corpus.documents_as_corpus_batch)
+with an UNTAGGED analyzer, so the DuckDB oracles stay single-dialect; the
+lang-tagged analyzer is exercised by ``entry()`` and the pytest parity suite
+over the synthetic code corpus.
+
+Ray is assumed already initialised by the caller (driver contract) — nothing
+here calls ray.init/shutdown.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .build import build_index, prepare_batch
+from .corpus import documents_as_corpus_batch
+from .query import run_queries
+
+# Shared query literals: the Ray side runs them through the engine, the SQL
+# side embeds them as VALUES — both from this one constant.
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "merge"),
+    (1, "spark window"),
+    (2, "vector join batch"),
+    (3, "sparkWindow"),  # camelCase -> ["spark", "window"], same as (1)
+    (4, "the"),
+    (5, "customer filter"),
+    (6, "nonexistentzzterm"),
+    (7, "hash_join order"),
+    (8, "stream stream stream"),  # qtf = 3
+    (9, "slow fast big small"),
+    (10, "!!! ..."),  # zero tokens
+    (11, "agg"),
+]
+TOP_K = 10
+
+
+def corpus_ds(sf_dir: str):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).map_batches(documents_as_corpus_batch, batch_format="pyarrow")
+
+
+def _staged(sf_dir: str):
+    return corpus_ds(sf_dir).map_batches(
+        prepare_batch, batch_format="pyarrow", fn_kwargs={"lang_tagged": False}
+    )
+
+
+def _i64(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        i = t.schema.get_field_index(c)
+        t = t.set_column(i, c, pc.cast(t[c], pa.int64()))
+    return t
+
+
+def corpus_docs(sf_dir: str):
+    """docs table: deterministic doc_id, content sha256, token count."""
+    return _staged(sf_dir).map_batches(
+        lambda t: _i64(
+            t.select(["doc_id", "repo", "path", "lang", "content_sha256", "doc_len"]),
+            ["doc_len"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _postings_batch(t: pa.Table) -> pa.Table:
+    terms = t["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    parents = pc.list_parent_indices(terms)
+    tfs = t["tfs"]
+    if isinstance(tfs, pa.ChunkedArray):
+        tfs = tfs.combine_chunks()
+    return pa.table(
+        {
+            "term": terms.flatten(),
+            "doc_id": t["doc_id"].take(parents),
+            "tf": pc.cast(tfs.flatten(), pa.int64()),
+        }
+    )
+
+
+def postings(sf_dir: str):
+    """(term, doc_id, tf) triples — the relational sparse vector (SURVEY M3)."""
+    return _staged(sf_dir).map_batches(_postings_batch, batch_format="pyarrow")
+
+
+def _partial_df_batch(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse postings to per-term partials before the
+    groupby shuffle (partial aggregation; ray_guide 'Aggregation at scale')."""
+    enc = pc.dictionary_encode(t["term"].combine_chunks() if isinstance(
+        t["term"], pa.ChunkedArray) else t["term"])
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    tfs = t["tf"].to_numpy(zero_copy_only=False)
+    n = len(enc.dictionary)
+    return pa.table(
+        {
+            "term": enc.dictionary,
+            "df": pa.array(np.bincount(codes, minlength=n).astype(np.int64)),
+            "cf": pa.array(np.bincount(codes, weights=tfs, minlength=n).astype(np.int64)),
+        }
+    )
+
+
+def term_df(sf_dir: str):
+    """Per-term document/collection frequency: partial per batch + tiny groupby."""
+    return (
+        postings(sf_dir)
+        .map_batches(_partial_df_batch, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    docs = _staged(sf_dir).select_columns(["doc_id", "doc_len"])
+    n_docs = docs.count()
+    total = docs.sum("doc_len")
+    n_terms = term_df(sf_dir).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "avgdl": pa.array([total / n_docs], type=pa.float64()),
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "n_terms": pa.array([n_terms], type=pa.int64()),
+        }
+    )
+
+
+def top_terms(sf_dir: str, n: int = 20):
+    return term_df(sf_dir).sort(key=["df", "term"], descending=[True, False]).limit(n)
+
+
+def _contract_index(sf_dir: str) -> str:
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/splade_ray_contract", key)
+    build_index(corpus_ds(sf_dir), idx, lang_tagged=False, n_shards=8)
+    return idx
+
+
+def _queries_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([q for q, _ in DOC_QUERIES], type=pa.int64()),
+            "query": pa.array([s for _, s in DOC_QUERIES]),
+        }
+    )
+
+
+def bm25_topk(sf_dir: str, scorer: str = "taat"):
+    """Flagship: build (or resume) the inverted index over the documents
+    corpus, answer DOC_QUERIES via the actor-pool engine, rank-identical to
+    the pure-SQL BM25 oracle (sql.bm25_topk_sql)."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(
+        rd.from_arrow(_queries_table()), idx, k=TOP_K, scorer=scorer, concurrency=2
+    )
+    return res.map_batches(
+        lambda t: _i64(t, ["rank"]), batch_format="pyarrow"
+    )

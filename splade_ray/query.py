@@ -213,6 +213,11 @@ class QueryEngine:
             if pivot < 0:
                 break
             pivot_doc = cur(live[pivot])
+            # extend the prefix over every cursor already AT the pivot doc —
+            # their contributions belong to pivot_doc's bound, and skipping
+            # past pivot_doc must account for them
+            while pivot + 1 < len(live) and cur(live[pivot + 1]) == pivot_doc:
+                pivot += 1
             # block-max refinement at the pivot doc
             block_acc = 0.0
             for c in live[: pivot + 1]:
