@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract).
+
+Headline: index-build throughput (files/sec) over the synthetic source-code
+corpus (BASELINE.json input_hint shape, deterministic, sized by the sf dir)
+plus BM25 query latency p50/p99 on the reference query set — the two metrics
+BASELINE.json names.  Also times the documents-table contract pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 vs 32, the
+sandbox stand-in for N vs 4N nodes) and prints throughput at both plus
+scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_BENCH_FILES (override synthetic corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_n_files(sf: float) -> int:
+    override = os.environ.get("GRAFT_BENCH_FILES")
+    if override:
+        return int(override)
+    return max(2000, int(400_000 * sf))
+
+
+def main() -> None:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from splade_ray.build import build_index
+    from splade_ray.corpus import corpus_parquet, generate_queries
+    from splade_ray.query import QueryEngine, run_queries
+
+    sf = _sf_value(SF_DIR)
+    n_files = _bench_n_files(sf)
+    timings: dict[str, float] = {}
+
+    # ---- headline: index build over the synthetic code corpus -------------
+    corpus_dir = corpus_parquet(n_files, seed=42)  # cached, untimed
+    rd.read_parquet(corpus_dir).count()  # warm page cache (untimed)
+    idx = f"/tmp/splade_ray_bench_idx_{n_files}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        rd.read_parquet(corpus_dir), idx, lang_tagged=True,
+        n_shards=max(16, NUM_CPUS * 2),
+    )
+    build_sec = time.perf_counter() - t0
+    timings["build_index_sec"] = round(build_sec, 3)
+    timings["build_files_per_sec"] = round(n_files / build_sec, 1)
+    timings["build_n_postings"] = manifest["n_postings"]
+
+    # ---- query latency (single-engine, per-query wall) --------------------
+    qtbl = generate_queries()
+    engine = QueryEngine(idx, k=10, scorer="taat")
+    lat = []
+    rows = list(zip(qtbl["query"].to_pylist(), qtbl["lang"].to_pylist()))
+    for _ in range(2):  # warm decode paths
+        for q, lg in rows:
+            engine.search_one(q, lg or None)
+    for _ in range(5):
+        for q, lg in rows:
+            t = time.perf_counter()
+            engine.search_one(q, lg or None)
+            lat.append(time.perf_counter() - t)
+    lat.sort()
+    timings["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 3)
+    timings["query_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1] * 1000, 3)
+
+    # ---- query throughput through the actor pool --------------------------
+    big_q = rd.from_arrow(qtbl)
+    t0 = time.perf_counter()
+    n_res = run_queries(big_q, idx, k=10, scorer="taat",
+                        concurrency=max(2, NUM_CPUS // 4)).count()
+    timings["query_pool_sec"] = round(time.perf_counter() - t0, 3)
+    timings["query_pool_rows"] = n_res
+
+    # ---- contract pipelines over the driver's documents table -------------
+    from splade_ray import pipelines
+
+    t0 = time.perf_counter()
+    pipelines.term_df(SF_DIR).count()
+    timings["term_df_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.bm25_topk(SF_DIR, scorer="taat").count()
+    timings["bm25_topk_documents_sec"] = round(time.perf_counter() - t0, 3)
+
+    headline = build_sec
+    print(json.dumps({
+        "metric": "index-build wall over synthetic code corpus "
+                  f"({n_files} files) incl. query p50/p99",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_files": n_files,
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Run the headline at two parallelism levels in fresh processes."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["build_index_sec"]
+    t_hi = r_hi["queries"]["build_index_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (build), num_cpus 8 vs 32",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "files_per_sec_8": r_lo["queries"]["build_files_per_sec"],
+        "files_per_sec_32": r_hi["queries"]["build_files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_files": r_hi["n_files"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

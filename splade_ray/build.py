@@ -251,6 +251,10 @@ def build_index(
     buckets for hot terms. The corpus Dataset is consumed streaming; nothing
     is materialized except small aggregates.
     """
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t = _time.perf_counter
     os.makedirs(index_dir, exist_ok=True)
 
     if overwrite:
@@ -264,6 +268,7 @@ def build_index(
                 os.remove(p)
 
     staging_dir = os.path.join(index_dir, "staging")
+    t0 = _t()
     if not _staging_valid(index_dir):
         n_input = corpus.count()
         if os.path.exists(staging_dir):
@@ -282,6 +287,8 @@ def build_index(
         staging_meta = json.load(f)
     if staging_meta.get("lang_tagged") != lang_tagged:
         raise ValueError("index_dir was staged with a different lang_tagged setting")
+    timings["staging_sec"] = round(_t() - t0, 3)
+    t0 = _t()
 
     staged = ray.data.read_parquet(staging_dir)
     n_docs = staged.count()
@@ -291,6 +298,8 @@ def build_index(
     avgdl = total_len / n_docs
     langs = sorted(staged.unique("lang"))
     n_dropped = staging_meta["n_input_rows"] - n_docs
+    timings["stats_sec"] = round(_t() - t0, 3)
+    t0 = _t()
 
     # hot-term detection over a deterministic 1/sample_mod doc sample
     hot_threshold = max(hot_df_min, int(hot_df_frac * n_docs))
@@ -306,6 +315,8 @@ def build_index(
         lambda r, m=est_min: r["pdf"] >= m
     ).take_all()
     hot_terms = {r["term"]: True for r in hot_rows}
+    timings["hot_detect_sec"] = round(_t() - t0, 3)
+    t0 = _t()
 
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
@@ -337,6 +348,8 @@ def build_index(
             if m is not None:
                 done[m["shard"]] = m
 
+    timings["shuffle_build_sec"] = round(_t() - t0, 3)
+    t0 = _t()
     # docs table (identity + sha256 + doc_len; no token lists)
     docs_dir = os.path.join(index_dir, "docs")
     if not os.path.isdir(docs_dir):
@@ -350,8 +363,10 @@ def build_index(
         ).write_parquet(tmp)
         os.replace(tmp, docs_dir)
 
+    timings["docs_table_sec"] = round(_t() - t0, 3)
     manifest = {
         "format_version": 1,
+        "timings": timings,
         "n_docs": int(n_docs),
         "n_dropped_rows": int(n_dropped),
         "total_doc_len": int(total_len),

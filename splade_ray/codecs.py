@@ -53,6 +53,28 @@ def vb_encode(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def vb_decode_all(buf: np.ndarray) -> np.ndarray:
+    """Decode EVERY varbyte int in ``buf`` in one vectorized pass.
+
+    Varbyte is self-delimiting, so a whole multi-stream region can be decoded
+    at once and re-split by known counts — this is the query-path fast path
+    (one numpy pass per posting list instead of 3 calls per 128-block)."""
+    b = np.ascontiguousarray(buf)  # materialize mmap slice once
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    n = len(ends)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (b[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
 def vb_decode(buf: np.ndarray, n: int, start: int = 0) -> tuple[np.ndarray, int]:
     """Decode ``n`` varbyte ints from ``buf[start:]`` (vectorized).
 
@@ -146,24 +168,67 @@ def encode_postings(
 
 
 def decode_postings(blob: np.ndarray, meta: PostingMeta) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full-list decode -> (doc_ids int64, tfs int32, dls int32)."""
+    """Full-list decode -> (doc_ids int64, tfs int32, dls int32).
+
+    One vectorized varbyte pass over the whole region, then per-block
+    re-split (blocks lay out gaps ++ tfs ++ dls back-to-back)."""
     df = meta.df
+    ints = vb_decode_all(blob[: int(meta.block_nbytes.sum())])
+    if len(ints) != 3 * df:
+        raise ValueError(f"corrupt posting region: {len(ints)} ints, df={df}")
     gaps = np.empty(df, dtype=np.uint64)
     tfs = np.empty(df, dtype=np.uint64)
     dls = np.empty(df, dtype=np.uint64)
-    off = 0
-    pos = 0
-    for i in range(len(meta.block_count)):
-        n = int(meta.block_count[i])
-        g, c1 = vb_decode(blob, n, off)
-        t, c2 = vb_decode(blob, n, off + c1)
-        d, c3 = vb_decode(blob, n, off + c1 + c2)
-        gaps[pos : pos + n] = g
-        tfs[pos : pos + n] = t
-        dls[pos : pos + n] = d
-        off += int(meta.block_nbytes[i])
+    pos = ipos = 0
+    for n in meta.block_count:
+        n = int(n)
+        gaps[pos : pos + n] = ints[ipos : ipos + n]
+        tfs[pos : pos + n] = ints[ipos + n : ipos + 2 * n]
+        dls[pos : pos + n] = ints[ipos + 2 * n : ipos + 3 * n]
         pos += n
+        ipos += 3 * n
     doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
+
+
+def decode_postings_many(
+    parts: list[tuple[np.ndarray, "PostingMeta"]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode several posting regions (e.g. one term's salted sub-lists across
+    segments) in a SINGLE varbyte pass, returning the concatenation in part
+    order.  Amortizes the per-call numpy overhead that dominates tiny lists.
+    """
+    if len(parts) == 1:
+        return decode_postings(parts[0][0], parts[0][1])
+    bufs = [
+        np.ascontiguousarray(b[: int(m.block_nbytes.sum())]) for b, m in parts
+    ]
+    ints = vb_decode_all(np.concatenate(bufs))
+    total_df = sum(m.df for _, m in parts)
+    if len(ints) != 3 * total_df:
+        raise ValueError("corrupt posting region(s) in batched decode")
+    gaps = np.empty(total_df, dtype=np.uint64)
+    tfs = np.empty(total_df, dtype=np.uint64)
+    dls = np.empty(total_df, dtype=np.uint64)
+    piece_start = []
+    pos = ipos = 0
+    for _, m in parts:
+        piece_start.append(pos)
+        for n in m.block_count:
+            n = int(n)
+            gaps[pos : pos + n] = ints[ipos : ipos + n]
+            tfs[pos : pos + n] = ints[ipos + n : ipos + 2 * n]
+            dls[pos : pos + n] = ints[ipos + 2 * n : ipos + 3 * n]
+            pos += n
+            ipos += 3 * n
+    # per-piece delta chains: global cumsum, then subtract the running total
+    # accumulated before each piece start
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.asarray(piece_start, dtype=np.int64)
+    base = np.zeros(len(parts), dtype=np.uint64)
+    base[1:] = csum[starts[1:] - 1]
+    counts = np.diff(np.append(starts, total_df))
+    doc_ids = (csum - np.repeat(base, counts)).astype(np.int64)
     return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
 
 

@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from .analyzer import analyze_query
 from .build import SCORE_SCALE
-from .codecs import tf_saturation
+from .codecs import decode_postings_many, tf_saturation
 from .segments import SegmentReader
 
 RESULT_SCHEMA = pa.schema(
@@ -89,15 +89,22 @@ class QueryEngine:
 
     # ------------------------------------------------------------- gather --
     def _gather(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Full postings for a term merged across segments/salts, doc-sorted."""
-        parts = [self.segments[si].postings_at(ri) for si, ri in self.refs[term]]
-        if len(parts) == 1:
-            return parts[0]
-        ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
-        order = np.argsort(ids, kind="stable")
-        return ids[order], tfs[order], dls[order]
+        """Full postings for a term merged across segments/salts, doc-sorted.
+
+        All the term's pieces are decoded in one batched varbyte pass
+        (codecs.decode_postings_many) — the per-piece call overhead dominates
+        otherwise once hot-term salting and lang expansion multiply pieces."""
+        regions = []
+        for si, ri in self.refs[term]:
+            seg = self.segments[si]
+            meta = seg.meta_at(ri)
+            off = int(seg._offsets[ri])
+            regions.append((seg.blob[off : off + meta.nbytes], meta))
+        ids, tfs, dls = decode_postings_many(regions)
+        if len(regions) > 1:
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+        return ids, tfs, dls
 
     def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
         return analyze_query(

@@ -162,10 +162,15 @@ class SegmentReader:
         self.lookup: dict[str, list[int]] = {}
         for i, t in enumerate(self.dict["term"].to_pylist()):
             self.lookup.setdefault(t, []).append(i)
+        self._meta_cache: dict[int, PostingMeta] = {}
+        self._offsets = self.dict["offset"].to_numpy(zero_copy_only=False)
 
     def meta_at(self, i: int) -> PostingMeta:
+        cached = self._meta_cache.get(i)
+        if cached is not None:
+            return cached
         d = self.dict
-        return PostingMeta(
+        meta = PostingMeta(
             df=d["df"][i].as_py(),
             cf=d["cf"][i].as_py(),
             nbytes=d["nbytes"][i].as_py(),
@@ -174,10 +179,12 @@ class SegmentReader:
             block_last_docid=np.asarray(d["block_last_docid"][i].as_py(), dtype=np.int64),
             block_max_tfsat=np.asarray(d["block_max_tfsat"][i].as_py(), dtype=np.float32),
         )
+        self._meta_cache[i] = meta
+        return meta
 
     def postings_at(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         meta = self.meta_at(i)
-        off = self.dict["offset"][i].as_py()
+        off = int(self._offsets[i])
         return decode_postings(self.blob[off : off + meta.nbytes], meta)
 
 
