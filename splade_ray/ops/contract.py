@@ -1,0 +1,363 @@
+"""Driver-contract entries for the training-data operators (ops.*).
+
+Ray callables + DuckDB oracle SQL, generated from the SAME constants the
+operators use (shingle width, number of permutations, marker stopwords,
+fingerprint k/w, thresholds).  All run on the driver's raw ``documents`` /
+``embeddings`` tables (their own doc_id / vec_id — no corpus mapping needed
+here).  Hash functions are sha256-derived 63-bit ints on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+
+from ..analyzer import tokens_sql
+from . import dedup, similarity, textstats
+
+H63 = (
+    "(('0x' || substr(sha256({expr}), 1, 16))::UBIGINT"
+    " & 9223372036854775807)::BIGINT"
+)
+
+NEARDUP_COS = 0.45  # picked so the driver's embeddings yield non-empty pairs
+JACCARD_T = 0.8
+ANN_K = 10
+ANN_QUERY_VECS = 5  # vec_id < 5 are the query vectors
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = ids < ANN_QUERY_VECS
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[keep]).astype(np.float64)
+    return ids[keep], mat
+
+
+# ------------------------------------------------------------- ray side ----
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_docs_ds(sf_dir))
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    return dedup.simhash63(_docs_ds(sf_dir))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=JACCARD_T)
+
+
+def q_token_stats(sf_dir: str):
+    return textstats.make_op(textstats.token_stats_batch)(_docs_ds(sf_dir))
+
+
+def q_quality_score(sf_dir: str):
+    return textstats.make_op(textstats.quality_score_batch)(_docs_ds(sf_dir))
+
+
+def q_langid(sf_dir: str):
+    return textstats.make_op(textstats.langid_batch)(_docs_ds(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    return textstats.make_op(textstats.fingerprint_batch)(_docs_ds(sf_dir))
+
+
+def q_ann_cosine(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return similarity.brute_force_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
+
+
+def q_ann_ivf(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return similarity.ivf_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
+
+
+def q_embedding_neardup(sf_dir: str):
+    return similarity.cosine_neardup_pairs(_emb_ds(sf_dir), threshold=NEARDUP_COS)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_ivf_topk": q_ann_ivf,  # approximate: rows-only driver check
+        "embedding_neardup_pairs": q_embedding_neardup,
+    }
+
+
+# ------------------------------------------------------------- sql side ----
+
+_TOKENS = tokens_sql("text")
+
+_DTOK = f"""
+dtok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+)"""
+
+_DPOST = """
+dpost AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM dtok GROUP BY doc_id, term
+)"""
+
+# token shingles (width SHINGLE_K, short docs collapse to one joined shingle)
+_SHINGLES = f"""
+tl AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+shd AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) < {dedup.SHINGLE_K}
+              THEN array_to_string(toks, ' ')
+              ELSE toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         END AS shingle
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - {dedup.SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM tl WHERE len(toks) > 0
+  )
+)"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT sha256(text) AS content_sha256,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY sha256(text)"""
+
+
+def simhash_sql() -> str:
+    h = H63.format(expr="term")
+    return f"""
+WITH {_DTOK}, {_DPOST},
+th AS (SELECT doc_id, tf, {h} AS h FROM dpost),
+bits AS (
+  SELECT doc_id, b.b,
+         CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) > 0
+              THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+  FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sims AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sims s USING (doc_id)"""
+
+
+def minhash_lsh_pairs_sql() -> str:
+    r = dedup.N_PERM // dedup.N_BANDS
+    assert r == 2, "SQL band key assumes 2 rows per band"
+    h_perm = H63.format(expr="CAST(j.j AS VARCHAR) || ':' || shingle")
+    h_band = H63.format(expr="CAST(band AS VARCHAR) || '|' || sigstr")
+    return f"""
+WITH {_SHINGLES},
+mh AS (
+  SELECT doc_id, j.j AS perm, min({h_perm}) AS mh
+  FROM shd CROSS JOIN (SELECT unnest(range(0, {dedup.N_PERM})) AS j) j
+  GROUP BY doc_id, j.j
+),
+bk AS (
+  SELECT doc_id, perm // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS sigstr
+  FROM mh GROUP BY doc_id, perm // {r}
+),
+bands AS (SELECT doc_id, band, {h_band} AS band_key FROM bk)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    return f"""
+WITH {_SHINGLES},
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (ca.n + cb.n - i), 9) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i / (ca.n + cb.n - i) >= {JACCARD_T!r}e0"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH {_DTOK}, {_DPOST},
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         CAST(max(tf) AS BIGINT) AS max_tf
+  FROM dpost GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_unique, 0) AS n_unique,
+       coalesce(a.max_tf, 0) AS max_tf,
+       CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def quality_score_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    return f"""
+WITH {_DTOK},
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (term IN ({stop})) AS BIGINT) AS sw,
+         CAST(sum(len(term)) AS BIGINT) AS tot_len,
+         CAST(count(*) FILTER (regexp_matches(term, '[0-9]')) AS BIGINT) AS dg
+  FROM dtok GROUP BY doc_id
+),
+vals AS (
+  SELECT doc_id, sw / n AS swr, tot_len / n AS mtl, dg / n AS dgr FROM per
+)
+SELECT d.doc_id,
+       round(coalesce(v.swr, 0e0), 9) AS stopword_ratio,
+       round(coalesce(v.mtl, 0e0), 9) AS mean_token_len,
+       round(coalesce(v.dgr, 0e0), 9) AS digit_ratio,
+       round(coalesce(v.swr * 0.4e0 + least(v.mtl / 1e1, 1e0) * 0.3e0
+                      + (1e0 - v.dgr) * 0.3e0, 0.3e0), 9) AS quality
+FROM documents d LEFT JOIN vals v USING (doc_id)"""
+
+
+def langid_sql() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    marker_rows = ",".join(
+        f"('{lg}', '{w}')" for lg in langs for w in textstats.LANG_MARKERS[lg]
+    )
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH {_DTOK},
+markers(lang, term) AS (SELECT * FROM (VALUES {marker_rows})),
+hits AS (
+  SELECT t.doc_id, m.lang, CAST(count(*) AS BIGINT) AS hits
+  FROM dtok t JOIN markers m ON t.term = m.term
+  GROUP BY t.doc_id, m.lang
+),
+cand AS (
+  SELECT dl.doc_id, dl.lang, coalesce(h.hits, 0) AS hits
+  FROM (SELECT d.doc_id, l.lang FROM documents d
+        CROSS JOIN (SELECT unnest([{lang_list}]) AS lang) l) dl
+  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.lang = dl.lang
+)
+SELECT doc_id, lang AS pred_lang, hits AS marker_hits
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, lang ASC) AS rn
+      FROM cand)
+WHERE rn = 1"""
+
+
+def fingerprints_sql() -> str:
+    k, w = textstats.FINGERPRINT_K, textstats.FINGERPRINT_W
+    h = H63.format(expr=f"substr(text, i, {k})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, len(text) - {k} + 1 AS npos FROM documents
+),
+pos AS (
+  SELECT doc_id, npos, text, unnest(range(1, npos + 1)) AS i
+  FROM base WHERE npos >= 1
+),
+kh AS (SELECT doc_id, npos, i, {h} AS h FROM pos),
+wm AS (
+  SELECT doc_id, npos, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+  FROM kh
+)
+SELECT DISTINCT doc_id, m AS fingerprint
+FROM wm WHERE i >= least({w}, npos)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    na = (
+        f"sqrt(list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
+    )
+    nb = (
+        f"sqrt(list_aggregate(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum'))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+def ann_cosine_sql() -> str:
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_vec_id, e.vec_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERY_VECS}
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {ANN_K}"""
+
+
+def embedding_neardup_sql() -> str:
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {NEARDUP_COS!r}e0"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": dedup_exact_sql(),
+        "minhash_lsh_pairs": minhash_lsh_pairs_sql(),
+        "simhash": simhash_sql(),
+        "ngram_jaccard_pairs": ngram_jaccard_pairs_sql(),
+        "token_stats": token_stats_sql(),
+        "quality_score": quality_score_sql(),
+        "langid": langid_sql(),
+        "fingerprints": fingerprints_sql(),
+        "ann_cosine_topk": ann_cosine_sql(),
+        "embedding_neardup_pairs": embedding_neardup_sql(),
+        # ann_ivf_topk: approximate — deliberately no SQL oracle
+    }

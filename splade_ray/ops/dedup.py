@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has NO dedup — re-running its ingest duplicates every chunk
+under a fresh uuid4 (reference ingest.py:139, SURVEY.md §2.4 A8).  These
+operators are the training-data-pipeline complement, Ray-Data-first:
+
+  * exact        content-hash groupby -> keep min doc_id per group
+  * minhash-lsh  shingle -> K sha-derived minhashes -> band buckets ->
+                 groupby(band) -> candidate pairs
+  * simhash      63-bit sign-of-weighted-sum fingerprint per doc
+  * jaccard      exact n-gram Jaccard via shingle explode + self-join
+
+All hash functions are sha256-derived 63-bit ints — slower than xxhash but
+bit-reproducible in DuckDB (``sha256``), which is what makes the oracle
+checks exact.  A production deployment swaps ``_h63`` for a vectorized
+64-bit mixer; every other line stays the same.
+
+Scale notes: minhash signatures are computed batch-local (map_batches); the
+only shuffle is the tiny groupby over (band, band_key).  Exact Jaccard
+verification joins candidate pairs back to shingle sets — at 100 TB that
+join runs per LSH bucket (candidates are rare); here it is a Dataset join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analyzer import tokens_py
+
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # LSH bands (rows per band = N_PERM // N_BANDS = 2)
+SHINGLE_K = 3  # token shingle width
+MASK63 = (1 << 63) - 1
+
+
+def _h63(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") & MASK63
+
+
+def shingles(text: str) -> list[str]:
+    """Token 3-gram shingles (space-joined), deduplicated."""
+    toks = tokens_py(text)
+    if len(toks) < SHINGLE_K:
+        return [" ".join(toks)] if toks else []
+    return sorted({" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)})
+
+
+# ------------------------------------------------------------------ exact --
+
+def exact_dedup_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Batch-local partial: (content_sha256, min doc_id, count) per batch."""
+    texts = t[text_col].to_pylist()
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    shas = [hashlib.sha256((x or "").encode()).hexdigest() for x in texts]
+    enc = pc.dictionary_encode(pa.array(shas))
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    n = len(enc.dictionary)
+    keep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(keep, codes, ids)
+    counts = np.bincount(codes, minlength=n)
+    return pa.table(
+        {
+            "content_sha256": enc.dictionary,
+            "keep_doc_id": pa.array(keep),
+            "n_dups": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(content_sha256, keep_doc_id = min doc_id, n_dups) per distinct content.
+
+    Partial per batch, then a small groupby — the shuffle moves one row per
+    distinct content per batch, never the content itself."""
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        ds.map_batches(
+            exact_dedup_batch, batch_format="pyarrow",
+            fn_kwargs={"text_col": text_col, "id_col": id_col},
+        )
+        .groupby("content_sha256")
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash --
+
+def minhash_signature(text: str) -> list[int]:
+    """K sha-derived minhashes over token shingles ([] for shingle-less docs)."""
+    sh = shingles(text)
+    if not sh:
+        return []
+    sig = []
+    for j in range(N_PERM):
+        sig.append(min(_h63(f"{j}:{s}") for s in sh))
+    return sig
+
+
+def minhash_bands_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Doc batch -> (band, band_key, doc_id) rows (N_BANDS per doc)."""
+    out_band, out_key, out_id = [], [], []
+    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
+        sig = minhash_signature(text or "")
+        if not sig:
+            continue
+        r = N_PERM // N_BANDS
+        for b in range(N_BANDS):
+            key = _h63(f"{b}|" + "|".join(str(v) for v in sig[b * r : (b + 1) * r]))
+            out_band.append(b)
+            out_key.append(key)
+            out_id.append(did)
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_key": pa.array(out_key, type=pa.int64()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+        }
+    )
+
+
+def _ordered_pairs_batch(t: pa.Table, left: str, right: str) -> pa.Table:
+    a = t[left].to_numpy(zero_copy_only=False)
+    b = t[right].to_numpy(zero_copy_only=False)
+    keep = a < b
+    return t.filter(pa.array(keep)).rename_columns(
+        ["doc_a" if c == left else "doc_b" if c == right else c
+         for c in t.schema.names]
+    )
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 16):
+    """Distinct candidate pairs (doc_a < doc_b) sharing any LSH band bucket.
+
+    Pair generation is a hash-partitioned SELF-JOIN on (band, band_key) —
+    NOT groupby().map_groups: Ray runs map_groups as one Python task per
+    group, which collapses to near-serial execution over the millions of
+    tiny buckets LSH produces.  The join + a vectorized Count aggregate
+    (for pair dedup) keep every step a bulk operator.
+    """
+    from ray.data.aggregate import Count
+
+    bands = ds.map_batches(
+        minhash_bands_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+    joined = bands.join(
+        bands, join_type="inner", on=("band", "band_key"),
+        num_partitions=num_partitions, right_suffix="_r",
+    )
+    pairs = joined.map_batches(
+        _ordered_pairs_batch, batch_format="pyarrow",
+        fn_kwargs={"left": "doc_id", "right": "doc_id_r"},
+    )
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------- simhash --
+
+def simhash63_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """63-bit SimHash per doc: bit b = sign of sum over terms of tf * (+-1).
+
+    Term hash h = sha-63(term); bit contribution +tf if bit b of h set else
+    -tf.  Zero sums count as 0 (strict > 0 sets the bit) — mirrored in SQL.
+    """
+    out_id, out_sim = [], []
+    bits = np.arange(63, dtype=np.uint64)
+    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
+        toks = tokens_py(text or "")
+        if not toks:
+            out_id.append(did)
+            out_sim.append(0)
+            continue
+        terms: dict[str, int] = {}
+        for tok in toks:
+            terms[tok] = terms.get(tok, 0) + 1
+        hs = np.array([_h63(term) for term in terms], dtype=np.uint64)
+        tfs = np.array(list(terms.values()), dtype=np.int64)
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bitmat - 1) * tfs[:, None]).sum(axis=0)
+        sim = int(((acc > 0).astype(np.uint64) << bits).sum())
+        out_id.append(did)
+        out_sim.append(sim)
+    return pa.table(
+        {"doc_id": pa.array(out_id, type=pa.int64()),
+         "simhash": pa.array(out_sim, type=pa.int64())}
+    )
+
+
+def simhash63(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        simhash63_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+
+
+# ---------------------------------------------------------------- jaccard --
+
+def shingle_rows_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    out_id, out_sh, out_n = [], [], []
+    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
+        sh = shingles(text or "")
+        for s in sh:
+            out_id.append(did)
+            out_sh.append(s)
+            out_n.append(len(sh))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "shingle": pa.array(out_sh),
+            "n_shingles": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = 16):
+    """Exact token-shingle Jaccard >= threshold pairs (doc_a < doc_b).
+
+    Shuffle pattern: explode distinct shingles, hash-partitioned self-join on
+    shingle emits co-occurrences, a vectorized Count aggregate sums the
+    intersection size; |union| = n_a + n_b - inter.  At 100 TB the join key
+    is salted like any hot key and candidate pairs are vastly fewer than the
+    cross product.
+    """
+    from ray.data.aggregate import Count, Max
+
+    sh = ds.map_batches(
+        shingle_rows_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+    joined = sh.join(
+        sh, join_type="inner", on=("shingle",),
+        num_partitions=num_partitions, right_suffix="_r",
+    )
+    co = joined.map_batches(
+        _ordered_pairs_batch, batch_format="pyarrow",
+        fn_kwargs={"left": "doc_id", "right": "doc_id_r"},
+    )
+    inter = co.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter"), Max("n_shingles", alias_name="n_a"),
+        Max("n_shingles_r", alias_name="n_b"),
+    )
+
+    def _finish(t: pa.Table, threshold=threshold) -> pa.Table:
+        inter_n = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            t["n_a"].to_numpy(zero_copy_only=False)
+            + t["n_b"].to_numpy(zero_copy_only=False)
+            - inter_n
+        )
+        jac = inter_n / union
+        keep = jac >= threshold
+        out = t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+        return out.append_column(
+            "jaccard", pa.array(np.round(jac[keep], 9), type=pa.float64())
+        )
+
+    return inter.map_batches(_finish, batch_format="pyarrow")

@@ -1,0 +1,141 @@
+"""Training-data operator tests: dedup semantics, ANN recall, multimodal
+plumbing (SURVEY.md build-out beyond the reference's operator set)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    rows = []
+    for i in range(60):
+        base = f"alpha beta gamma delta epsilon zeta doc{i % 20}"
+        rows.append({"doc_id": i, "text": base})
+    # rows 40..59 duplicate 0..19 exactly (doc{i%20} repeats)
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup(docs_ds):
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 20  # 20 distinct contents
+    assert (out["n_dups"] == 3).all()  # i, i+20, i+40
+    assert sorted(out["keep_doc_id"]) == list(range(20))
+
+
+def test_minhash_pairs_find_duplicates(docs_ds):
+    pairs = dedup.minhash_lsh_pairs(docs_ds).to_pandas()
+    got = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    # exact duplicates always collide in every band
+    for i in range(20):
+        assert (i, i + 20) in got and (i, i + 40) in got and (i + 20, i + 40) in got
+
+
+def test_simhash_identical_and_different(docs_ds):
+    out = dedup.simhash63(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+    for i in range(20):
+        assert out[i] == out[i + 20] == out[i + 40]
+    assert out[0] != out[1]
+
+
+def test_jaccard_exact_pairs(docs_ds):
+    out = dedup.ngram_jaccard_pairs(docs_ds, threshold=0.99).to_pandas()
+    got = {tuple(r) for r in out[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert got == {(i, j) for i in range(60) for j in range(i + 1, 60)
+                   if i % 20 == j % 20}
+    assert (out["jaccard"] == 1.0).all()
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(3)
+    # 8 well-separated cluster centers + noise -> IVF-friendly geometry
+    centers = rng.normal(size=(8, 32)) * 10
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(size=32)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+
+def test_brute_force_topk_exact(emb_ds):
+    tbl = emb_ds.to_pandas()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    qids = np.array([0, 1, 2])
+    res = similarity.brute_force_topk(emb_ds, qids, mat[:3], k=5, concurrency=2)
+    df = res.to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        sims = norm[qi] @ norm.T
+        sims[qi] = -2
+        want = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = df[df.query_vec_id == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == want).all()
+
+
+def test_ivf_recall(emb_ds):
+    tbl = emb_ds.to_pandas()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    qids = np.arange(6)
+    brute = similarity.brute_force_topk(emb_ds, qids, mat[:6], k=10,
+                                        concurrency=2).to_pandas()
+    ivf = similarity.ivf_topk(emb_ds, qids, mat[:6], n_clusters=8, nprobe=2,
+                              k=10, concurrency=2).to_pandas()
+    recalls = []
+    for qi in qids:
+        want = set(brute[brute.query_vec_id == qi]["vec_id"])
+        got = set(ivf[ivf.query_vec_id == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.9  # clustered geometry: nprobe=2 of 8 is ample
+
+
+def test_langid_markers(ray_session):
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 0, "text": "the cat and the dog is in a house"},
+        {"doc_id": 1, "text": "el perro y la casa que es una"},
+        {"doc_id": 2, "text": "xyz qrs tuv"},  # no markers -> tie -> 'de'
+    ]))
+    out = textstats.make_op(textstats.langid_batch)(ds).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "es"
+    assert out.loc[2, "pred_lang"] == "de" and out.loc[2, "marker_hits"] == 0
+
+
+def test_multimodal_pipeline(ray_session):
+    media = multimodal.synth_media_table(50, seed=1)
+    ds = rd.from_arrow(media).repartition(4)
+    feats = multimodal.media_features(ds, decode="fake", concurrency=2).to_pandas()
+    assert len(feats) == 50
+    assert (feats["n_bytes"] > 12).all()
+    assert feats["feature"].map(len).eq(8).all()
+    # determinism: same payload -> same feature
+    again = multimodal.media_features(rd.from_arrow(media), decode="fake",
+                                      concurrency=2).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a["mean_byte"] == b["mean_byte"]).all()
+    assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_multimodal_strict_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"SRIM" + b"\x00" * 20, "strict")
+
+
+def test_frame_sampler(ray_session):
+    media = multimodal.synth_media_table(10, seed=2)
+    ds = rd.from_arrow(media)
+    frames = ds.map_batches(
+        multimodal.FrameSampler, fn_constructor_kwargs={"stride": 4},
+        batch_format="pyarrow", concurrency=2, num_cpus=1,
+    ).to_pandas()
+    hdr = multimodal.HEADER
+    for mid, payload in zip(media["media_id"].to_pylist(),
+                            media["payload"].to_pylist()):
+        _, w, h = hdr.unpack_from(payload)
+        n = len(frames[frames.media_id == mid])
+        assert n == (h + 3) // 4
