@@ -42,7 +42,7 @@ def _bench_n_files(sf: float) -> int:
     override = os.environ.get("GRAFT_BENCH_FILES")
     if override:
         return int(override)
-    return max(2000, int(400_000 * sf))
+    return max(2000, int(2_000_000 * sf))
 
 
 def main() -> None:
@@ -140,7 +140,12 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-2 per level: single-node /tmp writeback contention adds tens of
+    # percent of run-to-run noise, which would swamp the efficiency ratio
+    runs_lo = [run(lo), run(lo)]
+    runs_hi = [run(hi), run(hi)]
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["build_index_sec"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["build_index_sec"])
     t_lo = r_lo["queries"]["build_index_sec"]
     t_hi = r_hi["queries"]["build_index_sec"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -115,12 +115,18 @@ def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
 
 
 def corpus_parquet(n_files: int, seed: int = 42, root: str = "/tmp/splade_ray_corpus",
-                   n_shards: int = 8) -> str:
+                   n_shards: int | None = None) -> str:
     """Materialize (cached) the synthetic corpus as sharded Parquet; returns dir.
 
-    Cache key = (n_files, seed); generation is deterministic so reuse is safe.
+    Cache key = (n_files, seed, n_shards); generation is deterministic so
+    reuse is safe.  Default shard count scales with corpus size — parallelism
+    of every downstream stage is bounded by input block count, so an
+    under-sharded corpus silently caps the whole pipeline (measured: 8 shards
+    limited a 32-CPU build to ~8-way parallelism).
     """
-    out = os.path.join(root, f"n{n_files}_s{seed}")
+    if n_shards is None:
+        n_shards = max(8, min(256, n_files // 2500))
+    out = os.path.join(root, f"n{n_files}_s{seed}_p{n_shards}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

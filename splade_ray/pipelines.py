@@ -171,3 +171,146 @@ def bm25_topk(sf_dir: str, scorer: str = "taat"):
     return res.map_batches(
         lambda t: _i64(t, ["rank"]), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------- wider coverage --
+
+def _qterms_py() -> list[tuple[int, str, int]]:
+    """DOC_QUERIES tokenized client-side -> (query_id, term, qtf) rows."""
+    from .analyzer import tokens_py
+
+    rows = []
+    for qid, q in DOC_QUERIES:
+        tf: dict[str, int] = {}
+        for tok in tokens_py(q):
+            tf[tok] = tf.get(tok, 0) + 1
+        rows.extend((qid, t, n) for t, n in tf.items())
+    return rows
+
+
+def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
+    """Relational scoring without an index: BM25 with k1=0 (each matching
+    term contributes qtf*idf — coordination/IDF match).  qterms (tiny) are
+    broadcast into a map over the postings stream; per-(query,doc) sums are
+    one aggregate.  Second leg of the RRF hybrid (reference analogue: the
+    dense leg of hybrid search, retrievers.py:110-128)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .build import SCORE_SCALE
+
+    qrows = _qterms_py()
+    qterm_set = {t for _, t, _ in qrows}
+    n_docs = _staged(sf_dir).count()
+    df_rows = {
+        r["term"]: r["df"]
+        for r in term_df(sf_dir).take_all()
+        if r["term"] in qterm_set
+    }
+    # per query term: quantization units of qtf * idf
+    units_of = {}
+    for qid, t, qtf in qrows:
+        df = df_rows.get(t)
+        if df is None:
+            continue
+        w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        units_of.setdefault(t, []).append(
+            (qid, int(round(qtf * w * SCORE_SCALE)))
+        )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_u = [], [], []
+        for i, term in enumerate(terms):
+            for qid, u in units_of.get(term, ()):
+                out_q.append(qid)
+                out_d.append(int(ids[i]))
+                out_u.append(u)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "units": pa.array(out_u, type=pa.int64()),
+            }
+        )
+
+    summed = (
+        postings(sf_dir)
+        .map_batches(_contrib, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        units = group["units"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -units))[:top_k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(ids[order]),
+                "score": pa.array(units[order] / SCORE_SCALE, type=pa.float64()),
+            }
+        )
+
+    return summed.groupby("query_id").map_groups(_rank, batch_format="pyarrow")
+
+
+CHUNK_SIZE = 1000  # reference ingest.py:90-91 (chunk_size=1000, overlap=100)
+CHUNK_OVERLAP = 100
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def _chunk_batch(t: pa.Table) -> pa.Table:
+    """Fixed-window chunker (size 1000 / overlap 100): the reference's
+    RecursiveCharacterTextSplitter role (M1) as a flat map — simple char
+    windows here (the recursive separator-aware variant is a drop-in)."""
+    import math
+
+    out_id, out_cid, out_chunk = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        text = text or ""
+        n = max(1, math.ceil((len(text) - CHUNK_OVERLAP) / _CHUNK_STEP))
+        for j in range(n):
+            out_id.append(did)
+            out_cid.append(j)
+            out_chunk.append(text[j * _CHUNK_STEP : j * _CHUNK_STEP + CHUNK_SIZE])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "chunk_id": pa.array(out_cid, type=pa.int64()),
+            "chunk": pa.array(out_chunk, type=pa.string()),
+        }
+    )
+
+
+def chunk_docs(sf_dir: str):
+    import os as _os
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_chunk_batch, batch_format="pyarrow")
+
+
+def bm25_topk_docs(sf_dir: str):
+    """BM25 results joined with doc metadata (A6 doc fetch: the reference
+    returns pk+text with each hit, retrievers.py:81,140).  Hash join on
+    doc_id via Dataset.join."""
+    res = bm25_topk(sf_dir, scorer="taat")
+    docs = corpus_docs(sf_dir).select_columns(["doc_id", "repo", "path", "lang"])
+    joined = res.join(docs, join_type="inner", on=("doc_id",), num_partitions=4)
+    return joined
+
+
+def rrf_hybrid(sf_dir: str):
+    """RRF fusion (k=60) of the BM25 top-10 and the IDF-coordination top-10
+    — the reference's hybrid_search + RRFRanker shape (retrievers.py:130-150)
+    with both legs lexical (no external embedding service)."""
+    from .ops.fusion import rrf_fuse
+
+    return rrf_fuse([bm25_topk(sf_dir, scorer="taat"), idf_coord_topk(sf_dir)])

@@ -137,27 +137,30 @@ def _queries_values(queries: list[tuple[int, str]]) -> str:
     return f"query_lit(query_id, query) AS (SELECT * FROM (VALUES {rows}))"
 
 
-def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
-    """Full BM25 top-k oracle over the documents-derived corpus (untagged)."""
-    qcte = _queries_values(queries)
-    contrib = (
-        f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
-        f" * ((({_f(K1)} + 1e0) * p.tf)"
-        f" / (p.tf + {_f(K1)} * ((1e0 - {_f(B)}) + ({_f(B)} * d.doc_len) / s.avgdl)))"
-        f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
-    )
-    return (
-        _with(
-            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
-            qcte,
-            f"""
+def _query_ctes(queries: list[tuple[int, str]]) -> list[str]:
+    """CTEs: query literals -> tokenized qterms with qtf."""
+    return [
+        _queries_values(queries),
+        f"""
 qtok AS (
   SELECT query_id, unnest({tokens_sql('query')}) AS term FROM query_lit
 ),
 qterms AS (
   SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
   FROM qtok GROUP BY query_id, term
-),
+)""",
+    ]
+
+
+def _bm25_ranked_cte() -> str:
+    """CTE chain ``contribs -> scores -> ranked`` (full BM25, quantized)."""
+    contrib = (
+        f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
+        f" * ((({_f(K1)} + 1e0) * p.tf)"
+        f" / (p.tf + {_f(K1)} * ((1e0 - {_f(B)}) + ({_f(B)} * d.doc_len) / s.avgdl)))"
+        f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
+    )
+    return f"""
 contribs AS (
   SELECT q.query_id, p.doc_id, {contrib} AS units
   FROM qterms q
@@ -175,10 +178,123 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY units DESC, doc_id ASC) AS rnk
   FROM scores WHERE units > 0
-)""",
+)"""
+
+
+def _coord_ranked_cte() -> str:
+    """CTE chain for the IDF-coordination ranking (BM25 with k1=0):
+    units = round((qtf * idf) * 1e9), summed per (query, doc)."""
+    contrib = (
+        f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
+        f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
+    )
+    return f"""
+coord_contribs AS (
+  SELECT q.query_id, p.doc_id, {contrib} AS units
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN df f ON f.term = q.term
+  CROSS JOIN stats s
+),
+coord_scores AS (
+  SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
+  FROM coord_contribs GROUP BY query_id, doc_id
+),
+coord_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM coord_scores WHERE units > 0
+)"""
+
+
+def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Full BM25 top-k oracle over the documents-derived corpus (untagged)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
         )
         + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        units / {_f(float(SCORE_SCALE))} AS score
 FROM ranked WHERE rnk <= {k}"""
     )
+
+
+def idf_coord_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _coord_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM coord_ranked WHERE rnk <= {k}"""
+    )
+
+
+def bm25_topk_docs_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """BM25 top-k joined back to doc metadata (A6 doc fetch)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rank, r.doc_id,
+       r.units / {_f(float(SCORE_SCALE))} AS score,
+       d.repo, d.path, d.lang
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+WHERE r.rnk <= {k}"""
+    )
+
+
+def rrf_hybrid_sql(queries: list[tuple[int, str]], k: int = 10,
+                   rrf_k: int = 60) -> str:
+    """RRF fusion (1/(60+rank)) of the BM25 and IDF-coordination top-k lists
+    (reference: RRFRanker(k=60) over dense+sparse hits, retrievers.py:135-141).
+    """
+    unit = (
+        f"CAST(round((1e0 / ({rrf_k} + rnk)) * {_f(float(SCORE_SCALE))}) AS BIGINT)"
+    )
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            f"""
+rrf AS (
+  SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS units FROM (
+    SELECT query_id, doc_id, {unit} AS u FROM ranked WHERE rnk <= {k}
+    UNION ALL
+    SELECT query_id, doc_id, {unit} AS u FROM coord_ranked WHERE rnk <= {k}
+  ) GROUP BY query_id, doc_id
+),
+rrf_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM rrf
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS rrf_score
+FROM rrf_ranked WHERE rnk <= {k}"""
+    )
+
+
+def chunk_docs_sql(chunk_size: int = 1000, overlap: int = 100) -> str:
+    """Fixed-window chunker oracle (M1; reference chunk params ingest.py:90-91)."""
+    step = chunk_size - overlap
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((len(text) - {overlap}) / {_f(float(step))})
+                          AS BIGINT)) AS n_chunks
+  FROM documents
+)
+SELECT doc_id, j AS chunk_id,
+       substr(text, 1 + {step} * CAST(j AS INTEGER), {chunk_size}) AS chunk
+FROM base, unnest(range(0, n_chunks)) AS t(j)"""

@@ -86,7 +86,10 @@ def test_content_sha256_invariant(index_dir, corpus_table):
 
     import pyarrow.parquet as pq
 
-    docs = pq.read_table(os.path.join(index_dir, "docs")).to_pandas()
+    docs = pq.read_table(
+        os.path.join(index_dir, "staging"),
+        columns=["repo", "path", "content_sha256"],
+    ).to_pandas()
     docs = docs.set_index(["repo", "path"])  # commit constant per row here
     n_checked = 0
     for repo, path, content in zip(
