@@ -81,21 +81,29 @@ def main() -> None:
     timings["build_n_postings"] = manifest["n_postings"]
 
     # ---- query latency (single-engine, per-query wall) --------------------
+    # cold = postings decoded every query (cache off); warm = per-actor LRU
     qtbl = generate_queries()
-    engine = QueryEngine(idx, k=10, scorer="taat")
-    lat = []
     rows = list(zip(qtbl["query"].to_pylist(), qtbl["lang"].to_pylist()))
-    for _ in range(2):  # warm decode paths
-        for q, lg in rows:
+
+    def _latencies(engine, n_rounds):
+        lat = []
+        for q, lg in rows:  # one warmup round (imports, meta caches)
             engine.search_one(q, lg or None)
-    for _ in range(5):
-        for q, lg in rows:
-            t = time.perf_counter()
-            engine.search_one(q, lg or None)
-            lat.append(time.perf_counter() - t)
-    lat.sort()
-    timings["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 3)
-    timings["query_p99_ms"] = round(lat[int(len(lat) * 0.99) - 1] * 1000, 3)
+        for _ in range(n_rounds):
+            for q, lg in rows:
+                t = time.perf_counter()
+                engine.search_one(q, lg or None)
+                lat.append(time.perf_counter() - t)
+        lat.sort()
+        return lat
+
+    cold = _latencies(QueryEngine(idx, k=10, scorer="taat",
+                                  cache_postings_budget=0), 3)
+    warm = _latencies(QueryEngine(idx, k=10, scorer="taat"), 5)
+    timings["query_p50_ms"] = round(cold[len(cold) // 2] * 1000, 3)
+    timings["query_p99_ms"] = round(cold[int(len(cold) * 0.99) - 1] * 1000, 3)
+    timings["query_warm_p50_ms"] = round(warm[len(warm) // 2] * 1000, 3)
+    timings["query_warm_p99_ms"] = round(warm[int(len(warm) * 0.99) - 1] * 1000, 3)
 
     # ---- query throughput through the actor pool --------------------------
     big_q = rd.from_arrow(qtbl)
@@ -132,7 +140,11 @@ def main() -> None:
 def scaling() -> None:
     """Run the headline at two parallelism levels in fresh processes."""
     def run(ncpu: int) -> dict:
+        # the scaling criterion needs a compute-bound build: below ~500k files
+        # fixed pipeline-startup latency dominates and the ratio measures
+        # overhead, not scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_FILES", "500000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -420,9 +420,20 @@ def read_docs(index_dir: str, columns: list[str] | None = None):
     """The index's docs table as a Dataset (identity, sha256, doc_len).
 
     Backed by the staging parquet with column pruning — the list columns
-    (terms/tfs) are never read unless asked for."""
+    (terms/tfs) are never read unless asked for.  A merged index (no staging
+    of its own) lists its inputs' staging dirs under ``docs_sources``."""
     if columns is None:
         columns = ["doc_id", "repo", "path", "commit", "lang",
                    "content_sha256", "doc_len"]
-    return ray.data.read_parquet(os.path.join(index_dir, "staging"),
-                                 columns=columns)
+    staging = os.path.join(index_dir, "staging")
+    if not os.path.isdir(staging):
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            sources = json.load(f).get("docs_sources", [])
+        files = [
+            os.path.join(d, f)
+            for d in sources
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        return ray.data.read_parquet(files, columns=columns)
+    return ray.data.read_parquet(staging, columns=columns)

@@ -1,0 +1,157 @@
+"""Command-line entry points — the reference's runnable scripts, re-expressed.
+
+    python -m splade_ray.cli build  --corpus DIR --index DIR [--lang-tagged]
+    python -m splade_ray.cli query  --index DIR "free text query" [--lang py]
+    python -m splade_ray.cli eval   --index DIR --queries Q.csv --out R.csv
+    python -m splade_ray.cli merge  --index A --index B --out DIR
+
+Reference analogues: ``ingest.py`` (build), ``main.py`` chat loop (query),
+``eval.py`` batch retrieval (eval, minus the LLM/RAGAS layers, which are out
+of scope per SURVEY.md).  ``eval`` covers the S5/S6 CSV source/sink rows of
+the operator inventory: queries come from a CSV with a ``question`` or
+``query`` column (eval.py:31-33), results go to CSV (eval.py:248-249).
+
+This module OWNS its Ray session (unlike the library): guarded init, shutdown
+at exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    import ray.data as rd
+
+    from .build import build_index
+
+    _ensure_ray()
+    manifest = build_index(
+        rd.read_parquet(args.corpus), args.index,
+        lang_tagged=args.lang_tagged, n_shards=args.n_shards,
+        overwrite=args.overwrite,
+    )
+    print(f"built {manifest['n_docs']} docs, {manifest['n_postings']} postings,"
+          f" {len(manifest['segments'])} segments -> {args.index}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .build import SCORE_SCALE
+    from .query import QueryEngine
+
+    _ensure_ray()
+    engine = QueryEngine(args.index, k=args.k, scorer=args.scorer)
+    ids, units = engine.search_one(args.text, args.lang or None)
+    if len(ids) == 0:
+        print("no results")
+        return 0
+    for rank, (d, u) in enumerate(zip(ids, units), start=1):
+        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Batch retrieval: queries CSV -> results CSV (reference eval.py shape)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    import ray.data as rd
+
+    from .query import run_queries
+
+    _ensure_ray()
+    qt = pacsv.read_csv(args.queries)
+    qcol = "query" if "query" in qt.column_names else "question"
+    cols = {
+        "query_id": (
+            qt["query_id"]
+            if "query_id" in qt.column_names
+            else pa.array(range(qt.num_rows), type=pa.int64())
+        ),
+        "query": qt[qcol],
+    }
+    if "lang" in qt.column_names:
+        cols["lang"] = qt["lang"]
+    queries = rd.from_arrow(pa.table(cols))
+    res = run_queries(queries, args.index, k=args.k, scorer=args.scorer,
+                      concurrency=args.concurrency)
+    if args.out.endswith(".csv"):
+        import pandas as pd
+
+        res.to_pandas().sort_values(["query_id", "rank"]).to_csv(
+            args.out, index=False)
+    else:
+        res.write_parquet(args.out)
+    print(f"wrote results -> {args.out}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .merge import merge_index_dirs
+
+    _ensure_ray()
+    m = merge_index_dirs(args.index, args.out)
+    print(f"merged {len(args.index)} indexes: {m['n_docs']} docs,"
+          f" {m['n_postings']} postings -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="splade_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--lang-tagged", action="store_true")
+    b.add_argument("--n-shards", type=int, default=32)
+    b.add_argument("--overwrite", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("text")
+    q.add_argument("--index", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--lang", default="")
+    q.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
+    q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--index", required=True)
+    e.add_argument("--queries", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--k", type=int, default=10)
+    e.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
+    e.add_argument("--concurrency", type=int, default=4)
+    e.set_defaults(fn=cmd_eval)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", action="append", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

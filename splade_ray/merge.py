@@ -1,0 +1,129 @@
+"""Index-level log-structured merge: N index generations -> one index.
+
+The incremental-ingestion path (north_rule "log-structured segment merge"):
+build an index per corpus increment, then merge shard-by-shard in parallel
+Ray tasks.  Contrast with the reference, where re-running ingest silently
+duplicates every chunk under a fresh uuid4 (reference ingest.py:139).
+
+Semantics:
+  * inputs must cover DISJOINT document sets (standard incremental builds);
+    the same (term, salt, doc_id) appearing twice with equal tf collapses
+    (segment-level idempotence), but index stats (N, avgdl) are summed, so
+    overlapping inputs are a caller error.
+  * per-shard merge re-encodes posting lists with the merged corpus' avgdl
+    (block-max bounds depend on it), so query scores from the merged index
+    are IDENTICAL to a from-scratch build over the union (tested).
+  * salting decisions may differ between generations (different hot sets):
+    a term's (t, salt_a) and (t, salt_b) sub-lists simply coexist; the
+    query engine gathers every (term, *) entry, so correctness never
+    depends on agreement.  Shard placement may differ too — the merged
+    index keeps each input entry in its own shard's segment.
+  * resumable: output shards with valid manifests are skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from .segments import merge_segments, validate_segment
+
+
+def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float) -> pa.Table:
+    rows = t.to_pylist()
+    out = {"shard": [], "n_terms": [], "n_postings": []}
+    for row in rows:
+        shard = row["shard"]
+        seg_dirs = [d for d in row["seg_dirs"] if d and os.path.isdir(d)]
+        seg_out = os.path.join(out_dir, "segments", f"seg-{shard:05d}")
+        m = merge_segments(seg_dirs, seg_out, f"seg-{shard:05d}", shard, avgdl)
+        out["shard"].append(shard)
+        out["n_terms"].append(m["n_terms"])
+        out["n_postings"].append(m["n_postings"])
+    return pa.table(
+        {
+            "shard": pa.array(out["shard"], type=pa.int32()),
+            "n_terms": pa.array(out["n_terms"], type=pa.int64()),
+            "n_postings": pa.array(out["n_postings"], type=pa.int64()),
+        }
+    )
+
+
+def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
+    """Merge several built indexes (disjoint doc sets) into ``out_dir``."""
+    manifests = []
+    for d in index_dirs:
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            manifests.append(json.load(f))
+    base = manifests[0]
+    for m in manifests[1:]:
+        if m["n_shards"] != base["n_shards"]:
+            raise ValueError("all inputs must share n_shards")
+        if m["lang_tagged"] != base["lang_tagged"]:
+            raise ValueError("all inputs must share lang_tagged")
+
+    n_docs = sum(m["n_docs"] for m in manifests)
+    total_len = sum(m["total_doc_len"] for m in manifests)
+    avgdl = total_len / n_docs
+    n_shards = base["n_shards"]
+
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    todo = []
+    for s in range(n_shards):
+        seg_out = os.path.join(out_dir, "segments", f"seg-{s:05d}")
+        if validate_segment(seg_out) is not None:
+            continue  # resume: already merged
+        todo.append(
+            {
+                "shard": s,
+                "seg_dirs": [
+                    os.path.join(d, "segments", f"seg-{s:05d}")
+                    for d in index_dirs
+                ],
+            }
+        )
+    if todo:
+        (
+            ray.data.from_items(todo)
+            .map_batches(
+                _merge_shard_batch, batch_format="pyarrow", batch_size=1,
+                fn_kwargs={"out_dir": out_dir, "avgdl": avgdl},
+            )
+            .count()
+        )
+
+    seg_rows = []
+    n_postings = 0
+    for s in range(n_shards):
+        m = validate_segment(os.path.join(out_dir, "segments", f"seg-{s:05d}"))
+        if m is None:
+            raise RuntimeError(f"merge produced invalid segment for shard {s}")
+        n_postings += m["n_postings"]
+        seg_rows.append({"shard": s, "segment_id": m["segment_id"],
+                         "n_terms": m["n_terms"], "n_postings": m["n_postings"]})
+
+    manifest = {
+        "format_version": 1,
+        "merged_from": [os.path.abspath(d) for d in index_dirs],
+        "n_docs": n_docs,
+        "n_dropped_rows": sum(m["n_dropped_rows"] for m in manifests),
+        "total_doc_len": total_len,
+        "avgdl": avgdl,
+        "langs": sorted({lg for m in manifests for lg in m["langs"]}),
+        "lang_tagged": base["lang_tagged"],
+        "n_shards": n_shards,
+        "salt_bits": base["salt_bits"],
+        "hot_terms": sorted({t for m in manifests for t in m["hot_terms"]}),
+        "n_postings": n_postings,
+        "segments": seg_rows,
+        # docs table = the union of the inputs' staging tables
+        "docs_sources": [os.path.join(os.path.abspath(d), "staging")
+                         for d in index_dirs],
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

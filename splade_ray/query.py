@@ -62,9 +62,18 @@ def idf(n_docs: int, df: int) -> float:
 class QueryEngine:
     """Callable-class stage: one instance per pool actor, init once per actor."""
 
-    def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat"):
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
+                 cache_postings_budget: int = 2_000_000):
+        """``cache_postings_budget``: max cached decoded postings per actor
+        (LRU by term).  This is the reference's ``collection.load()`` index
+        residency (ST3) scoped to an actor's memory budget; 0 disables."""
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
             self.manifest = json.load(f)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_budget = cache_postings_budget
+        self._cache_size = 0
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.langs = self.manifest["langs"]
@@ -94,6 +103,10 @@ class QueryEngine:
         All the term's pieces are decoded in one batched varbyte pass
         (codecs.decode_postings_many) — the per-piece call overhead dominates
         otherwise once hot-term salting and lang expansion multiply pieces."""
+        cached = self._cache.get(term)
+        if cached is not None:
+            self._cache.move_to_end(term)
+            return cached
         regions = []
         for si, ri in self.refs[term]:
             seg = self.segments[si]
@@ -104,6 +117,12 @@ class QueryEngine:
         if len(regions) > 1:
             order = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[order], tfs[order], dls[order]
+        if self._cache_budget > 0 and len(ids) <= self._cache_budget:
+            self._cache[term] = (ids, tfs, dls)
+            self._cache_size += len(ids)
+            while self._cache_size > self._cache_budget and self._cache:
+                _, (old_ids, _, _) = self._cache.popitem(last=False)
+                self._cache_size -= len(old_ids)
         return ids, tfs, dls
 
     def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
