@@ -103,15 +103,25 @@ def _sample_df_batch(t: pa.Table, *, sample_mod: int) -> pa.Table:
 def explode_postings_batch(
     t: pa.Table, *, n_shards: int, hot_terms: dict[str, bool],
     salt_bits: int, skip_shards: frozenset[int],
+    docmap_ref=None, n_docs: int = 0,
 ) -> pa.Table:
     """Staging batch -> (term, salt, doc_id, tf, dl, shard) posting rows.
 
-    Cold terms: salt 0, shard = h(term) % P.  Hot terms: salt = top
-    ``salt_bits`` bits of doc_id (disjoint, ordered doc ranges per salt),
+    ``doc_id`` in the OUTPUT is the dense doc ORDINAL (rank of the real
+    63-bit id in the sorted id set, via the broadcast ``docmap_ref``):
+    ordinal gaps average N/df — 1-2 varbyte bytes — where raw hash-id gaps
+    average 2^63/df (~7 bytes).  Ordinals are order-isomorphic to doc ids,
+    so doc_id-ascending tie-breaks survive; the query engine translates
+    back through docmap.bin on output.
+
+    Cold terms: salt 0, shard = h(term) % P.  Hot terms: salt = the
+    ordinal's position scaled to 2^salt_bits contiguous, doc-sorted ranges,
     shard = h(term # salt) % P — spreads the heavy list over the cluster.
     Shards already completed (resume) are filtered out here, before the
     shuffle moves any bytes.
     """
+    import ray as _ray
+
     terms = t["terms"]
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
@@ -123,6 +133,9 @@ def explode_postings_batch(
     flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents]
     dls = t["doc_len"].to_numpy(zero_copy_only=False)[parents]
+    if docmap_ref is not None:
+        docmap = _ray.get(docmap_ref)  # broadcast once; zero-copy from shm
+        doc_ids = np.searchsorted(docmap, doc_ids)
 
     enc = pc.dictionary_encode(flat_terms)
     codes = enc.indices.to_numpy(zero_copy_only=False)
@@ -135,7 +148,12 @@ def explode_postings_batch(
     salt = np.zeros(len(codes), dtype=np.int32)
     if is_hot.any() and salt_bits > 0:
         hot_rows = is_hot[codes]
-        salt[hot_rows] = (doc_ids[hot_rows] >> (63 - salt_bits)).astype(np.int32)
+        if docmap_ref is not None and n_docs > 0:
+            salt[hot_rows] = (
+                (doc_ids[hot_rows] * (1 << salt_bits)) // n_docs
+            ).astype(np.int32)
+        else:
+            salt[hot_rows] = (doc_ids[hot_rows] >> (63 - salt_bits)).astype(np.int32)
         for c in np.nonzero(is_hot)[0]:
             term = vocab[c]
             rows = codes == c
@@ -170,18 +188,23 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.
     if group.num_rows == 0:
         return pa.table({"shard": pa.array([], type=pa.int32())})
     shard = int(group["shard"][0].as_py())
-    group = group.sort_by([("term", "ascending"), ("salt", "ascending"),
-                           ("doc_id", "ascending")])
     terms = group["term"]
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
     enc = pc.dictionary_encode(terms)
-    codes = enc.indices.to_numpy(zero_copy_only=False)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
     vocab = enc.dictionary.to_pylist()
     salts = group["salt"].to_numpy(zero_copy_only=False)
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     tfs = group["tf"].to_numpy(zero_copy_only=False)
     dls = group["dl"].to_numpy(zero_copy_only=False)
+    # group runs by (code, salt), doc_id-sorted WITHIN runs: an integer
+    # lexsort — a whole-table Arrow sort on the string term key costs ~10x
+    # more and lexicographic term order is not needed (the dictionary is the
+    # lookup structure; merge sorts its own keys)
+    order = np.lexsort((doc_ids, salts, codes))
+    codes, salts, doc_ids = codes[order], salts[order], doc_ids[order]
+    tfs, dls = tfs[order], dls[order]
 
     n = len(codes)
     change = np.empty(n, dtype=bool)
@@ -323,6 +346,38 @@ def build_index(
     timings["stats_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
+    # doc-ordinal map: sorted unique doc ids -> postings store dense ranks.
+    # One column read; the sorted array IS the collision check (duplicate
+    # identity rows are a caller error) and later the ordinal->id decoder.
+    # At 10^12 docs this becomes per-doc-partition ordinal ranges assigned
+    # by a prefix-sum over sorted partitions; the driver-side sort here is
+    # the single-node stand-in.
+    docmap_path = os.path.join(index_dir, "docmap.bin")
+    if os.path.exists(docmap_path) and os.path.getsize(docmap_path) == 8 * n_docs:
+        docmap = np.fromfile(docmap_path, dtype=np.int64)
+    else:
+        chunks = []
+        for batch in ray.data.read_parquet(
+            staging_dir, columns=["doc_id"]
+        ).iter_batches(batch_size=262144, batch_format="pyarrow"):
+            chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+        docmap = np.sort(np.concatenate(chunks))
+        if len(docmap) > 1 and (docmap[1:] == docmap[:-1]).any():
+            n_dup = int((docmap[1:] == docmap[:-1]).sum())
+            raise ValueError(
+                f"{n_dup} duplicate (repo, path, commit) identity rows (or a "
+                f"63-bit doc_id collision); deduplicate the corpus first "
+                f"(ops.dedup) or widen ids"
+            )
+        tmp_map = docmap_path + ".tmp"
+        docmap.tofile(tmp_map)
+        os.replace(tmp_map, docmap_path)
+    import ray as _ray
+
+    docmap_ref = _ray.put(docmap)
+    timings["docmap_sec"] = round(_t() - t0, 3)
+    t0 = _t()
+
     # hot-term detection over a deterministic file-level sample of staging:
     # reading every file and discarding (1 - 1/sample_mod) of rows costs a
     # full decompress of the terms column — sampling whole files reads ~1/k
@@ -373,6 +428,7 @@ def build_index(
             fn_kwargs={
                 "n_shards": n_shards, "hot_terms": hot_terms,
                 "salt_bits": salt_bits, "skip_shards": frozenset(done),
+                "docmap_ref": docmap_ref, "n_docs": n_docs,
             },
         )
         grouped = postings.groupby("shard")
@@ -402,6 +458,7 @@ def build_index(
         "lang_tagged": lang_tagged,
         "n_shards": n_shards,
         "salt_bits": salt_bits,
+        "doc_ordinals": True,  # postings store dense ranks; see docmap.bin
         "hot_terms": sorted(hot_terms),
         "hot_df_threshold": hot_threshold,
         "n_postings": int(sum(m["n_postings"] for m in done.values())),

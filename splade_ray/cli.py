@@ -21,12 +21,17 @@ import argparse
 import sys
 
 
+_OWNS_SESSION = False
+
+
 def _ensure_ray():
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+        _OWNS_SESSION = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -149,7 +154,9 @@ def main(argv=None) -> int:
     finally:
         import ray
 
-        if ray.is_initialized():
+        # only tear down a session this process created (the pytest fixture
+        # and the driver own theirs)
+        if _OWNS_SESSION and ray.is_initialized():
             ray.shutdown()
 
 

@@ -33,14 +33,26 @@ import ray.data
 from .segments import merge_segments, validate_segment
 
 
-def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float) -> pa.Table:
+def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float,
+                       map_refs, new_map_ref) -> pa.Table:
+    import ray
+
+    id_maps_all = [ray.get(r) for r in map_refs]
+    new_map = ray.get(new_map_ref)
     rows = t.to_pylist()
     out = {"shard": [], "n_terms": [], "n_postings": []}
     for row in rows:
         shard = row["shard"]
-        seg_dirs = [d for d in row["seg_dirs"] if d and os.path.isdir(d)]
+        pairs = [
+            (d, id_maps_all[i])
+            for i, d in enumerate(row["seg_dirs"])
+            if d and os.path.isdir(d)
+        ]
+        seg_dirs = [d for d, _ in pairs]
+        id_maps = [m for _, m in pairs]
         seg_out = os.path.join(out_dir, "segments", f"seg-{shard:05d}")
-        m = merge_segments(seg_dirs, seg_out, f"seg-{shard:05d}", shard, avgdl)
+        m = merge_segments(seg_dirs, seg_out, f"seg-{shard:05d}", shard, avgdl,
+                           id_maps=id_maps, new_map=new_map)
         out["shard"].append(shard)
         out["n_terms"].append(m["n_terms"])
         out["n_postings"].append(m["n_postings"])
@@ -65,11 +77,35 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             raise ValueError("all inputs must share n_shards")
         if m["lang_tagged"] != base["lang_tagged"]:
             raise ValueError("all inputs must share lang_tagged")
+        if not m.get("doc_ordinals"):
+            raise ValueError("all inputs must be doc-ordinal indexes")
 
     n_docs = sum(m["n_docs"] for m in manifests)
     total_len = sum(m["total_doc_len"] for m in manifests)
     avgdl = total_len / n_docs
     n_shards = base["n_shards"]
+
+    # merged docmap: ordinals of each generation remap through its own
+    # docmap to real ids, then into the merged sorted id space
+    import numpy as np
+
+    import ray as _ray
+
+    id_maps = [
+        np.fromfile(os.path.join(d, "docmap.bin"), dtype=np.int64)
+        for d in index_dirs
+    ]
+    new_map = np.unique(np.concatenate(id_maps))
+    if len(new_map) != sum(len(m) for m in id_maps):
+        raise ValueError(
+            "inputs share documents — merge requires disjoint doc sets"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp_map = os.path.join(out_dir, "docmap.bin.tmp")
+    new_map.tofile(tmp_map)
+    os.replace(tmp_map, os.path.join(out_dir, "docmap.bin"))
+    map_refs = [_ray.put(m) for m in id_maps]
+    new_map_ref = _ray.put(new_map)
 
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     todo = []
@@ -91,7 +127,8 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             ray.data.from_items(todo)
             .map_batches(
                 _merge_shard_batch, batch_format="pyarrow", batch_size=1,
-                fn_kwargs={"out_dir": out_dir, "avgdl": avgdl},
+                fn_kwargs={"out_dir": out_dir, "avgdl": avgdl,
+                           "map_refs": map_refs, "new_map_ref": new_map_ref},
             )
             .count()
         )
@@ -117,6 +154,7 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
         "lang_tagged": base["lang_tagged"],
         "n_shards": n_shards,
         "salt_bits": base["salt_bits"],
+        "doc_ordinals": True,
         "hot_terms": sorted({t for m in manifests for t in m["hot_terms"]}),
         "n_postings": n_postings,
         "segments": seg_rows,

@@ -63,15 +63,16 @@ class QueryEngine:
     """Callable-class stage: one instance per pool actor, init once per actor."""
 
     def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
-                 cache_postings_budget: int = 2_000_000):
+                 cache_postings_budget: int = 8_000_000):
         """``cache_postings_budget``: max cached decoded postings per actor
-        (LRU by term).  This is the reference's ``collection.load()`` index
+        (~16 bytes each).  Admission-without-eviction: once full, new terms
+        are simply not cached — plain LRU degenerates on the cyclic access
+        pattern of a repeated query workload (evicts exactly what the next
+        round needs).  This is the reference's ``collection.load()`` index
         residency (ST3) scoped to an actor's memory budget; 0 disables."""
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
             self.manifest = json.load(f)
-        from collections import OrderedDict
-
-        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache: dict[str, tuple] = {}
         self._cache_budget = cache_postings_budget
         self._cache_size = 0
         self.n_docs = self.manifest["n_docs"]
@@ -80,6 +81,13 @@ class QueryEngine:
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
+        # ordinal -> real doc id translation (build.py docmap); memmapped so
+        # actor startup stays O(1) in corpus size
+        self.docmap = None
+        if self.manifest.get("doc_ordinals"):
+            self.docmap = np.memmap(
+                os.path.join(index_dir, "docmap.bin"), dtype=np.int64, mode="r"
+            )
         seg_root = os.path.join(index_dir, "segments")
         self.segments = [
             SegmentReader(os.path.join(seg_root, s["segment_id"]))
@@ -105,7 +113,6 @@ class QueryEngine:
         otherwise once hot-term salting and lang expansion multiply pieces."""
         cached = self._cache.get(term)
         if cached is not None:
-            self._cache.move_to_end(term)
             return cached
         regions = []
         for si, ri in self.refs[term]:
@@ -117,12 +124,10 @@ class QueryEngine:
         if len(regions) > 1:
             order = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[order], tfs[order], dls[order]
-        if self._cache_budget > 0 and len(ids) <= self._cache_budget:
+        if (self._cache_budget > 0
+                and self._cache_size + len(ids) <= self._cache_budget):
             self._cache[term] = (ids, tfs, dls)
             self._cache_size += len(ids)
-            while self._cache_size > self._cache_budget and self._cache:
-                _, (old_ids, _, _) = self._cache.popitem(last=False)
-                self._cache_size -= len(old_ids)
         return ids, tfs, dls
 
     def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
@@ -324,7 +329,10 @@ class QueryEngine:
             ids, units = self._score_bmw(qterms)
         else:
             raise ValueError(f"unknown scorer {self.scorer!r}")
-        return self._topk(ids, units)
+        ids, units = self._topk(ids, units)
+        if self.docmap is not None and len(ids):
+            ids = np.asarray(self.docmap[ids])  # ordinal -> real doc id
+        return ids, units
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from .codecs import PostingMeta, decode_postings, encode_postings
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: postings store dense doc ordinals (build.py docmap)
 
 DICT_SCHEMA = pa.schema(
     [
@@ -135,6 +135,8 @@ def validate_segment(seg_dir: str) -> dict | None:
     try:
         with open(mpath) as f:
             manifest = json.load(f)
+        if manifest.get("format_version") != FORMAT_VERSION:
+            return None  # stale format (e.g. pre-ordinal postings): rebuild
         with open(bpath, "rb") as f:
             sha = hashlib.sha256(f.read()).hexdigest()
         if sha != manifest.get("postings_sha256"):
@@ -189,7 +191,9 @@ class SegmentReader:
 
 
 def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
-                   shard: int, avgdl: float) -> dict:
+                   shard: int, avgdl: float,
+                   id_maps: "list | None" = None,
+                   new_map: "np.ndarray | None" = None) -> dict:
     """Log-structured merge: union posting lists per (term, salt) by doc_id.
 
     Duplicate (term, salt, doc_id) entries across inputs collapse to one
@@ -197,6 +201,12 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
     the merge idempotent and safe to re-run after a partial failure.
     Output lists are re-encoded (delta chains and block-max recomputed with
     the supplied ``avgdl``).
+
+    ``id_maps`` / ``new_map`` (index-level merges): when inputs store
+    generation-local doc ORDINALS, ``id_maps[i]`` translates input ``i``'s
+    ordinals to real ids and ``new_map`` (sorted) assigns the merged
+    ordinals.  Both maps are monotone, so per-list doc order is preserved
+    without re-sorting.
     """
     readers = [SegmentReader(d) for d in seg_dirs]
     keys: set[tuple[str, int]] = set()
@@ -207,10 +217,13 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
     builder.set_lineage(merged_from=[os.path.basename(d) for d in seg_dirs])
     for term, salt in sorted(keys):
         parts = []
-        for r in readers:
+        for ri, r in enumerate(readers):
             for i in r.lookup.get(term, []):
                 if r.dict["salt"][i].as_py() == salt:
-                    parts.append(r.postings_at(i))
+                    ids, tfs_p, dls_p = r.postings_at(i)
+                    if id_maps is not None:
+                        ids = np.searchsorted(new_map, id_maps[ri][ids])
+                    parts.append((ids, tfs_p, dls_p))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])

@@ -1,0 +1,66 @@
+"""In-suite driver-contract gate: Ray pipelines vs DuckDB oracles at sf0.001.
+
+A fast subset of tools/check_contract.py so `pytest -x -q` catches
+pipeline/oracle drift without waiting for the driver round.  The full
+18+-entry check still runs via tools/check_contract.py.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+FAST_KEYS = [
+    "corpus_docs", "postings", "term_df", "corpus_stats", "top_terms",
+    "token_stats", "quality_score", "langid", "dedup_exact", "simhash",
+    "chunk_docs", "idf_coord_topk", "bm25_topk_taat", "rrf_hybrid",
+]
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return e.queries(), e.oracle_sql(), con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        if np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", FAST_KEYS)
+def test_contract_entry(contract, name):
+    import pyarrow as pa
+
+    import ray.data
+
+    queries, oracles, con = contract
+    obj = queries[name](SF_DIR)
+    if isinstance(obj, ray.data.Dataset):
+        got = obj.to_pandas()
+    elif isinstance(obj, pa.Table):
+        got = obj.to_pandas()
+    else:
+        got = obj
+    want = con.execute(oracles[name]).df()
+    got, want = _canon(got), _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
