@@ -361,3 +361,50 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": embedding_neardup_sql(),
         # ann_ivf_topk: approximate — deliberately no SQL oracle
     }
+
+
+def q_neardup_clusters(sf_dir: str):
+    """MinHash-LSH candidate pairs -> connected components: every doc gets a
+    cluster_id (= min doc id in its near-dup cluster; own id if isolated)."""
+    pairs = dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
+    return dedup.connected_components(
+        pairs, all_ids_ds=_docs_ds(sf_dir).select_columns(["doc_id"])
+    )
+
+
+def neardup_clusters_sql() -> str:
+    """Recursive-CTE oracle: reachability closure over the LSH pair graph,
+    cluster label = min reachable doc id."""
+    pairs_sql = minhash_lsh_pairs_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id
+)
+SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id"""
+
+
+queries_orig = queries
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    q = queries_orig()
+    q["neardup_clusters"] = q_neardup_clusters
+    return q
+
+
+oracle_sql_orig = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    s = oracle_sql_orig()
+    s["neardup_clusters"] = neardup_clusters_sql()
+    return s

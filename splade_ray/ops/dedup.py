@@ -270,3 +270,147 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8,
         )
 
     return inter.map_batches(_finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- connected components --
+
+def connected_components(pairs_ds, all_ids_ds=None, max_iters: int = 50,
+                         driver_threshold: int = 5_000_000):
+    """Near-duplicate clustering: pairs (doc_a, doc_b) -> (doc_id, cluster_id)
+    with cluster_id = min doc_id reachable in the pair graph.
+
+    Candidate-pair graphs are tiny relative to the corpus by construction
+    (LSH emits only likely duplicates), so up to ``driver_threshold`` edges
+    the component labels come from a driver-side union-find over the
+    streamed edge list (the ray_guide's "union-find on the driver only if
+    the candidate set is provably small" case).  Above the threshold the
+    distributed min-label-propagation loop (hash-join per round) takes
+    over — the standard large-graph CC dance at 10^12 docs.  Isolated docs
+    (``all_ids_ds`` given) keep their own id as cluster.
+    """
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    n_edges = pairs_ds.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        seen: set[int] = set()
+        for batch in pairs_ds.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow"):
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo  # root = min id -> cluster_id = min
+        nodes = sorted(seen)
+        labels_tbl = pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "label": pa.array([find(n) for n in nodes], type=pa.int64()),
+            }
+        )
+        labels = rd.from_arrow(labels_tbl)
+        if all_ids_ds is not None:
+            labels = (
+                labels.union(
+                    all_ids_ds.map_batches(
+                        lambda t: pa.table(
+                            {"doc_id": t["doc_id"], "label": t["doc_id"]}
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+                .groupby("doc_id")
+                .aggregate(Min("label", alias_name="label"))
+            )
+        return labels.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "cluster_id": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+    return _cc_distributed(pairs_ds, all_ids_ds, max_iters)
+
+
+def _cc_distributed(pairs_ds, all_ids_ds=None, max_iters: int = 50):
+    """Distributed min-label propagation (hash-join + min-aggregate rounds).
+
+    Scale path for edge sets too large for a driver union-find; converges in
+    O(graph diameter) rounds.  NOTE: Ray 2.49's hash-join can fail on empty
+    right-side partitions for very small inputs — the driver path above
+    covers those.
+    """
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({"src": t["doc_a"], "dst": t["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    # undirected: propagate both ways
+    back = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    edges = edges.union(back).materialize()  # small: candidate pairs only
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["src"], "label": t["src"]})
+
+    labels = (
+        edges.map_batches(_init, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    for _ in range(max_iters):
+        # candidate labels arriving over edges
+        prop = edges.join(
+            labels.map_batches(
+                lambda t: pa.table({"src": t["doc_id"], "label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", on=("src",), num_partitions=8,
+        ).map_batches(
+            lambda t: pa.table({"doc_id": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # converged when no label decreased: compare sums (labels only ever
+        # decrease, so equal sums <=> identical labels)
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    if all_ids_ds is not None:
+        def _self(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"], "label": t["doc_id"]})
+
+        labels = (
+            labels.union(all_ids_ds.map_batches(_self, batch_format="pyarrow"))
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )

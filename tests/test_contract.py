@@ -17,6 +17,7 @@ FAST_KEYS = [
     "corpus_docs", "postings", "term_df", "corpus_stats", "top_terms",
     "token_stats", "quality_score", "langid", "dedup_exact", "simhash",
     "chunk_docs", "idf_coord_topk", "bm25_topk_taat", "rrf_hybrid",
+    "neardup_clusters",
 ]
 
 

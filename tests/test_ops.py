@@ -139,3 +139,18 @@ def test_frame_sampler(ray_session):
         _, w, h = hdr.unpack_from(payload)
         n = len(frames[frames.media_id == mid])
         assert n == (h + 3) // 4
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    pairs = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_a": 1, "doc_b": 5},
+        {"doc_a": 5, "doc_b": 9},   # chain 1-5-9
+        {"doc_a": 20, "doc_b": 21},
+        {"doc_a": 9, "doc_b": 30},  # extends chain -> {1,5,9,30}
+    ]))
+    all_ids = rd.from_arrow(pa.table({"doc_id": pa.array([1, 5, 9, 20, 21, 30, 99], type=pa.int64())}))
+    out = dedup.connected_components(pairs, all_ids_ds=all_ids).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20, 99: 99}
