@@ -100,9 +100,25 @@ class QueryEngine:
         self.df: dict[str, int] = {}
         for si, seg in enumerate(self.segments):
             dfs = seg.dict["df"].to_pylist()
+            salts = seg.dict["salt"].to_pylist()
             for term, rows in seg.lookup.items():
-                self.refs.setdefault(term, []).extend((si, ri) for ri in rows)
+                self.refs.setdefault(term, []).extend(
+                    (salts[ri], si, ri) for ri in rows
+                )
                 self.df[term] = self.df.get(term, 0) + sum(dfs[ri] for ri in rows)
+        for term in self.refs:
+            # salt order: within one build generation, a hot term's salted
+            # sub-lists cover disjoint ascending ordinal ranges, so salt-order
+            # concatenation is already doc-sorted (merged indexes may overlap
+            # and fall back to a sort in _gather)
+            self.refs[term].sort()
+        # dense score accumulator (ordinal-indexed) for the TAAT scorer —
+        # O(N + matched) per query instead of np.unique's O(K log K)
+        self._acc = (
+            np.zeros(self.n_docs, dtype=np.int64)
+            if self.docmap is not None and self.n_docs <= 20_000_000
+            else None
+        )
 
     # ------------------------------------------------------------- gather --
     def _gather(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -115,13 +131,13 @@ class QueryEngine:
         if cached is not None:
             return cached
         regions = []
-        for si, ri in self.refs[term]:
+        for _salt, si, ri in self.refs[term]:
             seg = self.segments[si]
             meta = seg.meta_at(ri)
             off = int(seg._offsets[ri])
             regions.append((seg.blob[off : off + meta.nbytes], meta))
         ids, tfs, dls = decode_postings_many(regions)
-        if len(regions) > 1:
+        if len(regions) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
             order = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[order], tfs[order], dls[order]
         if (self._cache_budget > 0
@@ -155,6 +171,21 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         ids = np.concatenate(all_ids)
         units = np.concatenate(all_units)
+        if self._acc is not None and len(ids) * 8 >= self.n_docs:
+            # dense path: when a large fraction of docs match, accumulating
+            # into an ordinal-indexed array + one partition over N beats
+            # sorting the K matched postings (np.unique)
+            acc = self._acc
+            np.add.at(acc, ids, units)
+            k = min(self.k, self.n_docs)
+            cut = np.partition(acc, self.n_docs - k)[self.n_docs - k]
+            if cut <= 0:
+                cand = np.nonzero(acc > 0)[0]
+            else:
+                cand = np.nonzero(acc >= cut)[0]  # >= keeps boundary ties
+            scores = acc[cand].copy()
+            acc[ids] = 0  # reset only touched slots for the next query
+            return cand, scores
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(scores, inv, units)
@@ -202,7 +233,7 @@ class QueryEngine:
             if term not in self.refs:
                 continue
             w = idf(self.n_docs, self.df[term])
-            for si, ri in self.refs[term]:
+            for _salt, si, ri in self.refs[term]:
                 seg = self.segments[si]
                 ids, tfs, dls = seg.postings_at(ri)
                 units = self._contrib_units(qtf, w, tfs, dls)
