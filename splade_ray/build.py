@@ -132,7 +132,6 @@ def explode_postings_batch(
         tfs = tfs.combine_chunks()
     flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents]
-    dls = t["doc_len"].to_numpy(zero_copy_only=False)[parents]
     if docmap_ref is not None:
         docmap = _ray.get(docmap_ref)  # broadcast once; zero-copy from shm
         doc_ids = np.searchsorted(docmap, doc_ids)
@@ -167,7 +166,6 @@ def explode_postings_batch(
             "salt": pa.array(salt),
             "doc_id": pa.array(doc_ids),
             "tf": pa.array(flat_tfs.astype(np.int32)),
-            "dl": pa.array(dls.astype(np.int32)),
             "shard": pa.array(shard),
         }
     )
@@ -178,7 +176,8 @@ def explode_postings_batch(
     return out
 
 
-def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
+                        doclens_ref=None) -> pa.Table:
     """One shuffle partition -> one segment on disk; returns its manifest row.
 
     Postings are sorted (term, salt, doc_id) and encoded per (term, salt) run.
@@ -194,17 +193,19 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.
     enc = pc.dictionary_encode(terms)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
     vocab = enc.dictionary.to_pylist()
+    import ray as _ray
+
+    doclens = _ray.get(doclens_ref) if doclens_ref is not None else None
     salts = group["salt"].to_numpy(zero_copy_only=False)
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     tfs = group["tf"].to_numpy(zero_copy_only=False)
-    dls = group["dl"].to_numpy(zero_copy_only=False)
     # group runs by (code, salt), doc_id-sorted WITHIN runs: an integer
     # lexsort — a whole-table Arrow sort on the string term key costs ~10x
     # more and lexicographic term order is not needed (the dictionary is the
     # lookup structure; merge sorts its own keys)
     order = np.lexsort((doc_ids, salts, codes))
     codes, salts, doc_ids = codes[order], salts[order], doc_ids[order]
-    tfs, dls = tfs[order], dls[order]
+    tfs = tfs[order]
 
     n = len(codes)
     change = np.empty(n, dtype=bool)
@@ -218,7 +219,6 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.
     for lo, hi in zip(starts, ends):
         ids = doc_ids[lo:hi]
         tf = tfs[lo:hi]
-        dl = dls[lo:hi]
         keep = np.ones(hi - lo, dtype=bool)
         if hi - lo > 1:
             dup = ids[1:] == ids[:-1]
@@ -229,8 +229,9 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float) -> pa.
                         f"{vocab[codes[lo]]!r}; widen doc ids"
                     )
                 keep[1:] = ~dup
-        builder.add(vocab[codes[lo]], int(salts[lo]), ids[keep], tf[keep],
-                    dl[keep], avgdl)
+        kept = ids[keep]
+        builder.add(vocab[codes[lo]], int(salts[lo]), kept, tf[keep],
+                    doclens[kept], avgdl)
     manifest = builder.write(os.path.join(index_dir, "segments", f"seg-{shard:05d}"))
     return pa.table(
         {
@@ -353,15 +354,25 @@ def build_index(
     # by a prefix-sum over sorted partitions; the driver-side sort here is
     # the single-node stand-in.
     docmap_path = os.path.join(index_dir, "docmap.bin")
-    if os.path.exists(docmap_path) and os.path.getsize(docmap_path) == 8 * n_docs:
+    doclens_path = os.path.join(index_dir, "doclens.bin")
+    if (os.path.exists(docmap_path)
+            and os.path.getsize(docmap_path) == 8 * n_docs
+            and os.path.exists(doclens_path)
+            and os.path.getsize(doclens_path) == 4 * n_docs):
         docmap = np.fromfile(docmap_path, dtype=np.int64)
+        doclens = np.fromfile(doclens_path, dtype=np.int32)
     else:
-        chunks = []
+        id_chunks, dl_chunks = [], []
         for batch in ray.data.read_parquet(
-            staging_dir, columns=["doc_id"]
+            staging_dir, columns=["doc_id", "doc_len"]
         ).iter_batches(batch_size=262144, batch_format="pyarrow"):
-            chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
-        docmap = np.sort(np.concatenate(chunks))
+            id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+            dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
+        all_ids = np.concatenate(id_chunks)
+        all_dls = np.concatenate(dl_chunks)
+        order = np.argsort(all_ids, kind="stable")
+        docmap = all_ids[order]
+        doclens = all_dls[order].astype(np.int32)
         if len(docmap) > 1 and (docmap[1:] == docmap[:-1]).any():
             n_dup = int((docmap[1:] == docmap[:-1]).sum())
             raise ValueError(
@@ -372,9 +383,13 @@ def build_index(
         tmp_map = docmap_path + ".tmp"
         docmap.tofile(tmp_map)
         os.replace(tmp_map, docmap_path)
+        tmp_dl = doclens_path + ".tmp"
+        doclens.tofile(tmp_dl)
+        os.replace(tmp_dl, doclens_path)
     import ray as _ray
 
     docmap_ref = _ray.put(docmap)
+    doclens_ref = _ray.put(doclens)
     timings["docmap_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
@@ -422,7 +437,7 @@ def build_index(
     _ctx.use_push_based_shuffle = True
     if todo:
         postings = ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
+            staging_dir, columns=["doc_id", "terms", "tfs"]
         ).map_batches(
             explode_postings_batch, batch_format="pyarrow",
             fn_kwargs={
@@ -433,7 +448,8 @@ def build_index(
         )
         grouped = postings.groupby("shard")
         seg_stats = grouped.map_groups(
-            partial(build_segment_group, index_dir=index_dir, avgdl=avgdl),
+            partial(build_segment_group, index_dir=index_dir, avgdl=avgdl,
+                    doclens_ref=doclens_ref),
             batch_format="pyarrow",
         )
         seg_stats.count()  # drive execution; manifests land on disk

@@ -120,7 +120,12 @@ def tf_saturation(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
 ) -> tuple[np.ndarray, PostingMeta]:
-    """Encode one term's postings (doc_id-sorted, unique) into a blob + meta."""
+    """Encode one term's postings (doc_id-sorted, unique) into a blob + meta.
+
+    ``dls`` (per-posting doc lengths) feed the block-max score bounds but
+    are NOT stored — with dense doc ordinals, doc lengths live once in the
+    index's forward array (doclens.bin) and are gathered at query time.
+    Block layout: varbyte(gaps) ++ varbyte(tfs)."""
     df = len(doc_ids)
     assert df > 0
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
@@ -142,7 +147,6 @@ def encode_postings(
             [
                 vb_encode(gaps[lo:hi]),
                 vb_encode(np.asarray(tfs[lo:hi], dtype=np.uint64)),
-                vb_encode(np.asarray(dls[lo:hi], dtype=np.uint64)),
             ]
         )
         chunks.append(enc)
@@ -167,60 +171,87 @@ def encode_postings(
     return blob, meta
 
 
-def decode_postings(blob: np.ndarray, meta: PostingMeta) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full-list decode -> (doc_ids int64, tfs int32, dls int32).
+def decode_postings(blob: np.ndarray, meta: PostingMeta) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode -> (doc_ids int64, tfs int32).
 
-    One vectorized varbyte pass over the whole region, then per-block
-    re-split (blocks lay out gaps ++ tfs ++ dls back-to-back)."""
+    Fast path: a region whose byte count equals 2x its posting count has
+    every gap and tf in one byte (the overwhelmingly common case with dense
+    ordinals) — the bytes ARE the values, decoded by two slices.  Otherwise
+    one vectorized varbyte pass + per-block re-split."""
     df = meta.df
-    ints = vb_decode_all(blob[: int(meta.block_nbytes.sum())])
-    if len(ints) != 3 * df:
+    nbytes = int(meta.block_nbytes.sum())
+    region = blob[:nbytes]
+    if nbytes == 2 * df and not bool((meta.block_nbytes != 2 * meta.block_count).any()):
+        b = np.ascontiguousarray(region)
+        gaps = np.empty(df, dtype=np.uint64)
+        tfs = np.empty(df, dtype=np.uint64)
+        pos = ipos = 0
+        for n in meta.block_count:
+            n = int(n)
+            gaps[pos : pos + n] = b[ipos : ipos + n]
+            tfs[pos : pos + n] = b[ipos + n : ipos + 2 * n]
+            pos += n
+            ipos += 2 * n
+        doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+        return doc_ids, tfs.astype(np.int32)
+    ints = vb_decode_all(region)
+    if len(ints) != 2 * df:
         raise ValueError(f"corrupt posting region: {len(ints)} ints, df={df}")
     gaps = np.empty(df, dtype=np.uint64)
     tfs = np.empty(df, dtype=np.uint64)
-    dls = np.empty(df, dtype=np.uint64)
     pos = ipos = 0
     for n in meta.block_count:
         n = int(n)
         gaps[pos : pos + n] = ints[ipos : ipos + n]
         tfs[pos : pos + n] = ints[ipos + n : ipos + 2 * n]
-        dls[pos : pos + n] = ints[ipos + 2 * n : ipos + 3 * n]
         pos += n
-        ipos += 3 * n
+        ipos += 2 * n
     doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
+    return doc_ids, tfs.astype(np.int32)
 
 
 def decode_postings_many(
     parts: list[tuple[np.ndarray, "PostingMeta"]],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode several posting regions (e.g. one term's salted sub-lists across
-    segments) in a SINGLE varbyte pass, returning the concatenation in part
-    order.  Amortizes the per-call numpy overhead that dominates tiny lists.
-    """
+    segments), returning the concatenation in part order.  All-1-byte parts
+    take the reshape fast path; the rest share a single varbyte pass."""
     if len(parts) == 1:
         return decode_postings(parts[0][0], parts[0][1])
-    bufs = [
-        np.ascontiguousarray(b[: int(m.block_nbytes.sum())]) for b, m in parts
-    ]
-    ints = vb_decode_all(np.concatenate(bufs))
     total_df = sum(m.df for _, m in parts)
-    if len(ints) != 3 * total_df:
-        raise ValueError("corrupt posting region(s) in batched decode")
     gaps = np.empty(total_df, dtype=np.uint64)
     tfs = np.empty(total_df, dtype=np.uint64)
-    dls = np.empty(total_df, dtype=np.uint64)
     piece_start = []
-    pos = ipos = 0
-    for _, m in parts:
+    slow: list[tuple[int, np.ndarray, "PostingMeta"]] = []
+    pos = 0
+    for b, m in parts:
         piece_start.append(pos)
-        for n in m.block_count:
-            n = int(n)
-            gaps[pos : pos + n] = ints[ipos : ipos + n]
-            tfs[pos : pos + n] = ints[ipos + n : ipos + 2 * n]
-            dls[pos : pos + n] = ints[ipos + 2 * n : ipos + 3 * n]
-            pos += n
-            ipos += 3 * n
+        nbytes = int(m.block_nbytes.sum())
+        if nbytes == 2 * m.df and not bool(
+            (m.block_nbytes != 2 * m.block_count).any()
+        ):
+            by = np.ascontiguousarray(b[:nbytes])
+            p = pos
+            ip = 0
+            for n in m.block_count:
+                n = int(n)
+                gaps[p : p + n] = by[ip : ip + n]
+                tfs[p : p + n] = by[ip + n : ip + 2 * n]
+                p += n
+                ip += 2 * n
+        else:
+            slow.append((pos, b[:nbytes], m))
+        pos += m.df
+    if slow:
+        ints = vb_decode_all(np.concatenate([np.ascontiguousarray(b) for _, b, _ in slow]))
+        ipos = 0
+        for p, _, m in slow:
+            for n in m.block_count:
+                n = int(n)
+                gaps[p : p + n] = ints[ipos : ipos + n]
+                tfs[p : p + n] = ints[ipos + n : ipos + 2 * n]
+                p += n
+                ipos += 2 * n
     # per-piece delta chains: global cumsum, then subtract the running total
     # accumulated before each piece start
     csum = np.cumsum(gaps, dtype=np.uint64)
@@ -229,18 +260,17 @@ def decode_postings_many(
     base[1:] = csum[starts[1:] - 1]
     counts = np.diff(np.append(starts, total_df))
     doc_ids = (csum - np.repeat(base, counts)).astype(np.int64)
-    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
+    return doc_ids, tfs.astype(np.int32)
 
 
 def decode_block(
     blob: np.ndarray, meta: PostingMeta, i: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode block ``i`` alone (for WAND skipping) -> (doc_ids, tfs, dls)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode block ``i`` alone (for WAND skipping) -> (doc_ids, tfs)."""
     off = int(meta.block_nbytes[:i].sum())
     n = int(meta.block_count[i])
     g, c1 = vb_decode(blob, n, off)
-    t, c2 = vb_decode(blob, n, off + c1)
-    d, _ = vb_decode(blob, n, off + c1 + c2)
+    t, _ = vb_decode(blob, n, off + c1)
     base = np.uint64(meta.block_last_docid[i - 1]) if i > 0 else np.uint64(0)
     doc_ids = (base + np.cumsum(g, dtype=np.uint64)).astype(np.int64)
-    return doc_ids, t.astype(np.int32), d.astype(np.int32)
+    return doc_ids, t.astype(np.int32)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -34,11 +35,12 @@ from .segments import merge_segments, validate_segment
 
 
 def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float,
-                       map_refs, new_map_ref) -> pa.Table:
+                       map_refs, new_map_ref, doclens_ref) -> pa.Table:
     import ray
 
     id_maps_all = [ray.get(r) for r in map_refs]
     new_map = ray.get(new_map_ref)
+    doclens = ray.get(doclens_ref)
     rows = t.to_pylist()
     out = {"shard": [], "n_terms": [], "n_postings": []}
     for row in rows:
@@ -52,7 +54,7 @@ def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float,
         id_maps = [m for _, m in pairs]
         seg_out = os.path.join(out_dir, "segments", f"seg-{shard:05d}")
         m = merge_segments(seg_dirs, seg_out, f"seg-{shard:05d}", shard, avgdl,
-                           id_maps=id_maps, new_map=new_map)
+                           doclens, id_maps=id_maps, new_map=new_map)
         out["shard"].append(shard)
         out["n_terms"].append(m["n_terms"])
         out["n_postings"].append(m["n_postings"])
@@ -87,8 +89,6 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
 
     # merged docmap: ordinals of each generation remap through its own
     # docmap to real ids, then into the merged sorted id space
-    import numpy as np
-
     import ray as _ray
 
     id_maps = [
@@ -104,8 +104,17 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     tmp_map = os.path.join(out_dir, "docmap.bin.tmp")
     new_map.tofile(tmp_map)
     os.replace(tmp_map, os.path.join(out_dir, "docmap.bin"))
+    # merged forward doc-length array, remapped into the new ordinal space
+    new_doclens = np.zeros(len(new_map), dtype=np.int32)
+    for d, old_map in zip(index_dirs, id_maps):
+        old_dl = np.fromfile(os.path.join(d, "doclens.bin"), dtype=np.int32)
+        new_doclens[np.searchsorted(new_map, old_map)] = old_dl
+    tmp_dl = os.path.join(out_dir, "doclens.bin.tmp")
+    new_doclens.tofile(tmp_dl)
+    os.replace(tmp_dl, os.path.join(out_dir, "doclens.bin"))
     map_refs = [_ray.put(m) for m in id_maps]
     new_map_ref = _ray.put(new_map)
+    doclens_ref = _ray.put(new_doclens)
 
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     todo = []
@@ -128,7 +137,8 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             .map_batches(
                 _merge_shard_batch, batch_format="pyarrow", batch_size=1,
                 fn_kwargs={"out_dir": out_dir, "avgdl": avgdl,
-                           "map_refs": map_refs, "new_map_ref": new_map_ref},
+                           "map_refs": map_refs, "new_map_ref": new_map_ref,
+                           "doclens_ref": doclens_ref},
             )
             .count()
         )

@@ -63,7 +63,7 @@ class QueryEngine:
     """Callable-class stage: one instance per pool actor, init once per actor."""
 
     def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
-                 cache_postings_budget: int = 8_000_000):
+                 cache_postings_budget: int = 32_000_000):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -75,6 +75,8 @@ class QueryEngine:
         self._cache: dict[str, tuple] = {}
         self._cache_budget = cache_postings_budget
         self._cache_size = 0
+        self._ucache: dict[str, tuple] = {}  # per-term qtf=1 unit vectors
+        self._ucache_size = 0
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.langs = self.manifest["langs"]
@@ -84,9 +86,14 @@ class QueryEngine:
         # ordinal -> real doc id translation (build.py docmap); memmapped so
         # actor startup stays O(1) in corpus size
         self.docmap = None
+        self.doclens = None
         if self.manifest.get("doc_ordinals"):
             self.docmap = np.memmap(
                 os.path.join(index_dir, "docmap.bin"), dtype=np.int64, mode="r"
+            )
+            # forward doc-length array (ordinal-indexed; postings omit dl)
+            self.doclens = np.memmap(
+                os.path.join(index_dir, "doclens.bin"), dtype=np.int32, mode="r"
             )
         seg_root = os.path.join(index_dir, "segments")
         self.segments = [
@@ -112,13 +119,9 @@ class QueryEngine:
             # concatenation is already doc-sorted (merged indexes may overlap
             # and fall back to a sort in _gather)
             self.refs[term].sort()
-        # dense score accumulator (ordinal-indexed) for the TAAT scorer —
-        # O(N + matched) per query instead of np.unique's O(K log K)
-        self._acc = (
-            np.zeros(self.n_docs, dtype=np.int64)
-            if self.docmap is not None and self.n_docs <= 20_000_000
-            else None
-        )
+        # dense TAAT path available when postings are ordinals and one
+        # bincount over N is affordable
+        self._dense_ok = self.docmap is not None and self.n_docs <= 50_000_000
 
     # ------------------------------------------------------------- gather --
     def _gather(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -136,10 +139,11 @@ class QueryEngine:
             meta = seg.meta_at(ri)
             off = int(seg._offsets[ri])
             regions.append((seg.blob[off : off + meta.nbytes], meta))
-        ids, tfs, dls = decode_postings_many(regions)
+        ids, tfs = decode_postings_many(regions)
         if len(regions) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
             order = np.argsort(ids, kind="stable")
-            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            ids, tfs = ids[order], tfs[order]
+        dls = np.asarray(self.doclens)[ids]  # O(1) forward-array gather
         if (self._cache_budget > 0
                 and self._cache_size + len(ids) <= self._cache_budget):
             self._cache[term] = (ids, tfs, dls)
@@ -157,39 +161,58 @@ class QueryEngine:
         sat = tf_saturation(np.asarray(tfs), np.asarray(dls), self.avgdl)
         return np.round(qtf * w_idf * sat * SCORE_SCALE).astype(np.int64)
 
+    def _term_units(self, term: str, qtf: int) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, quantized contribution units) for one query term.
+
+        qtf == 1 units are cached per term (the common case — duplicate
+        query tokens are rare); qtf > 1 recomputes the full expression so
+        the quantization spec round((qtf*idf)*sat*1e9) holds exactly."""
+        w = idf(self.n_docs, self.df[term])
+        if qtf == 1:
+            hit = self._ucache.get(term)
+            if hit is not None:
+                return hit
+        ids, tfs, dls = self._gather(term)
+        units = self._contrib_units(qtf, w, tfs, dls)
+        if qtf == 1 and self._cache_budget > 0 and (
+            self._ucache_size + len(ids) <= self._cache_budget
+        ):
+            self._ucache[term] = (ids, units)
+            self._ucache_size += len(ids)
+        return ids, units
+
     # ------------------------------------------------------------- scorers --
     def _score_taat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
         all_ids, all_units = [], []
         for term, qtf in qterms.items():
             if term not in self.refs:
                 continue
-            ids, tfs, dls = self._gather(term)
-            w = idf(self.n_docs, self.df[term])
+            ids, units = self._term_units(term, qtf)
             all_ids.append(ids)
-            all_units.append(self._contrib_units(qtf, w, tfs, dls))
+            all_units.append(units)
         if not all_ids:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         ids = np.concatenate(all_ids)
         units = np.concatenate(all_units)
-        if self._acc is not None and len(ids) * 8 >= self.n_docs:
-            # dense path: when a large fraction of docs match, accumulating
-            # into an ordinal-indexed array + one partition over N beats
-            # sorting the K matched postings (np.unique)
-            acc = self._acc
-            np.add.at(acc, ids, units)
+        # integer sums via weighted bincount: float64 accumulation is exact
+        # for our magnitudes (per-doc unit sums < 2^53 by construction) and
+        # ~6x faster than np.add.at
+        if self._dense_ok and len(ids) * 8 >= self.n_docs:
+            # dense path: when a large fraction of docs match, one bincount
+            # over N + one partition beats sorting the K matched postings
+            acc = np.bincount(ids, weights=units.astype(np.float64),
+                              minlength=self.n_docs)
             k = min(self.k, self.n_docs)
             cut = np.partition(acc, self.n_docs - k)[self.n_docs - k]
             if cut <= 0:
                 cand = np.nonzero(acc > 0)[0]
             else:
                 cand = np.nonzero(acc >= cut)[0]  # >= keeps boundary ties
-            scores = acc[cand].copy()
-            acc[ids] = 0  # reset only touched slots for the next query
-            return cand, scores
+            return cand, acc[cand].astype(np.int64)
         uniq, inv = np.unique(ids, return_inverse=True)
-        scores = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(scores, inv, units)
-        return uniq, scores
+        scores = np.bincount(inv, weights=units.astype(np.float64),
+                             minlength=len(uniq))
+        return uniq, scores.astype(np.int64)
 
     def _score_daat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
         """Naive DAAT heap merge over decoded lists (parity reference)."""
@@ -235,7 +258,8 @@ class QueryEngine:
             w = idf(self.n_docs, self.df[term])
             for _salt, si, ri in self.refs[term]:
                 seg = self.segments[si]
-                ids, tfs, dls = seg.postings_at(ri)
+                ids, tfs = seg.postings_at(ri)
+                dls = np.asarray(self.doclens)[ids]
                 units = self._contrib_units(qtf, w, tfs, dls)
                 meta = seg.meta_at(ri)
                 # per-piece block bounds in units (+2 safety margin)

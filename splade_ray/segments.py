@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from .codecs import PostingMeta, decode_postings, encode_postings
 
-FORMAT_VERSION = 2  # v2: postings store dense doc ordinals (build.py docmap)
+FORMAT_VERSION = 3  # v3: ordinal postings, doc_len in the forward doclens.bin array
 
 DICT_SCHEMA = pa.schema(
     [
@@ -184,14 +184,14 @@ class SegmentReader:
         self._meta_cache[i] = meta
         return meta
 
-    def postings_at(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def postings_at(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         meta = self.meta_at(i)
         off = int(self._offsets[i])
         return decode_postings(self.blob[off : off + meta.nbytes], meta)
 
 
 def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
-                   shard: int, avgdl: float,
+                   shard: int, avgdl: float, doclens: np.ndarray,
                    id_maps: "list | None" = None,
                    new_map: "np.ndarray | None" = None) -> dict:
     """Log-structured merge: union posting lists per (term, salt) by doc_id.
@@ -201,6 +201,9 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
     the merge idempotent and safe to re-run after a partial failure.
     Output lists are re-encoded (delta chains and block-max recomputed with
     the supplied ``avgdl``).
+
+    ``doclens`` maps OUTPUT-space doc ids/ordinals to doc lengths (block-max
+    bounds need them; they are not stored in postings).
 
     ``id_maps`` / ``new_map`` (index-level merges): when inputs store
     generation-local doc ORDINALS, ``id_maps[i]`` translates input ``i``'s
@@ -220,15 +223,14 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
         for ri, r in enumerate(readers):
             for i in r.lookup.get(term, []):
                 if r.dict["salt"][i].as_py() == salt:
-                    ids, tfs_p, dls_p = r.postings_at(i)
+                    ids, tfs_p = r.postings_at(i)
                     if id_maps is not None:
                         ids = np.searchsorted(new_map, id_maps[ri][ids])
-                    parts.append((ids, tfs_p, dls_p))
+                    parts.append((ids, tfs_p))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
         order = np.argsort(ids, kind="stable")
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        ids, tfs = ids[order], tfs[order]
         keep = np.ones(len(ids), dtype=bool)
         if len(ids) > 1:
             dup = ids[1:] == ids[:-1]
@@ -237,5 +239,7 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
                     f"doc_id collision with conflicting tf for term {term!r}"
                 )
             keep[1:] = ~dup
-        builder.add(term, salt, ids[keep], tfs[keep], dls[keep], avgdl)
+        kept_ids = ids[keep]
+        builder.add(term, salt, kept_ids, tfs[keep],
+                    np.asarray(doclens)[kept_ids], avgdl)
     return builder.write(out_dir)

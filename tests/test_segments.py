@@ -14,16 +14,17 @@ from splade_ray.segments import (
 )
 
 AVGDL = 100.0
+DOCLENS = __import__("numpy").arange(1000, dtype="int64") % 97 + 5  # dl per doc id
 
 
 def _mk_segment(tmp_path, name, shard, lists):
     """lists: {(term, salt): (ids, tfs, dls)}"""
     b = SegmentBuilder(name, shard)
-    for (term, salt), (ids, tfs, dls) in sorted(lists.items()):
-        b.add(term, salt,
-              np.asarray(ids, dtype=np.uint64),
+    for (term, salt), (ids, tfs) in sorted(lists.items()):
+        ids = np.asarray(ids, dtype=np.uint64)
+        b.add(term, salt, ids,
               np.asarray(tfs, dtype=np.int64),
-              np.asarray(dls, dtype=np.int64), AVGDL)
+              DOCLENS[ids.astype(np.int64)], AVGDL)
     out = os.path.join(tmp_path, name)
     b.write(out)
     return out
@@ -34,72 +35,72 @@ def _dump(seg_dir):
     out = {}
     for i in range(r.dict.num_rows):
         key = (r.dict["term"][i].as_py(), r.dict["salt"][i].as_py())
-        ids, tfs, dls = r.postings_at(i)
-        out[key] = (ids.tolist(), tfs.tolist(), dls.tolist())
+        ids, tfs = r.postings_at(i)
+        out[key] = (ids.tolist(), tfs.tolist())
     return out
 
 
 def test_merge_disjoint_and_overlapping(tmp_path):
     a = _mk_segment(tmp_path, "a", 0, {
-        ("foo", 0): ([1, 5, 9], [2, 1, 3], [10, 20, 30]),
-        ("bar", 0): ([2], [1], [5]),
+        ("foo", 0): ([1, 5, 9], [2, 1, 3]),
+        ("bar", 0): ([2], [1]),
     })
     b = _mk_segment(tmp_path, "b", 0, {
-        ("foo", 0): ([3, 7], [1, 1], [15, 25]),
-        ("baz", 0): ([4], [2], [8]),
+        ("foo", 0): ([3, 7], [1, 1]),
+        ("baz", 0): ([4], [2]),
     })
     out = os.path.join(tmp_path, "m")
-    merge_segments([a, b], out, "m", 0, AVGDL)
+    merge_segments([a, b], out, "m", 0, AVGDL, DOCLENS)
     d = _dump(out)
     assert d[("foo", 0)][0] == [1, 3, 5, 7, 9]
     assert d[("foo", 0)][1] == [2, 1, 1, 1, 3]
-    assert d[("bar", 0)] == ([2], [1], [5])
-    assert d[("baz", 0)] == ([4], [2], [8])
+    assert d[("bar", 0)] == ([2], [1])
+    assert d[("baz", 0)] == ([4], [2])
 
 
 def test_merge_idempotent_and_associative(tmp_path):
-    a = _mk_segment(tmp_path, "a", 0, {("t", 0): ([1, 3], [1, 2], [4, 6])})
-    b = _mk_segment(tmp_path, "b", 0, {("t", 0): ([2], [5], [9])})
-    c = _mk_segment(tmp_path, "c", 0, {("t", 0): ([10], [1], [2]),
-                                       ("u", 0): ([1], [1], [4])})
-    ab = os.path.join(tmp_path, "ab"); merge_segments([a, b], ab, "ab", 0, AVGDL)
-    ab_c = os.path.join(tmp_path, "ab_c"); merge_segments([ab, c], ab_c, "x", 0, AVGDL)
-    bc = os.path.join(tmp_path, "bc"); merge_segments([b, c], bc, "bc", 0, AVGDL)
-    a_bc = os.path.join(tmp_path, "a_bc"); merge_segments([a, bc], a_bc, "x", 0, AVGDL)
+    a = _mk_segment(tmp_path, "a", 0, {("t", 0): ([1, 3], [1, 2])})
+    b = _mk_segment(tmp_path, "b", 0, {("t", 0): ([2], [5])})
+    c = _mk_segment(tmp_path, "c", 0, {("t", 0): ([10], [1]),
+                                       ("u", 0): ([1], [1])})
+    ab = os.path.join(tmp_path, "ab"); merge_segments([a, b], ab, "ab", 0, AVGDL, DOCLENS)
+    ab_c = os.path.join(tmp_path, "ab_c"); merge_segments([ab, c], ab_c, "x", 0, AVGDL, DOCLENS)
+    bc = os.path.join(tmp_path, "bc"); merge_segments([b, c], bc, "bc", 0, AVGDL, DOCLENS)
+    a_bc = os.path.join(tmp_path, "a_bc"); merge_segments([a, bc], a_bc, "x", 0, AVGDL, DOCLENS)
     assert _dump(ab_c) == _dump(a_bc)
     # idempotence: merging a segment with itself is identity
-    aa = os.path.join(tmp_path, "aa"); merge_segments([a, a], aa, "aa", 0, AVGDL)
+    aa = os.path.join(tmp_path, "aa"); merge_segments([a, a], aa, "aa", 0, AVGDL, DOCLENS)
     assert _dump(aa) == _dump(a)
     # re-merging an already-merged segment changes nothing
-    ab2 = os.path.join(tmp_path, "ab2"); merge_segments([ab, ab], ab2, "x", 0, AVGDL)
+    ab2 = os.path.join(tmp_path, "ab2"); merge_segments([ab, ab], ab2, "x", 0, AVGDL, DOCLENS)
     assert _dump(ab2) == _dump(ab)
 
 
 def test_merge_conflicting_tf_raises(tmp_path):
-    a = _mk_segment(tmp_path, "a", 0, {("t", 0): ([7], [1], [4])})
-    b = _mk_segment(tmp_path, "b", 0, {("t", 0): ([7], [9], [4])})
+    a = _mk_segment(tmp_path, "a", 0, {("t", 0): ([7], [1])})
+    b = _mk_segment(tmp_path, "b", 0, {("t", 0): ([7], [9])})
     with pytest.raises(ValueError, match="collision"):
-        merge_segments([a, b], os.path.join(tmp_path, "m"), "m", 0, AVGDL)
+        merge_segments([a, b], os.path.join(tmp_path, "m"), "m", 0, AVGDL, DOCLENS)
 
 
 def test_salted_sublists_survive_merge(tmp_path):
     """A hot term's salted sub-lists stay separate (term, salt) entries."""
-    a = _mk_segment(tmp_path, "a", 0, {("hot", 0): ([1, 2], [1, 1], [3, 3])})
-    b = _mk_segment(tmp_path, "b", 0, {("hot", 1): ([50, 60], [1, 1], [3, 3])})
+    a = _mk_segment(tmp_path, "a", 0, {("hot", 0): ([1, 2], [1, 1])})
+    b = _mk_segment(tmp_path, "b", 0, {("hot", 1): ([50, 60], [1, 1])})
     out = os.path.join(tmp_path, "m")
-    merge_segments([a, b], out, "m", 0, AVGDL)
+    merge_segments([a, b], out, "m", 0, AVGDL, DOCLENS)
     d = _dump(out)
     assert set(d) == {("hot", 0), ("hot", 1)}
 
 
 def test_kill_between_write_and_manifest(tmp_path):
     """A segment missing its manifest (simulated kill) fails validation."""
-    seg = _mk_segment(tmp_path, "a", 0, {("t", 0): ([1], [1], [1])})
+    seg = _mk_segment(tmp_path, "a", 0, {("t", 0): ([1], [1])})
     assert validate_segment(seg) is not None
     os.remove(os.path.join(seg, "manifest.json"))
     assert validate_segment(seg) is None
     # and a manifest whose checksum disagrees with the blob fails too
-    seg2 = _mk_segment(tmp_path, "b", 0, {("t", 0): ([1], [1], [1])})
+    seg2 = _mk_segment(tmp_path, "b", 0, {("t", 0): ([1], [1])})
     with open(os.path.join(seg2, "manifest.json")) as f:
         m = json.load(f)
     m["postings_sha256"] = "0" * 64
@@ -113,5 +114,5 @@ def test_empty_segment(tmp_path):
     m = validate_segment(seg)
     assert m is not None and m["n_terms"] == 0
     out = os.path.join(tmp_path, "me")
-    merge_segments([seg, seg], out, "me", 3, AVGDL)
+    merge_segments([seg, seg], out, "me", 3, AVGDL, DOCLENS)
     assert _dump(out) == {}
