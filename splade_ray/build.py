@@ -14,11 +14,12 @@ Ray Data pipeline:
   3. HOT      deterministic doc sample (doc_id % sample_mod == 0) ->
               partial-df per batch -> groupby(term).sum -> hot-term set
               (df above threshold).  Broadcast to the shuffle stage.
-  4. SHUFFLE  staging -> explode (term, doc_id, tf, dl, shard) with salted
-              shards for hot terms (salt = top bits of doc_id, so a hot
-              term's sub-lists cover disjoint doc_id ranges) ->
-              groupby(shard).map_groups(build one segment per shard).
-  5. FINAL    MANIFEST.json with stats + per-segment lineage.
+  4. ORDINALS sorted-doc-id rank map (docmap.bin) + forward doc-length
+              array (doclens.bin): postings store dense ordinals.
+  5. SHUFFLE  staging -> explode (term, salt, ordinal, tf, shard) with
+              salted shards for hot terms (salt = contiguous ordinal
+              ranges) -> groupby(shard).map_groups(one segment per shard).
+  6. FINAL    MANIFEST.json with stats + per-segment lineage.
 
 Resumability (north_rule): staging and every segment are validated
 checkpoints; a rerun skips valid ones (shards are filtered out of the
