@@ -155,3 +155,27 @@ def test_untagged_index(ray_session):
         ids, units = engine.search_one(query, None)
         assert [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)] == \
             oracle.search(query, None, k=10)
+
+
+def test_partitioning_invariance(ray_session, corpus_table, oracle):
+    """SURVEY §7 hard part (a): results are identical whatever the input
+    partitioning or shard count — deterministic ids, ordinal postings and
+    integer quantization remove every order dependence."""
+    import ray.data as rd
+
+    from splade_ray.corpus import generate_queries
+
+    idx2 = "/tmp/splade_ray_test_idx_p2"
+    shutil.rmtree(idx2, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(2), idx2,
+                lang_tagged=True, n_shards=3,  # different shards AND blocks
+                hot_df_min=40, hot_df_frac=0.05, sample_mod=3)
+    engine = QueryEngine(idx2, k=10, scorer="taat")
+    q = generate_queries()
+    for qid, query, lang in zip(q["query_id"].to_pylist(),
+                                q["query"].to_pylist(),
+                                q["lang"].to_pylist()):
+        want = oracle.search(query, lang or None, k=10)
+        ids, units = engine.search_one(query, lang or None)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (qid, query)
