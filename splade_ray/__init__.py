@@ -22,3 +22,10 @@ __version__ = "0.1.0"
 K1 = 1.2  # BM25 k1 (BASELINE.json north_star)
 B = 0.75  # BM25 b
 MASK63 = (1 << 63) - 1  # doc ids masked to 63 bits: int64-safe in pandas/duckdb
+
+# The ONE whitespace set for the empty-document drop predicate.  All three
+# renderings (Arrow utf8_trim in build.prepare_batch, str.strip in
+# oracle.OracleIndex, the SQL trim set in sql.DOCS_CTE) derive from this
+# constant — Unicode-whitespace variants (\x0b/\x0c/NBSP/\x85) deliberately
+# do NOT count as blank, so a form-feed-only doc is kept by every path.
+DROP_WS = " \t\n\r"

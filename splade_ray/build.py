@@ -32,6 +32,7 @@ across scorers, summation orders, and the DuckDB oracle.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -44,7 +45,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from . import MASK63
+from . import DROP_WS, MASK63
 from .analyzer import doc_token_stats
 from .ids import doc_id63_column, hash63_bytes, sha256_hex_column
 from .segments import SegmentBuilder, validate_segment
@@ -62,7 +63,7 @@ def prepare_batch(t: pa.Table, *, lang_tagged: bool) -> pa.Table:
     content = t["content"]
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(pc.fill_null(content, ""))
+    trimmed = pc.utf8_trim(pc.fill_null(content, ""), characters=DROP_WS)
     keep = pc.not_equal(trimmed, "")
     t = t.filter(keep)
     content = t["content"]
@@ -244,14 +245,37 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
     )
 
 
-def _staging_valid(index_dir: str) -> bool:
+def _corpus_fingerprint(corpus) -> str | None:
+    """Cheap corpus identity for checkpoint binding: sha256 of the sorted
+    input-file list (metadata-only; no data pass).  ``None`` when the Dataset
+    has no file provenance (e.g. from_arrow) — then resume validation falls
+    back to the pre-fingerprint behaviour (trust STAGING.json)."""
+    try:
+        files = corpus.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    digest = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
+    return digest[:16]
+
+
+def _staging_valid(index_dir: str, corpus_fp: str | None = None) -> bool:
     p = os.path.join(index_dir, "STAGING.json")
     if not os.path.exists(p):
         return False
     try:
         with open(p) as f:
             meta = json.load(f)
-        return os.path.isdir(os.path.join(index_dir, "staging")) and meta.get("ok")
+        if not (os.path.isdir(os.path.join(index_dir, "staging")) and meta.get("ok")):
+            return False
+        # checkpoints are bound to the corpus they were staged from: a
+        # changed input-file list invalidates staging (and everything
+        # derived from it) instead of silently serving stale docs
+        recorded = meta.get("corpus_fp")
+        if corpus_fp is not None and recorded is not None and recorded != corpus_fp:
+            return False
+        return True
     except (json.JSONDecodeError, OSError):
         return False
 
@@ -294,10 +318,20 @@ def build_index(
 
     staging_dir = os.path.join(index_dir, "staging")
     t0 = _t()
-    if not _staging_valid(index_dir):
+    corpus_fp = _corpus_fingerprint(corpus)
+    if not _staging_valid(index_dir, corpus_fp):
+        # stale/absent staging: every derived artifact (segments, docmap,
+        # manifest) came from that staging — drop them too, or a fingerprint
+        # mismatch would rebuild staging yet keep serving stale segments
+        for sub in ("staging", "segments"):
+            p = os.path.join(index_dir, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        for fn in ("docmap.bin", "doclens.bin", "MANIFEST.json"):
+            p = os.path.join(index_dir, fn)
+            if os.path.exists(p):
+                os.remove(p)
         n_input = corpus.count()
-        if os.path.exists(staging_dir):
-            shutil.rmtree(staging_dir)
         staged_ds = corpus.map_batches(
             prepare_batch, batch_format="pyarrow",
             fn_kwargs={"lang_tagged": lang_tagged},
@@ -307,7 +341,7 @@ def build_index(
             raise ValueError("no indexable documents (all rows empty?)")
         with open(os.path.join(index_dir, "STAGING.json"), "w") as f:
             json.dump({"ok": True, "n_input_rows": n_input,
-                       "lang_tagged": lang_tagged}, f)
+                       "lang_tagged": lang_tagged, "corpus_fp": corpus_fp}, f)
     with open(os.path.join(index_dir, "STAGING.json")) as f:
         staging_meta = json.load(f)
     if staging_meta.get("lang_tagged") != lang_tagged:
@@ -473,6 +507,7 @@ def build_index(
         "avgdl": float(avgdl),
         "langs": langs,
         "lang_tagged": lang_tagged,
+        "corpus_fp": corpus_fp,
         "n_shards": n_shards,
         "salt_bits": salt_bits,
         "doc_ordinals": True,  # postings store dense ranks; see docmap.bin

@@ -9,15 +9,18 @@ Replaces the opaque Milvus ``SPARSE_INVERTED_INDEX`` posting storage
     (gap of a block's first posting is taken from the previous block's last
     doc id, so a whole-list decode is one varbyte pass + one cumsum, while a
     skipped-to block can still be decoded alone from ``block_last_docid``);
-  * per posting we store (gap, tf, doc_len) — carrying doc_len in the posting
-    removes the doc-table join at query time (space: ~1-2 varbyte bytes);
+  * per posting we store (gap, tf) only — format v3 moved doc lengths out of
+    the postings into the forward ``doclens.bin`` array (ordinal-indexed, one
+    int32 per doc; see segments.py) so the hottest lists carry ~2 bytes per
+    posting.  Doc lengths are still SUPPLIED to ``encode_postings`` at build
+    time to compute the block-max bounds, but are not stored in the blob;
   * per block of ``BLOCK`` postings: last doc id and an upper bound of the
     BM25 tf-saturation factor (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)), rounded
     UP in float32 — the block-max WAND bound.
 
-Block layout in the blob, per block: varbyte(gaps) ++ varbyte(tfs) ++
-varbyte(dls).  No intra-block offsets are needed: a varbyte decode of n ints
-reports consumed bytes, so the three streams are read back-to-back.
+Block layout in the blob, per block: varbyte(gaps) ++ varbyte(tfs).  No
+intra-block offsets are needed: a varbyte decode of n ints reports consumed
+bytes, so the two streams are read back-to-back.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+from . import DROP_WS
 from .analyzer import analyze_query, tokens_py
 from .build import SCORE_SCALE
 from .ids import doc_id63
@@ -31,7 +32,7 @@ class OracleIndex:
         langs = set()
         for row in rows:
             content = row.get("content") or ""
-            if content.strip() == "":
+            if content.strip(DROP_WS) == "":
                 self.dropped += 1
                 continue
             did = doc_id63(row["repo"], row["path"], row["commit"])

@@ -84,17 +84,21 @@ class QueryEngine:
         self.k = k
         self.scorer = scorer
         # ordinal -> real doc id translation (build.py docmap); memmapped so
-        # actor startup stays O(1) in corpus size
-        self.docmap = None
-        self.doclens = None
-        if self.manifest.get("doc_ordinals"):
-            self.docmap = np.memmap(
-                os.path.join(index_dir, "docmap.bin"), dtype=np.int64, mode="r"
+        # actor startup stays O(1) in corpus size.  A manifest without
+        # doc_ordinals is a pre-v3 index: postings would misdecode (dl gone
+        # from the posting stream) — refuse it loudly rather than crash later.
+        if not self.manifest.get("doc_ordinals"):
+            raise ValueError(
+                f"index at {index_dir} predates the ordinal-postings format "
+                f"(manifest lacks doc_ordinals); rebuild required"
             )
-            # forward doc-length array (ordinal-indexed; postings omit dl)
-            self.doclens = np.memmap(
-                os.path.join(index_dir, "doclens.bin"), dtype=np.int32, mode="r"
-            )
+        self.docmap = np.memmap(
+            os.path.join(index_dir, "docmap.bin"), dtype=np.int64, mode="r"
+        )
+        # forward doc-length array (ordinal-indexed; postings omit dl)
+        self.doclens = np.memmap(
+            os.path.join(index_dir, "doclens.bin"), dtype=np.int32, mode="r"
+        )
         seg_root = os.path.join(index_dir, "segments")
         self.segments = [
             SegmentReader(os.path.join(seg_root, s["segment_id"]))

@@ -156,6 +156,15 @@ class SegmentReader:
 
     def __init__(self, seg_dir: str):
         self.dir = seg_dir
+        with open(os.path.join(seg_dir, "manifest.json")) as f:
+            fv = json.load(f).get("format_version")
+        if fv != FORMAT_VERSION:
+            # a pre-v3 segment would misdecode silently (postings carried
+            # doc_len then); cheap manifest check instead of a silent wrong read
+            raise ValueError(
+                f"segment {seg_dir} has format_version={fv}, "
+                f"reader requires {FORMAT_VERSION}; rebuild required"
+            )
         self.dict = pq.read_table(os.path.join(seg_dir, "dict.parquet"))
         self.blob = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8,
                               mode="r") if os.path.getsize(

@@ -23,7 +23,7 @@ round-half-away (DuckDB), which requires a contribution to land exactly on a
 
 from __future__ import annotations
 
-from . import B, K1
+from . import B, DROP_WS, K1
 from .analyzer import tokens_sql
 from .build import SCORE_SCALE
 from .corpus import DOCS_COMMIT
@@ -46,7 +46,10 @@ corpus AS (
   FROM documents
 )"""
 
-# docs: identity + sha256 + tokens; empty/whitespace rows dropped (build.prepare_batch)
+# docs: identity + sha256 + tokens; empty/whitespace rows dropped
+# (build.prepare_batch) — trim set rendered from the shared DROP_WS constant
+_WS_TRIMSET = " || ".join(f"chr({ord(c)})" for c in DROP_WS)
+
 DOCS_CTE = f"""
 docs AS (
   SELECT {doc_id63_sql('repo', 'path', 'commit_sha')} AS doc_id,
@@ -57,7 +60,7 @@ docs AS (
   FROM (
     SELECT *, {tokens_sql('content')} AS tokens
     FROM corpus
-    WHERE content IS NOT NULL AND trim(content, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+    WHERE content IS NOT NULL AND trim(content, {_WS_TRIMSET}) <> ''
   )
 )"""
 

@@ -118,3 +118,36 @@ def test_cli_build_query_eval(tmp_path):
     lines = out.read_text().strip().splitlines()
     assert lines[0] == "query_id,rank,doc_id,score"
     assert len(lines) > 1
+
+
+@pytest.mark.timeout(300)
+def test_changed_corpus_invalidates_checkpoints(ray_session):
+    """Checkpoint binding (corpus_fp): re-running build_index into the same
+    index_dir after the input file list changed must rebuild, not silently
+    serve the stale staged docs/segments."""
+    import ray.data as rd
+
+    from splade_ray.build import build_index
+    from splade_ray.corpus import corpus_parquet
+
+    base = "/tmp/splade_ray_fp_test"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "idx")
+
+    d1 = corpus_parquet(200, seed=21, root=base + "/c1")
+    m1 = build_index(rd.read_parquet(d1), idx, lang_tagged=True, n_shards=4)
+    assert m1["corpus_fp"] is not None
+
+    # same corpus -> resume (staging reused, corpus_fp unchanged)
+    m1b = build_index(rd.read_parquet(d1), idx, lang_tagged=True, n_shards=4)
+    assert m1b["corpus_fp"] == m1["corpus_fp"]
+    assert m1b["n_postings"] == m1["n_postings"]
+
+    # different corpus, same index_dir -> full rebuild with the new docs
+    d2 = corpus_parquet(300, seed=22, root=base + "/c2")
+    m2 = build_index(rd.read_parquet(d2), idx, lang_tagged=True, n_shards=4)
+    assert m2["corpus_fp"] != m1["corpus_fp"]
+    assert m2["n_docs"] + m2["n_dropped_rows"] == 300
+    with open(os.path.join(idx, "STAGING.json")) as f:
+        assert json.load(f)["corpus_fp"] == m2["corpus_fp"]
+    shutil.rmtree(base, ignore_errors=True)
