@@ -219,20 +219,47 @@ def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
             (qid, int(round(qtf * w * SCORE_SCALE)))
         )
 
+    # (term -> [(qid, units)]) flattened to aligned arrays for a vectorized
+    # join-by-dictionary-code inside each batch
+    qt_terms = sorted(units_of)
+    qt_index = {t: i for i, t in enumerate(qt_terms)}
+    qt_offsets = np.zeros(len(qt_terms) + 1, dtype=np.int64)
+    flat_q, flat_u = [], []
+    for i, t in enumerate(qt_terms):
+        pairs = units_of[t]
+        qt_offsets[i + 1] = qt_offsets[i] + len(pairs)
+        flat_q.extend(q for q, _ in pairs)
+        flat_u.extend(u for _, u in pairs)
+    flat_q = np.asarray(flat_q, dtype=np.int64)
+    flat_u = np.asarray(flat_u, dtype=np.int64)
+    qt_arr = pa.array(qt_terms, type=pa.string())
+
     def _contrib(t: pa.Table) -> pa.Table:
-        terms = t["term"].to_pylist()
+        # ~99% of postings touch no query term: drop them with one vectorized
+        # is_in before any Python-level work (the query-term set is tiny)
+        term_col = t["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        t = t.filter(pc.is_in(term_col, value_set=qt_arr))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_q, out_d, out_u = [], [], []
-        for i, term in enumerate(terms):
-            for qid, u in units_of.get(term, ()):
-                out_q.append(qid)
-                out_d.append(int(ids[i]))
-                out_u.append(u)
+        # survivors -> query-term indices; expand each to its (qid, units) run
+        surv = t["term"]
+        if isinstance(surv, pa.ChunkedArray):
+            surv = surv.combine_chunks()
+        idx = pc.index_in(surv, value_set=qt_arr).to_numpy(zero_copy_only=False)
+        counts = (qt_offsets[idx + 1] - qt_offsets[idx]).astype(np.int64)
+        row_rep = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        # position within each run: global index into flat_q/flat_u
+        starts = np.repeat(qt_offsets[idx], counts)
+        within = np.arange(len(row_rep), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        flat_pos = starts + within
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "units": pa.array(out_u, type=pa.int64()),
+                "query_id": pa.array(flat_q[flat_pos], type=pa.int64()),
+                "doc_id": pa.array(ids[row_rep], type=pa.int64()),
+                "units": pa.array(flat_u[flat_pos], type=pa.int64()),
             }
         )
 
