@@ -27,6 +27,7 @@ NEARDUP_COS = 0.45  # picked so the driver's embeddings yield non-empty pairs
 JACCARD_T = 0.8
 ANN_K = 10
 ANN_QUERY_VECS = 5  # vec_id < 5 are the query vectors
+EMB_DIM = 64  # driver embeddings are 64-dim at every sf (TESTDATA.md tables)
 
 
 def _docs_ds(sf_dir: str):
@@ -96,7 +97,9 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    return similarity.cosine_neardup_pairs(_emb_ds(sf_dir), threshold=NEARDUP_COS)
+    """LSH-bucketed near-dup (the scale path) — hyperplanes seeded identically
+    to the SQL literals, so the approximate result is bit-reproducible."""
+    return similarity.lsh_neardup_pairs(_emb_ds(sf_dir), threshold=NEARDUP_COS)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -340,10 +343,45 @@ FROM ranked WHERE rnk <= {ANN_K}"""
 
 
 def embedding_neardup_sql() -> str:
+    """Replicates lsh_neardup_pairs exactly: the SAME seeded hyperplanes
+    (similarity.lsh_planes, rounded to 6 dp) embedded as DOUBLE[] literals;
+    sign-bit buckets per table; pairs sharing any (tbl, bucket); exact cosine
+    filter on the candidates."""
+    planes = similarity.lsh_planes(EMB_DIM)
+    n_planes = similarity.LSH_N_PLANES
+    rows = []
+    for idx, coefs in enumerate(planes):
+        tbl, pid = idx // n_planes, idx % n_planes
+        lit = "[" + ", ".join(repr(float(c)) for c in coefs) + "]::DOUBLE[]"
+        rows.append(f"({tbl}, {pid}, {lit})")
+    values = ",\n    ".join(rows)
+    dot = (
+        f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * p.coefs[i]), 'sum')"
+    )
     cos = _cos_sql("a.embedding", "b.embedding")
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH planes(tbl, pid, coefs) AS (
+  SELECT * FROM (VALUES {values})
+),
+dots AS (
+  SELECT e.vec_id, p.tbl, p.pid, {dot} AS dot
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1 << pid) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {cos} >= {NEARDUP_COS!r}e0"""
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -184,12 +185,139 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *,
     )
 
 
+# -------------------------------------------------- hyperplane LSH neardup --
+
+LSH_SEED = 20240817  # hyperplane seed shared with the SQL oracle literals
+LSH_N_PLANES = 4  # planes per table (bucket bits)
+LSH_N_TABLES = 12  # independent tables OR-ed for recall
+
+
+def lsh_planes(dim: int, n_tables: int = LSH_N_TABLES,
+               n_planes: int = LSH_N_PLANES, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (n_tables * n_planes, dim).
+
+    Rounded to 6 decimals so the EXACT same coefficients can be embedded as
+    SQL literals — both sides compute identical sign bits."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_tables * n_planes, dim)), 6)
+
+
+def _lsh_bucket_batch(t: pa.Table, *, planes: np.ndarray, n_tables: int,
+                      n_planes: int, n_groups: int) -> pa.Table:
+    """(vec_id, embedding) batch -> (gkey, code, vec_id, embedding) rows,
+    one row per table (explode x n_tables).
+
+    ``code`` = tbl * 2^n_planes + bucket (bucket = packed sign bits of the
+    table's hyperplane dots); ``gkey`` = code % n_groups coarsens the
+    millions of tiny (tbl, bucket) groups into a BOUNDED number of shuffle
+    partitions — Ray runs map_groups as one task per group, so the group
+    key must never scale with bucket count ([[ray-data-pitfalls]])."""
+    mat = _matrix(t, "embedding")  # unnormalized: sign of dot is scale-free
+    bits = (mat @ planes.T) >= 0  # (n, n_tables*n_planes)
+    weights = 1 << np.arange(n_planes)
+    n = len(mat)
+    codes = []
+    for tbl in range(n_tables):
+        b = bits[:, tbl * n_planes : (tbl + 1) * n_planes] @ weights
+        codes.append((tbl << n_planes) | b.astype(np.int64))
+    code = np.concatenate(codes)
+    take = pa.array(np.tile(np.arange(n), n_tables))
+    return pa.table(
+        {
+            "gkey": pa.array((code % n_groups).astype(np.int64)),
+            "code": pa.array(code),
+            "vec_id": t["vec_id"].take(take),
+            "embedding": t["embedding"].take(take),
+        }
+    )
+
+
+def _bucket_pairs_group(t: pa.Table, *, threshold: float) -> pa.Table:
+    """One coarse group (many whole (tbl, bucket) buckets) -> exact-cosine
+    pairs within each bucket.  Sub-groups by ``code`` in numpy; one matmul
+    per bucket — no per-row Python."""
+    code = t["code"].to_numpy(zero_copy_only=False)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = _normalize(_matrix(t, "embedding"))
+    order = np.argsort(code, kind="stable")
+    code, ids, mat = code[order], ids[order], mat[order]
+    bounds = np.flatnonzero(np.diff(code)) + 1
+    out_a, out_b, out_s = [], [], []
+    for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, len(code)]):
+        if hi - lo < 2:
+            continue
+        sub_ids = ids[lo:hi]
+        sims = mat[lo:hi] @ mat[lo:hi].T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = sub_ids[ai], sub_ids[bi]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        out_a.append(a)
+        out_b.append(b)
+        out_s.append(sims[ai, bi])
+    if not out_a:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "vec_a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "vec_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+            "cosine": pa.array(np.round(np.concatenate(out_s), 6),
+                               type=pa.float64()),
+        }
+    )
+
+
+def lsh_neardup_pairs(ds, threshold: float = 0.95, *,
+                      n_tables: int = LSH_N_TABLES, n_planes: int = LSH_N_PLANES,
+                      seed: int = LSH_SEED, n_groups: int = 64):
+    """Embedding near-duplicate pairs via random-hyperplane LSH — the scale
+    path (replaces the brute-force O(n^2) broadcast compare).
+
+    Dataflow: a bucket column per table (map_batches, x n_tables explode) ->
+    ONE shuffle on a coarse group key (bucket hash mod ``n_groups``, so task
+    count stays bounded regardless of bucket cardinality) -> per-bucket
+    exact-cosine matmul inside each group -> Max-aggregate pair dedup across
+    tables.  No stage materializes the dataset; only co-bucketed rows meet.
+
+    Approximate-by-construction (a pair missed by every table is not
+    emitted), exactly like MinHash banding — the SQL oracle replicates the
+    same seeded hyperplanes, so both sides agree bit-for-bit.  At 10^12 docs
+    raise ``n_planes`` so bucket occupancy n/2^n_planes keeps the per-bucket
+    matmul cheap, ``n_groups`` ~ cluster cores, and tune ``n_tables`` to the
+    recall target; the operator shape is unchanged.
+    """
+    from ray.data.aggregate import Max
+
+    # infer dim from one embedding row (bounded single-row peek)
+    dim = len(ds.limit(1).take_all()[0]["embedding"])
+    planes = lsh_planes(dim, n_tables, n_planes, seed)
+    bucketed = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _lsh_bucket_batch, batch_format="pyarrow",
+        fn_kwargs={"planes": planes, "n_tables": n_tables,
+                   "n_planes": n_planes, "n_groups": n_groups},
+    )
+    pairs = bucketed.groupby("gkey").map_groups(
+        _bucket_pairs_group, batch_format="pyarrow",
+        fn_kwargs={"threshold": threshold},
+    )
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
+
+
 def cosine_neardup_pairs(ds, threshold: float = 0.95, concurrency: int = 4):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= threshold).
 
-    Single-node-exact implementation: every batch is compared against the
-    full (broadcast) matrix — O(n^2) work but zero shuffle; at 100 TB this
-    becomes LSH-bucketed (random hyperplanes) with per-bucket exact check.
+    BRUTE-FORCE baseline (exact, O(n^2)): broadcasts the full matrix to every
+    batch.  Test/verification harness for ``lsh_neardup_pairs`` — NOT the
+    scale path; do not run on large tables.
     """
     all_rows = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     ids = all_rows["vec_id"].to_numpy()

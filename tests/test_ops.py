@@ -154,3 +154,33 @@ def test_connected_components(ray_session):
     out = dedup.connected_components(pairs, all_ids_ds=all_ids).to_pandas()
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20, 99: 99}
+
+
+@pytest.fixture(scope="module")
+def neardup_emb_ds(ray_session):
+    """60 base vectors + 20 planted near-duplicates (tiny perturbations)."""
+    rng = np.random.default_rng(9)
+    rows = []
+    base = rng.normal(size=(60, 32))
+    for i in range(60):
+        rows.append({"vec_id": i, "embedding": base[i].astype(np.float32).tolist()})
+    for j in range(20):
+        v = base[j] + rng.normal(size=32) * 0.02  # cosine ~0.999 vs base[j]
+        rows.append({"vec_id": 100 + j, "embedding": v.astype(np.float32).tolist()})
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+
+def test_lsh_neardup_matches_brute_force(neardup_emb_ds):
+    """The LSH-bucketed scale path finds exactly the brute-force pairs on
+    planted near-dups (deterministic: seeded planes + fixed data)."""
+    brute = similarity.cosine_neardup_pairs(
+        neardup_emb_ds, threshold=0.9, concurrency=2
+    ).to_pandas()
+    lsh = similarity.lsh_neardup_pairs(neardup_emb_ds, threshold=0.9).to_pandas()
+    bp = set(zip(brute.vec_a, brute.vec_b))
+    lp = set(zip(lsh.vec_a, lsh.vec_b))
+    assert len(bp) >= 20  # all planted dups are above threshold
+    assert lp == bp
+    # cosines agree to the shared 6-dp rounding
+    merged = brute.merge(lsh, on=["vec_a", "vec_b"], suffixes=("_b", "_l"))
+    assert (merged.cosine_b - merged.cosine_l).abs().max() <= 1e-6
