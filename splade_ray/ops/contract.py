@@ -91,9 +91,18 @@ def q_ann_cosine(sf_dir: str):
     return similarity.brute_force_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+
+
 def q_ann_ivf(sf_dir: str):
+    """IVF with data-independent seeded centroids: the SQL oracle replays
+    bucket assignment, probe selection and within-bucket ranking exactly."""
     ids, mat = _query_vectors(sf_dir)
-    return similarity.ivf_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
+    return similarity.ivf_topk(
+        _emb_ds(sf_dir), ids, mat, k=ANN_K, nprobe=IVF_NPROBE,
+        centroids=similarity.ivf_fixed_centroids(EMB_DIM, IVF_CLUSTERS),
+    )
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -342,6 +351,60 @@ SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
 FROM ranked WHERE rnk <= {ANN_K}"""
 
 
+def ann_ivf_sql() -> str:
+    """Exact replay of q_ann_ivf: same seeded unit centroids as literals,
+    bucket = argmax dot (ties: lowest cid), probes = top nprobe centroids per
+    query (same tie-break), rank within probed buckets."""
+    cents = similarity.ivf_fixed_centroids(EMB_DIM, IVF_CLUSTERS)
+    rows = ",\n    ".join(
+        "(" + str(cid) + ", [" + ", ".join(repr(float(x)) for x in coefs)
+        + "]::DOUBLE[])"
+        for cid, coefs in enumerate(cents)
+    )
+    dot = (
+        f"list_aggregate(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * c.coefs[i]), 'sum')"
+    )
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""
+WITH cents(cid, coefs) AS (
+  SELECT * FROM (VALUES {rows})
+),
+edot AS (
+  SELECT e.vec_id, c.cid, {dot} AS dot
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM edot) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM edot WHERE vec_id < {ANN_QUERY_VECS}) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS query_vec_id, e.vec_id, {cos} AS cos
+  FROM embeddings q
+  JOIN probes p ON p.query_vec_id = q.vec_id
+  JOIN assign a ON a.bucket = p.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERY_VECS}
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {ANN_K}"""
+
+
 def embedding_neardup_sql() -> str:
     """Replicates lsh_neardup_pairs exactly: the SAME seeded hyperplanes
     (similarity.lsh_planes, rounded to 6 dp) embedded as DOUBLE[] literals;
@@ -396,8 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "langid": langid_sql(),
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),
+        "ann_ivf_topk": ann_ivf_sql(),
         "embedding_neardup_pairs": embedding_neardup_sql(),
-        # ann_ivf_topk: approximate — deliberately no SQL oracle
     }
 
 

@@ -66,18 +66,9 @@ class CosineTopK:
         )
 
 
-def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
-                     k: int = 10, concurrency: int = 4):
-    """Global cosine top-k: broadcast queries, partial top-k per batch, final
-    top-k in a tiny driver-side pass.  Excludes self-matches.
-    Returns (query_vec_id, rank, vec_id, cosine)."""
-    ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
-    partial = ds.map_batches(
-        CosineTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k + 1},
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
-    )
-    t = partial.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in t])  # k+1 rows per (query, batch): small
+def _finalize_topk(tbl: pa.Table, k: int) -> pa.Table:
+    """Merge per-batch partial candidates (tiny: k+1 rows per query-batch)
+    into the global per-query top-k.  Drops self-matches; ties by vec_id."""
     q = tbl["query_vec_id"].to_numpy(zero_copy_only=False)
     v = tbl["vec_id"].to_numpy(zero_copy_only=False)
     s = tbl["cosine"].to_numpy(zero_copy_only=False)
@@ -98,6 +89,21 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
             "cosine": pa.array(out_s, type=pa.float64()),
         }
     )
+
+
+def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                     k: int = 10, concurrency: int = 4):
+    """Global cosine top-k: broadcast queries, partial top-k per batch, final
+    top-k in a tiny driver-side pass.  Excludes self-matches.
+    Returns (query_vec_id, rank, vec_id, cosine)."""
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    partial = ds.map_batches(
+        CosineTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k + 1},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    t = partial.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in t])  # k+1 rows per (query, batch): small
+    return _finalize_topk(tbl, k)
 
 
 # -------------------------------------------------------------------- IVF --
@@ -122,67 +128,121 @@ def kmeans_fit(mat: np.ndarray, n_clusters: int, seed: int = 42,
     return cent
 
 
+def ivf_fixed_centroids(dim: int, n_clusters: int = 16,
+                        seed: int = 20240818) -> np.ndarray:
+    """Seeded random UNIT centroids, rounded to 6 dp — data-independent, so
+    the exact coefficients can be embedded as SQL literals (the oracle for
+    ``ann_ivf_topk`` replays bucket assignment + probe selection verbatim).
+    Quality path: ``kmeans_fit`` on a bounded sample instead."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
 def _ivf_assign_batch(t: pa.Table, *, cent: np.ndarray) -> pa.Table:
     """Stateless centroid assignment — centroids are tiny, so this is a plain
     task fn, NOT an actor pool: two chained full-width actor pools would
-    reserve every CPU and deadlock the read stage (ray_guide: pool sizing)."""
-    mat = _normalize(_matrix(t, "embedding"))
+    reserve every CPU and deadlock the read stage (ray_guide: pool sizing).
+    Raw dot (no normalization): argmax is scale-invariant and this keeps the
+    float path identical to the SQL oracle's."""
+    mat = _matrix(t, "embedding")
     assign = (mat @ cent.T).argmax(axis=1).astype(np.int32)
     return t.append_column("bucket", pa.array(assign))
 
 
+class _IvfTopK:
+    """Actor-pool stage: per-batch cosine top-k with PER-QUERY probe-bucket
+    restriction applied vectorized on the batch's bucket column."""
+
+    def __init__(self, queries_ref, probes: np.ndarray, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(q["mat"])
+        self.probes = probes  # (n_queries, nprobe) bucket ids
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(t, "embedding"))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ mat.T  # (n_queries, batch)
+        # (nq, batch): row r of query q allowed iff bucket[r] in probes[q]
+        member = (bucket[None, :, None] == self.probes[:, None, :]).any(axis=2)
+        sims = np.where(member, sims, -np.inf)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            valid = np.flatnonzero(np.isfinite(row))
+            if len(valid) == 0:
+                continue
+            part = valid[np.argpartition(-row[valid], self.k - 1)[: self.k]] \
+                if len(valid) > self.k else valid
+            out_q.extend([self.qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend(row[part].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def _sample_matrix(ds, limit: int) -> np.ndarray:
+    """Bounded driver-side sample (<= limit rows) streamed batch-by-batch —
+    never more than one batch plus the accumulated sample in driver memory."""
+    chunks = []
+    for batch in ds.select_columns(["embedding"]).limit(limit).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        chunks.append(_matrix(batch, "embedding"))
+    return np.vstack(chunks)
+
+
 def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, *,
              n_clusters: int = 16, nprobe: int = 4, k: int = 10,
-             seed: int = 42, sample_limit: int = 20_000, concurrency: int = 4):
-    """IVF-bucketed ANN: k-means buckets (seeded, fit on a bounded sample),
-    queries scan only their ``nprobe`` nearest buckets.  Approximate; recall
-    vs brute force is asserted in tests, not oracle-checked."""
-    sample = ds.limit(sample_limit).to_pandas()
-    mat = np.stack(sample["embedding"].to_numpy())
-    cent = kmeans_fit(mat, n_clusters, seed=seed)
+             seed: int = 42, sample_limit: int = 20_000, concurrency: int = 4,
+             centroids: np.ndarray | None = None):
+    """IVF-bucketed ANN in pure dataflow form: bucket column assigned per
+    batch (stateless task fn), rows outside every query's probe set pruned
+    vectorized, then a partial-top-k actor pool whose per-query candidate
+    mask comes from the batch's OWN bucket column — no driver-side bucket
+    map, nothing materialized but k+1-row partials.
+
+    ``centroids=None``: seeded k-means on a bounded streamed sample (quality
+    path; approximate, recall-tested).  Pass ``ivf_fixed_centroids(dim)`` for
+    the data-independent variant whose result the SQL oracle reproduces
+    exactly.  At 10^12 docs the bucket column becomes the partition key for
+    bucket-local segments; probes then prune whole partitions at the read.
+    """
+    if centroids is None:
+        sample = _sample_matrix(ds, sample_limit)
+        centroids = kmeans_fit(sample, n_clusters, seed=seed)
+    cent = np.asarray(centroids, dtype=np.float64)
     bucketed = ds.map_batches(
         _ivf_assign_batch, fn_kwargs={"cent": cent}, batch_format="pyarrow",
     )
-    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
-    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(b) for row in probes for b in row})
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    # probe order by raw dot: per-query ranking is norm-invariant; ties broken
+    # by centroid index (stable argsort) = the SQL oracle's cid ASC tie-break
+    probes = np.argsort(-(qmat @ cent.T), kind="stable", axis=1)[:, :nprobe]
+    wanted = pa.array(sorted({int(b) for row in probes for b in row}),
+                      type=pa.int32())
 
     def _probe_filter(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.is_in(t["bucket"], pa.array(wanted, type=pa.int32())))
+        return t.filter(pc.is_in(t["bucket"], value_set=wanted))
 
     sub = bucketed.map_batches(_probe_filter, batch_format="pyarrow")
-    out = []
-    full = brute_force_topk(sub, query_ids, query_mat, k=k, concurrency=concurrency)
-    # restrict each query to its probed buckets: brute force over the union is
-    # a superset; exact per-query probe filtering happens here (tiny table)
-    bucket_of = {int(r["vec_id"]): int(r["bucket"])
-                 for r in bucketed.select_columns(["vec_id", "bucket"]).take_all()}
-    q = full["query_vec_id"].to_numpy(zero_copy_only=False)
-    v = full["vec_id"].to_numpy(zero_copy_only=False)
-    s = full["cosine"].to_numpy(zero_copy_only=False)
-    probe_sets = {int(qid): {int(b) for b in probes[i]}
-                  for i, qid in enumerate(query_ids)}
-    out_q, out_r, out_v, out_s = [], [], [], []
-    for qid in np.unique(q):
-        m = q == qid
-        ok = np.array([bucket_of.get(int(x), -1) in probe_sets[int(qid)] for x in v[m]])
-        vv, ss = v[m][ok], s[m][ok]
-        order = np.lexsort((vv, -ss))[:k]
-        vv, ss = vv[order], ss[order]
-        out_q.extend([qid] * len(vv))
-        out_r.extend(range(1, len(vv) + 1))
-        out_v.extend(vv.tolist())
-        out_s.extend(ss.tolist())
-    return pa.table(
-        {
-            "query_vec_id": pa.array(out_q, type=pa.int64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-            "vec_id": pa.array(out_v, type=pa.int64()),
-            "cosine": pa.array(out_s, type=pa.float64()),
-        }
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": qmat})
+    partial = sub.map_batches(
+        _IvfTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "probes": probes, "k": k + 1},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
+    tbl = pa.concat_tables([ray.get(r) for r in partial.to_arrow_refs()])
+    return _finalize_topk(tbl, k)
 
 
 # -------------------------------------------------- hyperplane LSH neardup --
