@@ -383,48 +383,61 @@ def build_index(
     t0 = _t()
 
     # doc-ordinal map: sorted unique doc ids -> postings store dense ranks.
-    # One column read; the sorted array IS the collision check (duplicate
-    # identity rows are a caller error) and later the ordinal->id decoder.
-    # At 10^12 docs this becomes per-doc-partition ordinal ranges assigned
-    # by a prefix-sum over sorted partitions; the driver-side sort here is
-    # the single-node stand-in.
+    # The sort is DISTRIBUTED (ray.data range-partition sort over the pruned
+    # 2-column read); the driver then streams the ordered batches into
+    # docmap.bin/doclens.bin append-only, holding one batch at a time —
+    # ordinal of a row = count of rows already written (a prefix sum over
+    # sorted partitions, realized by the write cursor).  The streamed pass
+    # doubles as the duplicate-identity check: equal ids are adjacent after
+    # the sort.  At 10^12 docs the single file becomes per-range shards
+    # written by the sort's own output tasks; the ordinal math is identical.
     docmap_path = os.path.join(index_dir, "docmap.bin")
     doclens_path = os.path.join(index_dir, "doclens.bin")
-    if (os.path.exists(docmap_path)
+    if not (os.path.exists(docmap_path)
             and os.path.getsize(docmap_path) == 8 * n_docs
             and os.path.exists(doclens_path)
             and os.path.getsize(doclens_path) == 4 * n_docs):
-        docmap = np.fromfile(docmap_path, dtype=np.int64)
-        doclens = np.fromfile(doclens_path, dtype=np.int32)
-    else:
-        id_chunks, dl_chunks = [], []
-        for batch in ray.data.read_parquet(
+        sorted_ds = ray.data.read_parquet(
             staging_dir, columns=["doc_id", "doc_len"]
-        ).iter_batches(batch_size=262144, batch_format="pyarrow"):
-            id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
-            dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
-        all_ids = np.concatenate(id_chunks)
-        all_dls = np.concatenate(dl_chunks)
-        order = np.argsort(all_ids, kind="stable")
-        docmap = all_ids[order]
-        doclens = all_dls[order].astype(np.int32)
-        if len(docmap) > 1 and (docmap[1:] == docmap[:-1]).any():
-            n_dup = int((docmap[1:] == docmap[:-1]).sum())
-            raise ValueError(
-                f"{n_dup} duplicate (repo, path, commit) identity rows (or a "
-                f"63-bit doc_id collision); deduplicate the corpus first "
-                f"(ops.dedup) or widen ids"
+        ).sort("doc_id")
+        tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
+        last_id = None
+        n_written = 0
+        with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
+            for batch in sorted_ds.iter_batches(batch_size=262144,
+                                                batch_format="pyarrow"):
+                if batch.num_rows == 0:
+                    continue
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                d = np.diff(ids)
+                if (d < 0).any() or (last_id is not None and ids[0] < last_id):
+                    raise AssertionError("sorted dataset iterated out of order")
+                if (d == 0).any() or (last_id is not None and ids[0] == last_id):
+                    raise ValueError(
+                        "duplicate (repo, path, commit) identity rows (or a "
+                        "63-bit doc_id collision); deduplicate the corpus "
+                        "first (ops.dedup) or widen ids"
+                    )
+                last_id = int(ids[-1])
+                fmap.write(np.ascontiguousarray(ids, dtype=np.int64).tobytes())
+                fdl.write(np.ascontiguousarray(
+                    batch["doc_len"].to_numpy(zero_copy_only=False),
+                    dtype=np.int32).tobytes())
+                n_written += batch.num_rows
+        if n_written != n_docs:
+            raise AssertionError(
+                f"ordinal pass wrote {n_written} rows, stats counted {n_docs}"
             )
-        tmp_map = docmap_path + ".tmp"
-        docmap.tofile(tmp_map)
         os.replace(tmp_map, docmap_path)
-        tmp_dl = doclens_path + ".tmp"
-        doclens.tofile(tmp_dl)
         os.replace(tmp_dl, doclens_path)
+    # memmap (not fromfile): the driver never loads the arrays into its heap;
+    # ray.put streams them into the object store as the one broadcast copy
+    docmap = np.memmap(docmap_path, dtype=np.int64, mode="r")
+    doclens = np.memmap(doclens_path, dtype=np.int32, mode="r")
     import ray as _ray
 
-    docmap_ref = _ray.put(docmap)
-    doclens_ref = _ray.put(doclens)
+    docmap_ref = _ray.put(np.asarray(docmap))
+    doclens_ref = _ray.put(np.asarray(doclens))
     timings["docmap_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
