@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idf_coord_topk": p.idf_coord_topk,
         "bm25_topk_docs": p.bm25_topk_docs,
         "rrf_hybrid": p.rrf_hybrid,
+        "rrf_dense_sparse": p.rrf_dense_sparse,
         "chunk_docs": p.chunk_docs,
     }
     try:  # training-data ops (splade_ray.ops) — added as they land
@@ -67,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
         "idf_coord_topk": sql.idf_coord_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_docs": sql.bm25_topk_docs_sql(DOC_QUERIES, TOP_K),
         "rrf_hybrid": sql.rrf_hybrid_sql(DOC_QUERIES, TOP_K),
+        "rrf_dense_sparse": sql.rrf_dense_sparse_sql(DOC_QUERIES, TOP_K),
         "chunk_docs": sql.chunk_docs_sql(),
     }
     try:

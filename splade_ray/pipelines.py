@@ -341,3 +341,57 @@ def rrf_hybrid(sf_dir: str):
     from .ops.fusion import rrf_fuse
 
     return rrf_fuse([bm25_topk(sf_dir, scorer="taat"), idf_coord_topk(sf_dir)])
+
+
+def rrf_dense_sparse(sf_dir: str):
+    """The reference's ACTUAL hybrid shape — dense + sparse RRF
+    (retrievers.py:110-150): BM25 over the inverted index fused with native
+    ANN cosine top-k over the driver's ``embeddings`` table (vector i is the
+    dense representation of document i; query vectors are vec_id < 5, paired
+    with DOC_QUERIES 0-4).
+
+    The dense leg's raw vec_ids are mapped into the engine's 63-bit doc-id
+    space by a SEMI-JOIN: the tiny (<= 5k-row) ANN result's ids filter the
+    staged docs with one vectorized is_in pass — no shuffle join, the big
+    side streams."""
+    from .ops import contract as ops_contract
+    from .ops import similarity
+    from .ops.fusion import rrf_fuse
+
+    n_q = ops_contract.ANN_QUERY_VECS
+    sparse = bm25_topk(sf_dir, scorer="taat").map_batches(
+        lambda t: t.filter(pc.less(t["query_id"], pa.scalar(n_q))),
+        batch_format="pyarrow",
+    )
+    qids, qmat = ops_contract._query_vectors(sf_dir)
+    dense_tbl = similarity.brute_force_topk(
+        ops_contract._emb_ds(sf_dir), qids, qmat, k=TOP_K
+    )  # tiny: n_q * k rows, already a pa.Table
+    wanted = pa.array(
+        sorted({str(v) for v in dense_tbl["vec_id"].to_pylist()}),
+        type=pa.string(),
+    )
+    id_map_rows = (
+        _staged(sf_dir)
+        .select_columns(["doc_id", "path"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["path"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    raw2id63 = {int(r["path"]): r["doc_id"] for r in id_map_rows}
+    vecs = dense_tbl["vec_id"].to_pylist()
+    keep = [i for i, v in enumerate(vecs) if int(v) in raw2id63]
+    dense = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": dense_tbl["query_vec_id"].take(pa.array(keep)),
+                "rank": dense_tbl["rank"].take(pa.array(keep)),
+                "doc_id": pa.array(
+                    [raw2id63[int(vecs[i])] for i in keep], type=pa.int64()
+                ),
+            }
+        )
+    )
+    return rrf_fuse([sparse, dense])

@@ -301,3 +301,70 @@ WITH base AS (
 SELECT doc_id, j AS chunk_id,
        substr(text, 1 + {step} * CAST(j AS INTEGER), {chunk_size}) AS chunk
 FROM base, unnest(range(0, n_chunks)) AS t(j)"""
+
+
+def _emb_cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Row-wise cosine of two FLOAT[] columns (mirrors ops.contract._cos_sql)."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({x}) + 1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def rrf_dense_sparse_sql(queries: list[tuple[int, str]], k: int = 10,
+                         rrf_k: int = 60, n_dense_q: int = 5) -> str:
+    """RRF of the BM25 (sparse) leg and the native ANN-cosine (dense) leg —
+    the reference's true hybrid shape (dense + sparse, retrievers.py:110-150).
+
+    Dense leg: embeddings vec_id < n_dense_q are the query vectors (paired
+    with DOC_QUERIES 0..n-1); vector i represents documents row i, mapped to
+    the engine's 63-bit doc-id space through the docs CTE (path = raw id)."""
+    unit = (
+        f"CAST(round((1e0 / ({rrf_k} + rnk)) * {_f(float(SCORE_SCALE))}) AS BIGINT)"
+    )
+    cos = _emb_cos_sql("q.embedding", "e.embedding")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+            f"""
+dense_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_dense_q}
+),
+dense_ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM dense_scored
+),
+dense_mapped AS (
+  SELECT r.query_id, d.doc_id, r.rnk
+  FROM dense_ranked r
+  JOIN docs d ON d.path = CAST(r.vec_id AS VARCHAR)
+  WHERE r.rnk <= {k}
+),
+rrf AS (
+  SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS units FROM (
+    SELECT query_id, doc_id, {unit} AS u FROM ranked
+    WHERE rnk <= {k} AND query_id < {n_dense_q}
+    UNION ALL
+    SELECT query_id, doc_id, {unit} AS u FROM dense_mapped
+  ) GROUP BY query_id, doc_id
+),
+rrf_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM rrf
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS rrf_score
+FROM rrf_ranked WHERE rnk <= {k}"""
+    )
