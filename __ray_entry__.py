@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid": p.rrf_hybrid,
         "rrf_dense_sparse": p.rrf_dense_sparse,
         "chunk_docs": p.chunk_docs,
+        "chunk_docs_recursive": p.chunk_docs_recursive,
     }
     try:  # training-data ops (splade_ray.ops) — added as they land
         from splade_ray.ops import contract as ops_contract
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": sql.rrf_hybrid_sql(DOC_QUERIES, TOP_K),
         "rrf_dense_sparse": sql.rrf_dense_sparse_sql(DOC_QUERIES, TOP_K),
         "chunk_docs": sql.chunk_docs_sql(),
+        "chunk_docs_recursive": sql.chunk_docs_recursive_sql(),
     }
     try:
         from splade_ray.ops import contract as ops_contract

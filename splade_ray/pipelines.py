@@ -324,6 +324,66 @@ def chunk_docs(sf_dir: str):
     ).map_batches(_chunk_batch, batch_format="pyarrow")
 
 
+# Separator priority of the recursive chunker (reference ingest.py:90-91 uses
+# RecursiveCharacterTextSplitter whose default ladder is ["\n\n","\n"," ",""]).
+CHUNK_SEPARATORS = ("\n\n", "\n", " ")
+
+
+def _recursive_chunks(text: str) -> list[str]:
+    """Greedy separator-aware chunking, deterministic and SQL-replicable.
+
+    Window = next CHUNK_SIZE chars; cut at the END of the LAST separator
+    occurrence in the window (first separator in the priority ladder whose
+    cut keeps progress, i.e. cut > CHUNK_OVERLAP); hard cut at CHUNK_SIZE if
+    no separator qualifies.  Next chunk starts OVERLAP chars before the cut.
+    The SQL oracle (sql.chunk_docs_recursive_sql) replays this walk as a
+    recursive CTE using the reverse-strpos trick for "last occurrence".
+    """
+    size, ov = CHUNK_SIZE, CHUNK_OVERLAP
+    out = []
+    s, n = 0, len(text)
+    while True:
+        if n - s <= size:
+            out.append(text[s:])
+            return out
+        w = text[s : s + size]
+        cut = size
+        for sep in CHUNK_SEPARATORS:
+            q = w.rfind(sep)
+            if q >= 0 and q + len(sep) > ov:
+                cut = q + len(sep)
+                break
+        out.append(w[:cut])
+        s = s + cut - ov
+
+
+def _chunk_recursive_batch(t: pa.Table) -> pa.Table:
+    out_id, out_cid, out_chunk = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for j, ch in enumerate(_recursive_chunks(text or "")):
+            out_id.append(did)
+            out_cid.append(j)
+            out_chunk.append(ch)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "chunk_id": pa.array(out_cid, type=pa.int64()),
+            "chunk": pa.array(out_chunk, type=pa.string()),
+        }
+    )
+
+
+def chunk_docs_recursive(sf_dir: str):
+    """Separator-aware recursive chunker (SURVEY M1, full semantics)."""
+    import os as _os
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_chunk_recursive_batch, batch_format="pyarrow")
+
+
 def bm25_topk_docs(sf_dir: str):
     """BM25 results joined with doc metadata (A6 doc fetch: the reference
     returns pk+text with each hit, retrievers.py:81,140).  Hash join on

@@ -368,3 +368,38 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        units / {_f(float(SCORE_SCALE))} AS rrf_score
 FROM rrf_ranked WHERE rnk <= {k}"""
     )
+
+
+def chunk_docs_recursive_sql(chunk_size: int = 1000, overlap: int = 100) -> str:
+    """Recursive-CTE replay of pipelines._recursive_chunks.
+
+    Last-occurrence-of-separator via reverse+strpos: for window W of length
+    SIZE and separator at (1-based) start q occupying L chars,
+    strpos(reverse(W), reverse(sep)) = SIZE - q - L + 2, so the chunk length
+    including the separator is q + L - 1 = SIZE - strpos + 1.  All three
+    separators are palindromes, so reverse(sep) = sep."""
+    size, ov = chunk_size, overlap
+    w = f"substr(text, s, {size})"
+    seps = [f"chr(10) || chr(10)", "chr(10)", "' '"]
+
+    def clause(sep: str) -> str:
+        p = f"strpos(reverse({w}), {sep})"
+        return f"WHEN {p} > 0 AND ({size} - {p} + 1) > {ov} THEN {size} - {p} + 1"
+
+    cut = "CASE " + " ".join(clause(s) for s in seps) + f" ELSE {size} END"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, coalesce(text, '') AS text, len(coalesce(text, '')) AS n
+  FROM documents
+),
+ch(doc_id, chunk_id, s, text, n) AS (
+  SELECT doc_id, 0, 1, text, n FROM base
+  UNION ALL
+  SELECT doc_id, chunk_id + 1, s + ({cut}) - {ov}, text, n
+  FROM ch
+  WHERE n - s + 1 > {size}
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CASE WHEN n - s + 1 <= {size} THEN substr(text, s)
+            ELSE substr(text, s, {cut}) END AS chunk
+FROM ch"""
