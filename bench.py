@@ -129,6 +129,26 @@ def main() -> None:
     pipelines.bm25_topk(SF_DIR, scorer="taat").count()
     timings["bm25_topk_documents_sec"] = round(time.perf_counter() - t0, 3)
 
+    # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
+    # measured on the BATCH functions directly (pipeline wall at this sf is
+    # dominated by fixed Ray startup, which would mask the kernel ratio)
+    import pyarrow.parquet as pq
+
+    from splade_ray.ops import dedup as ops_dedup
+    from splade_ray.ops import textstats as ops_textstats
+
+    doc_tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    for label, fn in (("fingerprints", ops_textstats.fingerprint_batch),
+                      ("minhash_bands", ops_dedup.minhash_bands_batch)):
+        for mode in ("sha", "mixer"):
+            fn(doc_tbl, hash_mode=mode)  # warm
+            t0 = time.perf_counter()
+            fn(doc_tbl, hash_mode=mode)
+            timings[f"{label}_{mode}_sec"] = round(time.perf_counter() - t0, 4)
+        timings[f"{label}_mixer_speedup"] = round(
+            timings[f"{label}_sha_sec"] / timings[f"{label}_mixer_sec"], 1)
+
     headline = build_sec
     print(json.dumps({
         "metric": "index-build wall over synthetic code corpus "

@@ -49,6 +49,59 @@ def shingles(text: str) -> list[str]:
     return sorted({" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)})
 
 
+def _shingle_pairs(t: pa.Table, text_col: str):
+    """Vectorized distinct (row, shingle) pairs for a batch.
+
+    Arrow tokenization (identical stream to tokens_py) + element-wise join of
+    3 shifted views of the flat token array; rows with 0 < n < SHINGLE_K
+    tokens collapse to one all-token shingle (matching ``shingles()``).
+    Returns (pair_parents, pair_codes, vocab: pa.StringArray, n_rows) with
+    pair_parents ascending."""
+    from ..analyzer import tokenize_flat
+
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    flat, parents = tokenize_flat(texts)
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+             pa.array([], type=pa.string()), n_rows)
+    if len(flat) == 0:
+        return empty
+    n_tok = np.bincount(parents, minlength=n_rows)
+    parts = []
+    par_parts = []
+    if len(flat) >= SHINGLE_K:
+        m = len(flat) - SHINGLE_K + 1
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, m), flat.slice(1, m), flat.slice(2, m), " "
+        )
+        valid = parents[: m] == parents[SHINGLE_K - 1 :]
+        parts.append(joined.filter(pa.array(valid)))
+        par_parts.append(parents[:m][valid])
+    short_rows = np.flatnonzero((n_tok > 0) & (n_tok < SHINGLE_K))
+    if len(short_rows):
+        offsets = np.searchsorted(parents, short_rows)
+        shorts = [
+            " ".join(flat.slice(int(offsets[i]),
+                                int(n_tok[short_rows[i]])).to_pylist())
+            for i in range(len(short_rows))
+        ]
+        parts.append(pa.array(shorts, type=pa.string()))
+        par_parts.append(short_rows.astype(np.int64))
+    sh = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                           else p for p in parts])
+    par = np.concatenate(par_parts).astype(np.int64)
+    enc = pc.dictionary_encode(sh)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    keys = par * (len(vocab) + 1) + codes
+    uniq = np.unique(keys)  # sorted => pair parents ascending
+    pair_parents = (uniq // (len(vocab) + 1)).astype(np.int64)
+    pair_codes = (uniq % (len(vocab) + 1)).astype(np.int64)
+    return pair_parents, pair_codes, vocab, n_rows
+
+
 # ------------------------------------------------------------------ exact --
 
 def exact_dedup_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -104,8 +157,19 @@ def minhash_signature(text: str) -> list[int]:
     return sig
 
 
-def minhash_bands_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Doc batch -> (band, band_key, doc_id) rows (N_BANDS per doc)."""
+def minhash_bands_batch(t: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        hash_mode: str = "sha") -> pa.Table:
+    """Doc batch -> (band, band_key, doc_id) rows (N_BANDS per doc).
+
+    ``hash_mode="sha"``: per-doc sha-derived signatures (DuckDB-reproducible;
+    the oracle contract runs this).  ``"mixer"``: fully vectorized — Arrow
+    shingle construction, one string hash per distinct shingle, splitmix64
+    permutations, minimum.reduceat signatures.  Same LSH structure, different
+    (non-SQL) hash values; bench.py measures the speedup.
+    """
+    if hash_mode == "mixer":
+        return _minhash_bands_mixer(t, text_col, id_col)
     out_band, out_key, out_id = [], [], []
     for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
         sig = minhash_signature(text or "")
@@ -126,6 +190,58 @@ def minhash_bands_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _string_hash63(vocab: pa.Array) -> np.ndarray:
+    """Vectorized 63-bit string hash for mixer mode: polars (xxhash-family,
+    deterministic across processes) when present, else per-string sha."""
+    try:
+        import polars as pl
+
+        h = pl.Series(vocab.to_pylist()).hash(seed=1315423911).to_numpy()
+        return h.astype(np.uint64)
+    except ImportError:  # pragma: no cover — polars is in the container
+        return np.fromiter((_h63(v) for v in vocab.to_pylist()),
+                           dtype=np.uint64, count=len(vocab))
+
+
+def _minhash_bands_mixer(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    from .textstats import mix64
+
+    pair_parents, pair_codes, vocab, n_rows = _shingle_pairs(t, text_col)
+    if len(pair_parents) == 0:
+        return pa.table(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "band_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    h = _string_hash63(vocab)[pair_codes]
+    present = np.unique(pair_parents)
+    starts = np.searchsorted(pair_parents, present)
+    r = N_PERM // N_BANDS
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    sig = np.empty((len(present), N_PERM), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(N_PERM):
+            sig[:, j] = np.minimum.reduceat(mix64(h ^ (np.uint64(j) * golden)),
+                                            starts)
+        keys = []
+        for b in range(N_BANDS):
+            k = np.full(len(present), np.uint64(b) * golden, dtype=np.uint64)
+            for i in range(r):
+                k = mix64(k ^ sig[:, b * r + i])
+            keys.append((k & np.uint64(MASK63)).astype(np.int64))
+    return pa.table(
+        {
+            "band": pa.array(np.repeat(np.arange(N_BANDS, dtype=np.int32),
+                                       len(present))),
+            "band_key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.tile(ids[present], N_BANDS)),
+        }
+    )
+
+
 def _ordered_pairs_batch(t: pa.Table, left: str, right: str) -> pa.Table:
     a = t[left].to_numpy(zero_copy_only=False)
     b = t[right].to_numpy(zero_copy_only=False)
@@ -137,7 +253,7 @@ def _ordered_pairs_batch(t: pa.Table, left: str, right: str) -> pa.Table:
 
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                      num_partitions: int = 16):
+                      num_partitions: int = 16, hash_mode: str = "sha"):
     """Distinct candidate pairs (doc_a < doc_b) sharing any LSH band bucket.
 
     Pair generation is a hash-partitioned SELF-JOIN on (band, band_key) —
@@ -150,7 +266,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     bands = ds.map_batches(
         minhash_bands_batch, batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "hash_mode": hash_mode},
     )
     joined = bands.join(
         bands, join_type="inner", on=("band", "band_key"),
@@ -174,28 +291,43 @@ def simhash63_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id")
 
     Term hash h = sha-63(term); bit contribution +tf if bit b of h set else
     -tf.  Zero sums count as 0 (strict > 0 sets the bit) — mirrored in SQL.
+
+    Vectorized: Arrow tokenization (identical stream to tokens_py), sha only
+    over the batch's UNIQUE vocabulary (hundreds of calls per batch instead
+    of one per token occurrence), then one segment-sum over a (terms, 63)
+    sign matrix.  Bit-identical to the old per-row loop.
     """
-    out_id, out_sim = [], []
+    from ..analyzer import tokenize_flat
+
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    flat, parents = tokenize_flat(texts)
+    ids = pc.cast(t[id_col], pa.int64())
     bits = np.arange(63, dtype=np.uint64)
-    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
-        toks = tokens_py(text or "")
-        if not toks:
-            out_id.append(did)
-            out_sim.append(0)
-            continue
-        terms: dict[str, int] = {}
-        for tok in toks:
-            terms[tok] = terms.get(tok, 0) + 1
-        hs = np.array([_h63(term) for term in terms], dtype=np.uint64)
-        tfs = np.array(list(terms.values()), dtype=np.int64)
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = ((2 * bitmat - 1) * tfs[:, None]).sum(axis=0)
-        sim = int(((acc > 0).astype(np.uint64) << bits).sum())
-        out_id.append(did)
-        out_sim.append(sim)
+    if len(flat) == 0:
+        return pa.table(
+            {"doc_id": ids,
+             "simhash": pa.array(np.zeros(n_rows, dtype=np.int64))}
+        )
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_h = np.fromiter(
+        (_h63(v) for v in enc.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(enc.dictionary),
+    )
+    # per-occurrence sign rows: bit b contributes +1/-1; tf weighting falls
+    # out of summing one row per OCCURRENCE (tf identical occurrences)
+    occ_h = vocab_h[codes]
+    sign = (((occ_h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            * 2 - 1)
+    acc = np.zeros((n_rows, 63), dtype=np.int64)
+    np.add.at(acc, parents, sign)
+    sims = ((acc > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
     return pa.table(
-        {"doc_id": pa.array(out_id, type=pa.int64()),
-         "simhash": pa.array(out_sim, type=pa.int64())}
+        {"doc_id": ids,
+         "simhash": pa.array(sims.astype(np.int64))}
     )
 
 
@@ -209,18 +341,17 @@ def simhash63(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------- jaccard --
 
 def shingle_rows_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    out_id, out_sh, out_n = [], [], []
-    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
-        sh = shingles(text or "")
-        for s in sh:
-            out_id.append(did)
-            out_sh.append(s)
-            out_n.append(len(sh))
+    """Distinct (doc_id, shingle, n_shingles) rows — vectorized via
+    _shingle_pairs (exact same shingle SET as ``shingles()``; row order
+    differs, which downstream aggregates never observe)."""
+    pair_parents, pair_codes, vocab, n_rows = _shingle_pairs(t, text_col)
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    n_sh = np.bincount(pair_parents, minlength=n_rows).astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "shingle": pa.array(out_sh),
-            "n_shingles": pa.array(out_n, type=pa.int64()),
+            "doc_id": pa.array(ids[pair_parents]),
+            "shingle": vocab.take(pa.array(pair_codes)),
+            "n_shingles": pa.array(n_sh[pair_parents]),
         }
     )
 

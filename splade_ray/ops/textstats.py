@@ -1,9 +1,21 @@
 """Text analysis operators: token stats, quality scoring, language ID,
 document fingerprinting (winnowing).
 
-All pure vectorized-enough ``map_batches`` stages over a text column, with
-constants shared between the Python and DuckDB-SQL sides (ops.contract).
-Floats in outputs are rounded to 9 dp on BOTH sides before comparison.
+All ``map_batches`` stages over a text column, with constants shared between
+the Python and DuckDB-SQL sides (ops.contract).  Floats in outputs are
+rounded to 9 dp on BOTH sides before comparison.
+
+Vectorization: token_stats / quality_score / langid run entirely on Arrow
+kernels + numpy segment reductions (tokenization via the SAME analyzer
+kernels the index build uses — parity-tested against ``tokens_py``), so the
+oracle contract is unchanged while the hot path has no per-row Python.
+Fingerprinting supports two hash modes:
+
+  * ``sha``   (default) — sha256-derived 63-bit k-gram hashes, reproducible
+    in DuckDB; the oracle contract runs this mode.
+  * ``mixer`` — vectorized splitmix64 over byte k-grams (one numpy pass per
+    doc, no per-gram Python); the 100-TB path.  Same winnowing structure,
+    different (non-SQL) hash values — bench.py reports the speedup.
 """
 
 from __future__ import annotations
@@ -12,8 +24,9 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..analyzer import tokens_py
+from ..analyzer import tokenize_flat, tokens_py  # noqa: F401 (tokens_py: tests)
 
 MASK63 = (1 << 63) - 1
 
@@ -35,24 +48,53 @@ def _h63(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") & MASK63
 
 
+def _flat_tokens(t: pa.Table, text_col: str):
+    """(flat token StringArray, parent row indices, n_rows) via the analyzer's
+    Arrow kernels — identical token stream to tokens_py (parity-tested)."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents = tokenize_flat(texts)
+    return flat, parents, len(texts)
+
+
 def token_stats_batch(t: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
-    """(doc_id, n_tokens, n_unique, max_tf, n_ws_tokens, n_chars)."""
-    out = {k: [] for k in
-           ("doc_id", "n_tokens", "n_unique", "max_tf", "n_ws_tokens", "n_chars")}
-    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
-        text = text or ""
-        toks = tokens_py(text)
-        tf: dict[str, int] = {}
-        for tok in toks:
-            tf[tok] = tf.get(tok, 0) + 1
-        out["doc_id"].append(did)
-        out["n_tokens"].append(len(toks))
-        out["n_unique"].append(len(tf))
-        out["max_tf"].append(max(tf.values()) if tf else 0)
-        out["n_ws_tokens"].append(len(text.split()))
-        out["n_chars"].append(len(text))
-    return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+    """(doc_id, n_tokens, n_unique, max_tf, n_ws_tokens, n_chars).
+    Arrow kernels + bincount segment reductions; no per-row Python."""
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    n_tokens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    # unique terms + max tf per row: one lexsort over (parent, dict code)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = parents * (len(enc.dictionary) + 1) + codes
+    uniq, counts = np.unique(keys, return_counts=True)
+    pair_parent = (uniq // (len(enc.dictionary) + 1)).astype(np.int64)
+    n_unique = np.bincount(pair_parent, minlength=n_rows).astype(np.int64)
+    max_tf = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(max_tf, pair_parent, counts)
+    # whitespace tokens: RE2 \s+ split (same engine family as the SQL oracle)
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    ws_lists = pc.split_pattern_regex(texts, r"\s+")
+    ws_flat = ws_lists.flatten()
+    ws_parents = pc.list_parent_indices(ws_lists).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(ws_flat, "").to_numpy(zero_copy_only=False)
+    n_ws = np.bincount(ws_parents[nonempty], minlength=n_rows).astype(np.int64)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t[id_col]
+    return pa.table(
+        {
+            "doc_id": pc.cast(ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "n_unique": pa.array(n_unique),
+            "max_tf": pa.array(max_tf),
+            "n_ws_tokens": pa.array(n_ws),
+            "n_chars": pa.array(n_chars),
+        }
+    )
 
 
 def quality_score_batch(t: pa.Table, text_col: str = "text",
@@ -62,29 +104,33 @@ def quality_score_batch(t: pa.Table, text_col: str = "text",
     quality = stopword_ratio * 0.4 + clamp(mean_token_len / 10, 0, 1) * 0.3
               + (1 - digit_ratio) * 0.3   — an explainable heuristic in the
     C4/Gopher-rule family; the exact formula is mirrored in SQL.
+    Vectorized: is_in / utf8_length / regex-match over the flat token array,
+    segment sums by row via bincount.
     """
-    rows = {k: [] for k in
-            ("doc_id", "stopword_ratio", "mean_token_len", "digit_ratio", "quality")}
-    stop = set(EN_STOPWORDS)
-    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
-        toks = tokens_py(text or "")
-        n = len(toks)
-        sw = sum(1 for x in toks if x in stop) / n if n else 0.0
-        mtl = sum(len(x) for x in toks) / n if n else 0.0
-        dg = sum(1 for x in toks if any(c.isdigit() for c in x)) / n if n else 0.0
-        q = sw * 0.4 + min(mtl / 10.0, 1.0) * 0.3 + (1.0 - dg) * 0.3
-        rows["doc_id"].append(did)
-        rows["stopword_ratio"].append(round(sw, 9))
-        rows["mean_token_len"].append(round(mtl, 9))
-        rows["digit_ratio"].append(round(dg, 9))
-        rows["quality"].append(round(q, 9))
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    n = np.bincount(parents, minlength=n_rows).astype(np.float64)
+    stop_mask = pc.is_in(
+        flat, value_set=pa.array(sorted(EN_STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    sw_n = np.bincount(parents[stop_mask], minlength=n_rows)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    len_sum = np.bincount(parents, weights=tok_len, minlength=n_rows)
+    dig_mask = pc.match_substring_regex(flat, "[0-9]").to_numpy(
+        zero_copy_only=False
+    )
+    dg_n = np.bincount(parents[dig_mask], minlength=n_rows)
+    safe_n = np.where(n > 0, n, 1.0)
+    sw = np.where(n > 0, sw_n / safe_n, 0.0)
+    mtl = np.where(n > 0, len_sum / safe_n, 0.0)
+    dg = np.where(n > 0, dg_n / safe_n, 0.0)
+    q = sw * 0.4 + np.minimum(mtl / 10.0, 1.0) * 0.3 + (1.0 - dg) * 0.3
     return pa.table(
         {
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-            "stopword_ratio": pa.array(rows["stopword_ratio"], type=pa.float64()),
-            "mean_token_len": pa.array(rows["mean_token_len"], type=pa.float64()),
-            "digit_ratio": pa.array(rows["digit_ratio"], type=pa.float64()),
-            "quality": pa.array(rows["quality"], type=pa.float64()),
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "stopword_ratio": pa.array(np.round(sw, 9), type=pa.float64()),
+            "mean_token_len": pa.array(np.round(mtl, 9), type=pa.float64()),
+            "digit_ratio": pa.array(np.round(dg, 9), type=pa.float64()),
+            "quality": pa.array(np.round(q, 9), type=pa.float64()),
         }
     )
 
@@ -92,38 +138,50 @@ def quality_score_batch(t: pa.Table, text_col: str = "text",
 def langid_batch(t: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """(doc_id, pred_lang, marker_hits): argmax of per-language marker-token
-    hits, ties broken by language code ascending (deterministic)."""
+    hits, ties broken by language code ascending (deterministic).  One is_in
+    + bincount per language; argmax over the (rows, langs) hit matrix."""
     langs = sorted(LANG_MARKERS)
-    sets = {lg: set(LANG_MARKERS[lg]) for lg in langs}
-    out_id, out_lang, out_hits = [], [], []
-    for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
-        toks = tokens_py(text or "")
-        best_lang, best_hits = langs[0], -1
-        for lg in langs:
-            hits = sum(1 for x in toks if x in sets[lg])
-            if hits > best_hits:
-                best_lang, best_hits = lg, hits
-        out_id.append(did)
-        out_lang.append(best_lang)
-        out_hits.append(best_hits)
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    hits = np.zeros((n_rows, len(langs)), dtype=np.int64)
+    for j, lg in enumerate(langs):
+        mask = pc.is_in(
+            flat, value_set=pa.array(sorted(LANG_MARKERS[lg]))
+        ).to_numpy(zero_copy_only=False)
+        hits[:, j] = np.bincount(parents[mask], minlength=n_rows)
+    best = hits.argmax(axis=1)  # first max -> lang code ascending
     return pa.table(
         {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "pred_lang": pa.array(out_lang),
-            "marker_hits": pa.array(out_hits, type=pa.int64()),
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "pred_lang": pa.array([langs[b] for b in best]),
+            "marker_hits": pa.array(hits[np.arange(n_rows), best],
+                                    type=pa.int64()),
         }
     )
 
 
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    z = (np.asarray(x, dtype=np.uint64)
+         + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text",
-                      id_col: str = "doc_id") -> pa.Table:
-    """Winnowing fingerprints: sha-63 of each char k-gram, min over a sliding
+                      id_col: str = "doc_id", hash_mode: str = "sha") -> pa.Table:
+    """Winnowing fingerprints: 63-bit hash of each k-gram, min over a sliding
     window of W positions, distinct minima per doc -> (doc_id, fingerprint).
 
     The rolling structure (window min over position-ordered k-gram hashes)
-    is the Schleimer/Wilkerson/Aiken winnowing scheme; sha-based hashes keep
-    it SQL-reproducible.
+    is the Schleimer/Wilkerson/Aiken winnowing scheme.  ``hash_mode="sha"``
+    hashes char k-grams with sha256 (SQL-reproducible; oracle mode);
+    ``"mixer"`` hashes BYTE k-grams with one vectorized polynomial+splitmix64
+    pass per doc — no per-gram Python call, ~an order of magnitude faster,
+    not SQL-checkable (bench.py measures both).
     """
+    if hash_mode == "mixer":
+        return _fingerprint_mixer_batch(t, text_col, id_col)
     out_id, out_fp = [], []
     for text, did in zip(t[text_col].to_pylist(), t[id_col].to_pylist()):
         text = text or ""
@@ -134,7 +192,7 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
             (_h63(text[i : i + FINGERPRINT_K]) for i in range(n)),
             dtype=np.int64, count=n,
         )
-        w = min(FINGERPRINT_W, n)
+        w = min(FINGERPRINT_W, len(hs))
         mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
         for fp in np.unique(mins):
             out_id.append(did)
@@ -143,6 +201,86 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
         {
             "doc_id": pa.array(out_id, type=pa.int64()),
             "fingerprint": pa.array(out_fp, type=pa.int64()),
+        }
+    )
+
+
+def _run_expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """[s0, s0+1, ..., s0+c0-1, s1, ...] — vectorized run expansion."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    rep = np.repeat(starts, counts)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return rep + off
+
+
+def _fingerprint_mixer_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Whole-batch vectorized winnowing: ONE polynomial+splitmix64 pass over
+    the concatenated byte buffer, window mins as W shifted elementwise mins,
+    per-doc selection by run expansion, distinct via one lexsort.  No
+    per-document Python beyond the initial encode."""
+    k, w = FINGERPRINT_K, FINGERPRINT_W
+    texts = t[text_col].to_pylist()
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    blobs = [(x or "").encode() for x in texts]
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    big = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    if len(big) < k:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "fingerprint": pa.array([], type=pa.int64())}
+        )
+    starts = np.cumsum(lens) - lens  # byte offset of each doc
+    n_grams = np.maximum(lens - k + 1, 0)  # valid grams per doc
+    powers = (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        # polynomial gram hash as k shifted multiply-adds on the flat buffer
+        # (no (N, k) gram matrix materialized)
+        n_pos = len(big) - k + 1
+        b64 = big.astype(np.uint64)
+        acc = np.zeros(n_pos, dtype=np.uint64)
+        for j in range(k):
+            acc += b64[j : j + n_pos] * powers[j]
+        hs = (mix64(acc) & np.uint64(MASK63)).astype(np.int64)
+        # wm[j] = min(hs[j : j+w]) — full-W windows, global
+        if len(hs) >= w:
+            wm = hs[: len(hs) - w + 1].copy()
+            for sh in range(1, w):
+                np.minimum(wm, hs[sh : len(hs) - w + 1 + sh], out=wm)
+        else:
+            wm = np.array([], dtype=np.int64)
+    # docs with n >= w: winnow outputs = wm at window starts S_d .. S_d+n-w
+    full = n_grams >= w
+    sel = _run_expand(starts[full], (n_grams[full] - w + 1))
+    out_parent = np.repeat(np.flatnonzero(full), n_grams[full] - w + 1)
+    out_val = wm[sel] if len(sel) else np.array([], dtype=np.int64)
+    # docs with 0 < n < w: single fingerprint = min over their grams
+    small = (n_grams > 0) & ~full
+    if small.any():
+        gsel = _run_expand(starts[small], n_grams[small])
+        seg = np.repeat(np.arange(int(small.sum())), n_grams[small])
+        smins = np.full(int(small.sum()), np.iinfo(np.int64).max)
+        np.minimum.at(smins, seg, hs[gsel])
+        out_parent = np.concatenate([out_parent, np.flatnonzero(small)])
+        out_val = np.concatenate([out_val, smins])
+    if len(out_parent) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "fingerprint": pa.array([], type=pa.int64())}
+        )
+    # distinct (doc, fingerprint): lexsort + first-occurrence mask
+    order = np.lexsort((out_val, out_parent))
+    p, v = out_parent[order], out_val[order]
+    keep = np.empty(len(p), dtype=bool)
+    keep[0] = True
+    keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[p[keep]]),
+            "fingerprint": pa.array(v[keep]),
         }
     )
 

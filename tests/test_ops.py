@@ -184,3 +184,40 @@ def test_lsh_neardup_matches_brute_force(neardup_emb_ds):
     # cosines agree to the shared 6-dp rounding
     merged = brute.merge(lsh, on=["vec_a", "vec_b"], suffixes=("_b", "_l"))
     assert (merged.cosine_b - merged.cosine_l).abs().max() <= 1e-6
+
+
+def test_mixer_mode_matches_sha_structure(docs_ds):
+    """Mixer-mode (vectorized splitmix64) hashes differ from sha mode, but
+    the dedup STRUCTURE must agree: exact-duplicate docs land in identical
+    LSH buckets and share identical fingerprint sets in both modes."""
+    from splade_ray.ops import textstats
+
+    tbl = docs_ds.to_pandas()
+    dup_groups = tbl.groupby("text")["doc_id"].apply(list)
+    dup_groups = [v for v in dup_groups if len(v) > 1]
+    assert dup_groups, "fixture must contain exact duplicates"
+    t = pa.Table.from_pandas(tbl[["doc_id", "text"]])
+    for mode in ("sha", "mixer"):
+        bands = dedup.minhash_bands_batch(t, hash_mode=mode).to_pandas()
+        fps = textstats.fingerprint_batch(t, hash_mode=mode).to_pandas()
+        bkey = bands.groupby("doc_id").apply(
+            lambda g: frozenset(zip(g["band"], g["band_key"])))
+        fkey = fps.groupby("doc_id")["fingerprint"].apply(frozenset)
+        for group in dup_groups:
+            assert len({bkey[d] for d in group}) == 1, (mode, group)
+            assert len({fkey.get(d, frozenset()) for d in group}) == 1
+
+
+def test_mixer_lsh_pairs_find_duplicates(docs_ds):
+    """End-to-end mixer-mode LSH still surfaces the planted duplicates."""
+    sha_pairs = dedup.minhash_lsh_pairs(docs_ds).to_pandas()
+    mix_pairs = dedup.minhash_lsh_pairs(docs_ds, hash_mode="mixer").to_pandas()
+    sp = set(zip(sha_pairs.doc_a, sha_pairs.doc_b))
+    mp = set(zip(mix_pairs.doc_a, mix_pairs.doc_b))
+    # exact duplicates have identical signatures under ANY hash -> present in both
+    tbl = docs_ds.to_pandas()
+    dup_pairs = set()
+    for _, g in tbl.groupby("text")["doc_id"]:
+        ids = sorted(g)
+        dup_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    assert dup_pairs <= sp and dup_pairs <= mp
