@@ -155,12 +155,18 @@ def explode_postings_batch(
             ).astype(np.int32)
         else:
             salt[hot_rows] = (doc_ids[hot_rows] >> (63 - salt_bits)).astype(np.int32)
-        for c in np.nonzero(is_hot)[0]:
-            term = vocab[c]
-            rows = codes == c
-            for s in np.unique(salt[rows]):
-                sh = hash63_bytes(f"{term}#{s}".encode()) % n_shards
-                shard[rows & (salt == s)] = sh
+        # (hot term, salt) -> shard lookup built once over the tiny hot
+        # vocabulary (hot x 2^salt_bits hashes), then one vectorized gather —
+        # no per-term full-batch scans
+        hot_codes = np.nonzero(is_hot)[0]
+        n_salt = 1 << salt_bits
+        lut = np.empty((len(hot_codes), n_salt), dtype=np.int32)
+        for i, c in enumerate(hot_codes):
+            for s in range(n_salt):
+                lut[i, s] = hash63_bytes(f"{vocab[c]}#{s}".encode()) % n_shards
+        hot_index = np.full(len(vocab), -1, dtype=np.int64)
+        hot_index[hot_codes] = np.arange(len(hot_codes))
+        shard[hot_rows] = lut[hot_index[codes[hot_rows]], salt[hot_rows]]
 
     out = pa.table(
         {
