@@ -16,7 +16,7 @@ from typing import Any
 import numpy as np
 
 from ..analyzer import tokens_sql
-from . import dedup, similarity, textstats
+from . import dedup, events, similarity, textstats
 
 H63 = (
     "(('0x' || substr(sha256({expr}), 1, 16))::UBIGINT"
@@ -464,6 +464,97 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# ------------------------------------------------------- events operators --
+
+def _events_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_events_hourly(sf_dir: str):
+    return events.hourly_window(_events_ds(sf_dir))
+
+
+def q_events_sessions(sf_dir: str):
+    return events.sessionize(_events_ds(sf_dir))
+
+
+def q_events_rolling(sf_dir: str):
+    return events.rolling_sum(_events_ds(sf_dir))
+
+
+def q_events_asof(sf_dir: str):
+    return events.asof_join(_events_ds(sf_dir))
+
+
+def events_hourly_sql() -> str:
+    return f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY epoch_us(date_trunc('hour', ts)), event_type"""
+
+
+def events_sessions_sql() -> str:
+    gap = events.SESSION_GAP_US
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+),
+o AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN p IS NULL OR us - p > {gap} THEN 1 ELSE 0 END AS nf
+  FROM o
+),
+s AS (
+  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(us) AS session_start_us, max(us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+
+def events_rolling_sql() -> str:
+    w = events.ROLLING_ROWS
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+)
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW),
+             6) AS rolling_sum
+FROM e"""
+
+
+def events_asof_sql() -> str:
+    """DuckDB-native ASOF JOIN against the max-event_id-per-(user, ts)
+    deduplicated error stream — mirrors ops.events.asof_join exactly."""
+    return """
+WITH errs AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'error'
+  ) WHERE rn = 1
+),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT e.event_id, e.user_id,
+       a.event_id AS match_event_id, a.value AS match_value
+FROM e ASOF JOIN errs a
+  ON e.user_id = a.user_id AND e.us >= a.us"""
+
+
 def q_neardup_clusters(sf_dir: str):
     """MinHash-LSH candidate pairs -> connected components: every doc gets a
     cluster_id (= min doc id in its near-dup cluster; own id if isolated)."""
@@ -499,6 +590,10 @@ queries_orig = queries
 def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
     q = queries_orig()
     q["neardup_clusters"] = q_neardup_clusters
+    q["events_hourly_window"] = q_events_hourly
+    q["events_sessions"] = q_events_sessions
+    q["events_rolling_sum"] = q_events_rolling
+    q["events_asof_join"] = q_events_asof
     return q
 
 
@@ -508,4 +603,8 @@ oracle_sql_orig = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     s = oracle_sql_orig()
     s["neardup_clusters"] = neardup_clusters_sql()
+    s["events_hourly_window"] = events_hourly_sql()
+    s["events_sessions"] = events_sessions_sql()
+    s["events_rolling_sum"] = events_rolling_sql()
+    s["events_asof_join"] = events_asof_sql()
     return s
