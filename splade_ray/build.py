@@ -298,6 +298,7 @@ def build_index(
     hot_df_min: int = 512,
     overwrite: bool = False,
     shuffle_concurrency: int | None = None,
+    ordinal_driver_threshold: int = 5_000_000,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final manifest.
 
@@ -389,51 +390,76 @@ def build_index(
     t0 = _t()
 
     # doc-ordinal map: sorted unique doc ids -> postings store dense ranks.
-    # The sort is DISTRIBUTED (ray.data range-partition sort over the pruned
-    # 2-column read); the driver then streams the ordered batches into
-    # docmap.bin/doclens.bin append-only, holding one batch at a time —
-    # ordinal of a row = count of rows already written (a prefix sum over
-    # sorted partitions, realized by the write cursor).  The streamed pass
-    # doubles as the duplicate-identity check: equal ids are adjacent after
-    # the sort.  At 10^12 docs the single file becomes per-range shards
-    # written by the sort's own output tasks; the ordinal math is identical.
+    # Adaptive (same pattern as ops.dedup.connected_components): up to
+    # ``ordinal_driver_threshold`` docs a driver-side argsort is strictly
+    # faster than paying a distributed-sort pipeline (bounded: 12 bytes/doc,
+    # 5M docs = 60 MB).  Above it the sort is DISTRIBUTED (ray.data
+    # range-partition sort over the pruned 2-column read) and the driver
+    # streams the ordered batches into docmap.bin/doclens.bin append-only,
+    # holding ONE batch at a time — ordinal of a row = count of rows already
+    # written (a prefix sum over sorted partitions, realized by the write
+    # cursor).  Either path doubles as the duplicate-identity check: equal
+    # ids end up adjacent.  At 10^12 docs the single file becomes per-range
+    # shards written by the sort's output tasks; the ordinal math is
+    # identical.
     docmap_path = os.path.join(index_dir, "docmap.bin")
     doclens_path = os.path.join(index_dir, "doclens.bin")
     if not (os.path.exists(docmap_path)
             and os.path.getsize(docmap_path) == 8 * n_docs
             and os.path.exists(doclens_path)
             and os.path.getsize(doclens_path) == 4 * n_docs):
-        sorted_ds = ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "doc_len"]
-        ).sort("doc_id")
         tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
-        last_id = None
-        n_written = 0
-        with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
-            for batch in sorted_ds.iter_batches(batch_size=262144,
-                                                batch_format="pyarrow"):
-                if batch.num_rows == 0:
-                    continue
-                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-                d = np.diff(ids)
-                if (d < 0).any() or (last_id is not None and ids[0] < last_id):
-                    raise AssertionError("sorted dataset iterated out of order")
-                if (d == 0).any() or (last_id is not None and ids[0] == last_id):
-                    raise ValueError(
-                        "duplicate (repo, path, commit) identity rows (or a "
-                        "63-bit doc_id collision); deduplicate the corpus "
-                        "first (ops.dedup) or widen ids"
-                    )
-                last_id = int(ids[-1])
-                fmap.write(np.ascontiguousarray(ids, dtype=np.int64).tobytes())
-                fdl.write(np.ascontiguousarray(
-                    batch["doc_len"].to_numpy(zero_copy_only=False),
-                    dtype=np.int32).tobytes())
-                n_written += batch.num_rows
-        if n_written != n_docs:
-            raise AssertionError(
-                f"ordinal pass wrote {n_written} rows, stats counted {n_docs}"
-            )
+        dup_msg = (
+            "duplicate (repo, path, commit) identity rows (or a 63-bit "
+            "doc_id collision); deduplicate the corpus first (ops.dedup) "
+            "or widen ids"
+        )
+        if n_docs <= ordinal_driver_threshold:
+            id_chunks, dl_chunks = [], []
+            for batch in ray.data.read_parquet(
+                staging_dir, columns=["doc_id", "doc_len"]
+            ).iter_batches(batch_size=262144, batch_format="pyarrow"):
+                id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+                dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
+            all_ids = np.concatenate(id_chunks)
+            order = np.argsort(all_ids, kind="stable")
+            sorted_ids = all_ids[order]
+            if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+                raise ValueError(dup_msg)
+            sorted_ids.tofile(tmp_map)
+            np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
+        else:
+            sorted_ds = ray.data.read_parquet(
+                staging_dir, columns=["doc_id", "doc_len"]
+            ).sort("doc_id")
+            last_id = None
+            n_written = 0
+            with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
+                for batch in sorted_ds.iter_batches(batch_size=262144,
+                                                    batch_format="pyarrow"):
+                    if batch.num_rows == 0:
+                        continue
+                    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                    d = np.diff(ids)
+                    if (d < 0).any() or (last_id is not None
+                                         and ids[0] < last_id):
+                        raise AssertionError(
+                            "sorted dataset iterated out of order")
+                    if (d == 0).any() or (last_id is not None
+                                          and ids[0] == last_id):
+                        raise ValueError(dup_msg)
+                    last_id = int(ids[-1])
+                    fmap.write(np.ascontiguousarray(
+                        ids, dtype=np.int64).tobytes())
+                    fdl.write(np.ascontiguousarray(
+                        batch["doc_len"].to_numpy(zero_copy_only=False),
+                        dtype=np.int32).tobytes())
+                    n_written += batch.num_rows
+            if n_written != n_docs:
+                raise AssertionError(
+                    f"ordinal pass wrote {n_written} rows, "
+                    f"stats counted {n_docs}"
+                )
         os.replace(tmp_map, docmap_path)
         os.replace(tmp_dl, doclens_path)
     # memmap (not fromfile): the driver never loads the arrays into its heap;

@@ -179,3 +179,23 @@ def test_partitioning_invariance(ray_session, corpus_table, oracle):
         ids, units = engine.search_one(query, lang or None)
         got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
         assert got == want, (qid, query)
+
+
+def test_distributed_ordinal_path_parity(corpus_table, ray_session):
+    """ordinal_driver_threshold=0 forces the distributed-sort ordinal pass;
+    the resulting docmap/doclens/index must be byte-identical to the
+    driver-argsort path."""
+    import filecmp
+
+    base = "/tmp/splade_ray_ordpath"
+    shutil.rmtree(base, ignore_errors=True)
+    ds = rd.from_arrow(corpus_table).repartition(4)
+    m_drv = build_index(ds, os.path.join(base, "drv"), lang_tagged=True,
+                        n_shards=4)
+    m_dist = build_index(ds, os.path.join(base, "dist"), lang_tagged=True,
+                         n_shards=4, ordinal_driver_threshold=0)
+    assert m_drv["n_postings"] == m_dist["n_postings"]
+    for fn in ("docmap.bin", "doclens.bin"):
+        assert filecmp.cmp(os.path.join(base, "drv", fn),
+                           os.path.join(base, "dist", fn), shallow=False)
+    shutil.rmtree(base, ignore_errors=True)
