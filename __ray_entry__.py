@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": p.top_terms,
         "bm25_topk_taat": lambda sf: p.bm25_topk(sf, scorer="taat"),
         "bm25_topk_bmw": lambda sf: p.bm25_topk(sf, scorer="bmw"),
+        "bm25_topk_merged": p.bm25_topk_merged,
         "idf_coord_topk": p.idf_coord_topk,
         "bm25_topk_docs": p.bm25_topk_docs,
         "rrf_hybrid": p.rrf_hybrid,
@@ -66,6 +67,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": sql.top_terms_sql(20),
         "bm25_topk_taat": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_bmw": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
+        "bm25_topk_merged": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "idf_coord_topk": sql.idf_coord_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_docs": sql.bm25_topk_docs_sql(DOC_QUERIES, TOP_K),
         "rrf_hybrid": sql.rrf_hybrid_sql(DOC_QUERIES, TOP_K),

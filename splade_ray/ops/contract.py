@@ -86,6 +86,19 @@ def q_fingerprints(sf_dir: str):
     return textstats.make_op(textstats.fingerprint_batch)(_docs_ds(sf_dir))
 
 
+def q_bpe_token_count(sf_dir: str):
+    return textstats.make_op(textstats.bpe_token_count_batch)(_docs_ds(sf_dir))
+
+
+def bpe_token_count_sql() -> str:
+    pat = textstats.BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents"""
+
+
 def q_ann_cosine(sf_dir: str):
     ids, mat = _query_vectors(sf_dir)
     return similarity.brute_force_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
@@ -590,6 +603,7 @@ queries_orig = queries
 def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
     q = queries_orig()
     q["neardup_clusters"] = q_neardup_clusters
+    q["bpe_token_count"] = q_bpe_token_count
     q["events_hourly_window"] = q_events_hourly
     q["events_sessions"] = q_events_sessions
     q["events_rolling_sum"] = q_events_rolling
@@ -603,6 +617,7 @@ oracle_sql_orig = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     s = oracle_sql_orig()
     s["neardup_clusters"] = neardup_clusters_sql()
+    s["bpe_token_count"] = bpe_token_count_sql()
     s["events_hourly_window"] = events_hourly_sql()
     s["events_sessions"] = events_sessions_sql()
     s["events_rolling_sum"] = events_rolling_sql()

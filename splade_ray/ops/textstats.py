@@ -159,6 +159,31 @@ def langid_batch(t: pa.Table, text_col: str = "text",
     )
 
 
+# GPT-2-family pre-tokenizer shape, restricted to lookahead-free RE2 syntax
+# so Arrow (engine) and DuckDB (oracle) count the exact same matches:
+# contractions | optional-space letters | optional-space digits |
+# optional-space punctuation run | whitespace run.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count_batch(t: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_bpe_tokens): count of BPE-ish pre-tokenizer matches — the
+    LLM-training 'how many tokens is this corpus' estimator, one vectorized
+    count_substring_regex call per batch."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = pc.count_substring_regex(texts, BPE_PATTERN)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "n_bpe_tokens": pc.cast(n, pa.int64()),
+        }
+    )
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constants)."""
     z = (np.asarray(x, dtype=np.uint64)

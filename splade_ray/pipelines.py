@@ -403,6 +403,43 @@ def rrf_hybrid(sf_dir: str):
     return rrf_fuse([bm25_topk(sf_dir, scorer="taat"), idf_coord_topk(sf_dir)])
 
 
+def bm25_topk_merged(sf_dir: str):
+    """A9 (log-structured index merge) made driver-checkable: build two
+    GENERATION indexes over disjoint halves of the corpus (raw-id parity
+    split), LSM-merge them, answer DOC_QUERIES from the merged index.  The
+    oracle is the SAME full-corpus BM25 SQL as bm25_topk — the merge
+    contract is score-identity with a single build."""
+    from .merge import merge_index_dirs
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join("/tmp/splade_ray_contract_merge", key)
+
+    def _parity_filter(t: pa.Table, parity: int) -> pa.Table:
+        raw = pc.cast(t["path"], pa.int64())
+        return t.filter(
+            pc.equal(pc.bit_wise_and(raw, pa.scalar(1, pa.int64())),
+                     pa.scalar(parity, pa.int64()))
+        )
+
+    gens = []
+    for parity in (0, 1):
+        idx = os.path.join(root, f"gen{parity}")
+        ds = corpus_ds(sf_dir).map_batches(
+            _parity_filter, batch_format="pyarrow",
+            fn_kwargs={"parity": parity},
+        )
+        build_index(ds, idx, lang_tagged=False, n_shards=8)
+        gens.append(idx)
+    merged = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(merged, "MANIFEST.json")):
+        merge_index_dirs(gens, merged)
+    res = run_queries(
+        rd.from_arrow(_queries_table()), merged, k=TOP_K, scorer="taat",
+        concurrency=2,
+    )
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def rrf_dense_sparse(sf_dir: str):
     """The reference's ACTUAL hybrid shape — dense + sparse RRF
     (retrievers.py:110-150): BM25 over the inverted index fused with native
