@@ -116,3 +116,41 @@ def test_empty_segment(tmp_path):
     out = os.path.join(tmp_path, "me")
     merge_segments([seg, seg], out, "me", 3, AVGDL, DOCLENS)
     assert _dump(out) == {}
+
+
+def test_pre_v3_index_refused(tmp_path, ray_session):
+    """A manifest without doc_ordinals (pre-v3 layout) must be refused with a
+    'rebuild required' error, not crash later in _gather / misdecode."""
+    import json
+    import shutil
+
+    import pytest
+    import ray.data as rd
+
+    from splade_ray.build import build_index
+    from splade_ray.corpus import generate_corpus
+    from splade_ray.query import QueryEngine
+    from splade_ray.segments import FORMAT_VERSION, SegmentReader
+
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(generate_corpus(80, seed=3)), idx,
+                lang_tagged=False, n_shards=2)
+    mpath = idx + "/MANIFEST.json"
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest.pop("doc_ordinals")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="rebuild required"):
+        QueryEngine(idx)
+
+    # a segment with a stale format_version is refused by the reader too
+    seg = idx + "/segments/" + manifest["segments"][0]["segment_id"]
+    smpath = seg + "/manifest.json"
+    with open(smpath) as f:
+        sm = json.load(f)
+    sm["format_version"] = FORMAT_VERSION - 1
+    with open(smpath, "w") as f:
+        json.dump(sm, f)
+    with pytest.raises(ValueError, match="format_version"):
+        SegmentReader(seg)
