@@ -90,6 +90,49 @@ def q_bpe_token_count(sf_dir: str):
     return textstats.make_op(textstats.bpe_token_count_batch)(_docs_ds(sf_dir))
 
 
+def q_sample_by_content(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(
+        textstats.sample_by_content_batch, batch_format="pyarrow"
+    )
+
+
+def sample_by_content_sql() -> str:
+    h = H63.format(expr="coalesce(text, '')")
+    return f"""
+SELECT doc_id, text FROM documents
+WHERE {h} % {textstats.SAMPLE_MOD} = 0"""
+
+
+def q_doclen_quantiles(sf_dir: str):
+    return textstats.doclen_quantiles(_docs_ds(sf_dir))
+
+
+def doclen_quantiles_sql() -> str:
+    def pick(q: str) -> str:
+        return (f"(SELECT n_tokens FROM ord WHERE rn = "
+                f"CAST(floor({q} * (m.n - 1)) AS BIGINT))")
+
+    return f"""
+WITH {_DTOK}, {_DPOST},
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM dpost GROUP BY doc_id
+),
+lens AS (
+  SELECT coalesce(a.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+ord AS (
+  SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) - 1 AS rn FROM lens
+),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens)
+SELECT m.n AS n_docs,
+       {pick('0.5e0')} AS p50,
+       {pick('0.9e0')} AS p90,
+       {pick('0.99e0')} AS p99,
+       (SELECT CAST(max(n_tokens) AS BIGINT) FROM lens) AS max_len
+FROM meta m"""
+
+
 def bpe_token_count_sql() -> str:
     pat = textstats.BPE_PATTERN.replace("'", "''")
     return f"""
@@ -604,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
     q = queries_orig()
     q["neardup_clusters"] = q_neardup_clusters
     q["bpe_token_count"] = q_bpe_token_count
+    q["sample_by_content"] = q_sample_by_content
+    q["doclen_quantiles"] = q_doclen_quantiles
     q["events_hourly_window"] = q_events_hourly
     q["events_sessions"] = q_events_sessions
     q["events_rolling_sum"] = q_events_rolling
@@ -618,6 +663,8 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s = oracle_sql_orig()
     s["neardup_clusters"] = neardup_clusters_sql()
     s["bpe_token_count"] = bpe_token_count_sql()
+    s["sample_by_content"] = sample_by_content_sql()
+    s["doclen_quantiles"] = doclen_quantiles_sql()
     s["events_hourly_window"] = events_hourly_sql()
     s["events_sessions"] = events_sessions_sql()
     s["events_rolling_sum"] = events_rolling_sql()

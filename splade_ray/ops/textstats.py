@@ -159,6 +159,73 @@ def langid_batch(t: pa.Table, text_col: str = "text",
     )
 
 
+SAMPLE_MOD = 20  # content-hash sampling keeps h63(text) % SAMPLE_MOD == 0 (~5%)
+
+
+def sample_by_content_batch(t: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            mod: int = SAMPLE_MOD) -> pa.Table:
+    """Deterministic corpus sampling keyed on CONTENT hash: identical texts
+    are sampled together (dedup-consistent — a near-dup analysis of the
+    sample sees whole duplicate groups, never fragments).  sha-derived so
+    the SQL oracle reproduces the exact subset; a non-oracle deployment
+    swaps in the vectorized mixer like the other sha consumers."""
+    texts = t[text_col].to_pylist()
+    keep = np.fromiter(
+        ((_h63(x or "") % mod) == 0 for x in texts), dtype=bool,
+        count=len(texts),
+    )
+    return t.filter(pa.array(keep)).select([id_col, text_col])
+
+
+def doclen_quantiles(ds, text_col: str = "text"):
+    """Exact analyzer-token-count quantiles over the corpus WITHOUT a sort:
+    token counts are small bounded ints, so a per-batch bincount partial +
+    one tiny groupby yields the exact histogram; the driver reduces a
+    few-hundred-row table to (n_docs, p50, p90, p99, max).  The 100-TB-safe
+    exact-quantile shape for bounded-int columns (no all-to-all sort).
+
+    Quantile definition (mirrored in SQL): sorted values v[0..n-1],
+    q -> v[floor(q * (n-1))]."""
+    from ray.data.aggregate import Sum
+
+    def _hist_batch(t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = _flat_tokens(t, text_col)
+        n_tokens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        vals, counts = np.unique(n_tokens, return_counts=True)
+        return pa.table(
+            {"n_tokens": pa.array(vals),
+             "n_docs": pa.array(counts.astype(np.int64))}
+        )
+
+    hist_rows = (
+        ds.map_batches(_hist_batch, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()  # bounded: one row per distinct token count
+    )
+    vals = np.array([r["n_tokens"] for r in hist_rows], dtype=np.int64)
+    counts = np.array([r["n_docs"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+
+    def pick(q: float) -> int:
+        idx = int(np.floor(q * (n - 1)))
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "p50": pa.array([pick(0.5)], type=pa.int64()),
+            "p90": pa.array([pick(0.9)], type=pa.int64()),
+            "p99": pa.array([pick(0.99)], type=pa.int64()),
+            "max_len": pa.array([int(vals[-1])], type=pa.int64()),
+        }
+    )
+
+
 # GPT-2-family pre-tokenizer shape, restricted to lookahead-free RE2 syntax
 # so Arrow (engine) and DuckDB (oracle) count the exact same matches:
 # contractions | optional-space letters | optional-space digits |
