@@ -121,6 +121,49 @@ def media_features(ds, *, decode: str = "fake", concurrency: int = 2,
     )
 
 
+class MediaResize:
+    """Resize stage: nearest-neighbor downsample of the fake raster to a
+    fixed (out_w, out_h), re-emitting a valid SRIM payload.  The index math
+    is real and vectorized (one fancy-index gather per image); a production
+    build swaps the sampler line for PIL/vips inside the same actor."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, decode: str = "fake"):
+        self.out_w, self.out_h = out_w, out_h
+        self.decode = decode
+        # precomputed per-actor state (ST2): target sampling grid fractions
+        self.fy = (np.arange(out_h) + 0.5) / out_h
+        self.fx = (np.arange(out_w) + 0.5) / out_w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_payload = [], []
+        for mid, payload in zip(t["media_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+            w, h, body = _decode_payload(payload, self.decode)
+            arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+            ys = np.minimum((self.fy * h).astype(np.int64), h - 1)
+            xs = np.minimum((self.fx * w).astype(np.int64), w - 1)
+            small = arr[np.ix_(ys, xs)]
+            out_id.append(mid)
+            out_payload.append(
+                HEADER.pack(MAGIC, self.out_w, self.out_h) + small.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+            }
+        )
+
+
+def media_resize(ds, *, out_w: int = 16, out_h: int = 16,
+                 concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        MediaResize, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
 class FrameSampler:
     """Video-style frame sampling stub: emits every ``stride``-th row of the
     payload body as a 'frame' row (flat_map-shaped: more rows out than in)."""

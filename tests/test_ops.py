@@ -221,3 +221,25 @@ def test_mixer_lsh_pairs_find_duplicates(docs_ds):
         ids = sorted(g)
         dup_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
     assert dup_pairs <= sp and dup_pairs <= mp
+
+
+def test_media_resize(ray_session):
+    from splade_ray.ops import multimodal as mm
+
+    ds = rd.from_arrow(mm.synth_media_table(30, seed=4)).repartition(2)
+    out = mm.media_resize(ds, out_w=8, out_h=8).to_pandas()
+    assert len(out) == 30
+    for payload in out.payload:
+        magic, w, h = mm.HEADER.unpack_from(payload)
+        assert (magic, w, h) == (mm.MAGIC, 8, 8)
+        assert len(payload) == mm.HEADER.size + 64
+    # deterministic: same input -> same resized bytes
+    out2 = mm.media_resize(ds, out_w=8, out_h=8).to_pandas()
+    a = out.sort_values("media_id").payload.tolist()
+    b = out2.sort_values("media_id").payload.tolist()
+    assert a == b
+    # resized features still flow through the downstream feature stage
+    feats = mm.media_features(
+        rd.from_arrow(pa.Table.from_pandas(out.assign(kind="image"))),
+    ).to_pandas()
+    assert (feats.width == 8).all() and (feats.height == 8).all()
