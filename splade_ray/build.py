@@ -356,35 +356,21 @@ def build_index(
     timings["staging_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
-    # corpus stats in ONE execution: per-block partials (count / sum / lang
-    # set) reduced on the driver — three separate Dataset passes (count, sum,
-    # unique) each pay full pipeline-startup overhead
-    def _stats_partial(t: pa.Table) -> pa.Table:
-        lang_col = t["lang"]
-        if isinstance(lang_col, pa.ChunkedArray):
-            lang_col = lang_col.combine_chunks()
-        uniq = pc.unique(lang_col).to_pylist()
-        return pa.table(
-            {
-                "n": pa.array([t.num_rows], type=pa.int64()),
-                "total_len": pa.array(
-                    [int(pc.sum(t["doc_len"]).as_py() or 0)], type=pa.int64()
-                ),
-                "langs": pa.array([",".join(sorted(x for x in uniq if x))]),
-            }
-        )
+    # n_docs from parquet FOOTER metadata — zero data read, no pipeline.
+    # Every other stat (total_len, langs) comes from the single combined
+    # pass below, fused with the ordinal pass when one is needed: each
+    # separate Dataset pass costs ~0.5-1s of fixed startup that Amdahl turns
+    # straight into lost scaling efficiency.
+    import pyarrow.parquet as _pq
 
-    stat_rows = (
-        ray.data.read_parquet(staging_dir, columns=["doc_len", "lang"])
-        .map_batches(_stats_partial, batch_format="pyarrow")
-        .take_all()
+    staging_files = sorted(
+        os.path.join(staging_dir, f)
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet")
     )
-    n_docs = sum(r["n"] for r in stat_rows)
+    n_docs = sum(_pq.read_metadata(f).num_rows for f in staging_files)
     if n_docs == 0:
         raise ValueError("no indexable documents (all rows empty?)")
-    total_len = sum(r["total_len"] for r in stat_rows)
-    avgdl = total_len / n_docs
-    langs = sorted({lg for r in stat_rows for lg in r["langs"].split(",") if lg})
     n_dropped = staging_meta["n_input_rows"] - n_docs
     timings["stats_sec"] = round(_t() - t0, 3)
     t0 = _t()
@@ -404,64 +390,115 @@ def build_index(
     # identical.
     docmap_path = os.path.join(index_dir, "docmap.bin")
     doclens_path = os.path.join(index_dir, "doclens.bin")
-    if not (os.path.exists(docmap_path)
-            and os.path.getsize(docmap_path) == 8 * n_docs
-            and os.path.exists(doclens_path)
-            and os.path.getsize(doclens_path) == 4 * n_docs):
-        tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
-        dup_msg = (
-            "duplicate (repo, path, commit) identity rows (or a 63-bit "
-            "doc_id collision); deduplicate the corpus first (ops.dedup) "
-            "or widen ids"
-        )
-        if n_docs <= ordinal_driver_threshold:
-            id_chunks, dl_chunks = [], []
-            for batch in ray.data.read_parquet(
-                staging_dir, columns=["doc_id", "doc_len"]
-            ).iter_batches(batch_size=262144, batch_format="pyarrow"):
-                id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
-                dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
-            all_ids = np.concatenate(id_chunks)
-            order = np.argsort(all_ids, kind="stable")
-            sorted_ids = all_ids[order]
-            if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
-                raise ValueError(dup_msg)
-            sorted_ids.tofile(tmp_map)
-            np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
-        else:
-            sorted_ds = ray.data.read_parquet(
-                staging_dir, columns=["doc_id", "doc_len"]
-            ).sort("doc_id")
-            last_id = None
-            n_written = 0
-            with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
-                for batch in sorted_ds.iter_batches(batch_size=262144,
-                                                    batch_format="pyarrow"):
-                    if batch.num_rows == 0:
-                        continue
-                    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-                    d = np.diff(ids)
-                    if (d < 0).any() or (last_id is not None
-                                         and ids[0] < last_id):
-                        raise AssertionError(
-                            "sorted dataset iterated out of order")
-                    if (d == 0).any() or (last_id is not None
-                                          and ids[0] == last_id):
-                        raise ValueError(dup_msg)
-                    last_id = int(ids[-1])
-                    fmap.write(np.ascontiguousarray(
-                        ids, dtype=np.int64).tobytes())
-                    fdl.write(np.ascontiguousarray(
-                        batch["doc_len"].to_numpy(zero_copy_only=False),
-                        dtype=np.int32).tobytes())
-                    n_written += batch.num_rows
-            if n_written != n_docs:
-                raise AssertionError(
-                    f"ordinal pass wrote {n_written} rows, "
-                    f"stats counted {n_docs}"
-                )
+    docmap_valid = (
+        os.path.exists(docmap_path)
+        and os.path.getsize(docmap_path) == 8 * n_docs
+        and os.path.exists(doclens_path)
+        and os.path.getsize(doclens_path) == 4 * n_docs
+    )
+    tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
+    dup_msg = (
+        "duplicate (repo, path, commit) identity rows (or a 63-bit "
+        "doc_id collision); deduplicate the corpus first (ops.dedup) "
+        "or widen ids"
+    )
+    total_len = 0
+    langset: set[str] = set()
+
+    def _absorb_stats(batch: pa.Table) -> None:
+        nonlocal total_len
+        dls = batch["doc_len"].to_numpy(zero_copy_only=False)
+        total_len += int(dls.astype(np.int64).sum())
+        lang_col = batch["lang"]
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        langset.update(x for x in pc.unique(lang_col).to_pylist() if x)
+
+    if docmap_valid:
+        # resume: ordinals exist, only the (sum, langs) stats pass remains —
+        # distributed per-block partials, one tiny take_all
+        def _stats_partial(t: pa.Table) -> pa.Table:
+            lang_col = t["lang"]
+            if isinstance(lang_col, pa.ChunkedArray):
+                lang_col = lang_col.combine_chunks()
+            uniq = pc.unique(lang_col).to_pylist()
+            return pa.table(
+                {
+                    "total_len": pa.array(
+                        [int(pc.sum(t["doc_len"]).as_py() or 0)],
+                        type=pa.int64()),
+                    "langs": pa.array([",".join(sorted(x for x in uniq if x))]),
+                }
+            )
+
+        for r in (
+            ray.data.read_parquet(staging_dir, columns=["doc_len", "lang"])
+            .map_batches(_stats_partial, batch_format="pyarrow")
+            .take_all()
+        ):
+            total_len += r["total_len"]
+            langset.update(lg for lg in r["langs"].split(",") if lg)
+    elif n_docs <= ordinal_driver_threshold:
+        # ONE fused pass: stats + ordinal material (bounded: 12 bytes/doc)
+        id_chunks, dl_chunks = [], []
+        for batch in ray.data.read_parquet(
+            staging_dir, columns=["doc_id", "doc_len", "lang"]
+        ).iter_batches(batch_size=262144, batch_format="pyarrow"):
+            _absorb_stats(batch)
+            id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+            dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
+        all_ids = np.concatenate(id_chunks)
+        order = np.argsort(all_ids, kind="stable")
+        sorted_ids = all_ids[order]
+        if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+            raise ValueError(dup_msg)
+        sorted_ids.tofile(tmp_map)
+        np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
         os.replace(tmp_map, docmap_path)
         os.replace(tmp_dl, doclens_path)
+    else:
+        # distributed range-partition sort; the driver streams the ordered
+        # batches into the files (one batch in memory), absorbing stats from
+        # the same stream — ordinal of a row = the write cursor (prefix sum
+        # over sorted partitions).  At 10^12 docs the single file becomes
+        # per-range shards written by the sort's output tasks; the ordinal
+        # math is identical.
+        sorted_ds = ray.data.read_parquet(
+            staging_dir, columns=["doc_id", "doc_len", "lang"]
+        ).sort("doc_id")
+        last_id = None
+        n_written = 0
+        with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
+            for batch in sorted_ds.iter_batches(batch_size=262144,
+                                                batch_format="pyarrow"):
+                if batch.num_rows == 0:
+                    continue
+                _absorb_stats(batch)
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                d = np.diff(ids)
+                if (d < 0).any() or (last_id is not None
+                                     and ids[0] < last_id):
+                    raise AssertionError(
+                        "sorted dataset iterated out of order")
+                if (d == 0).any() or (last_id is not None
+                                      and ids[0] == last_id):
+                    raise ValueError(dup_msg)
+                last_id = int(ids[-1])
+                fmap.write(np.ascontiguousarray(
+                    ids, dtype=np.int64).tobytes())
+                fdl.write(np.ascontiguousarray(
+                    batch["doc_len"].to_numpy(zero_copy_only=False),
+                    dtype=np.int32).tobytes())
+                n_written += batch.num_rows
+        if n_written != n_docs:
+            raise AssertionError(
+                f"ordinal pass wrote {n_written} rows, "
+                f"metadata counted {n_docs}"
+            )
+        os.replace(tmp_map, docmap_path)
+        os.replace(tmp_dl, doclens_path)
+    avgdl = total_len / n_docs
+    langs = sorted(langset)
     # memmap (not fromfile): the driver never loads the arrays into its heap;
     # ray.put streams them into the object store as the one broadcast copy
     docmap = np.memmap(docmap_path, dtype=np.int64, mode="r")
@@ -479,11 +516,6 @@ def build_index(
     # of the bytes.  Only load balance (salting) depends on this estimate,
     # never correctness.
     hot_threshold = max(hot_df_min, int(hot_df_frac * n_docs))
-    staging_files = sorted(
-        os.path.join(staging_dir, f)
-        for f in os.listdir(staging_dir)
-        if f.endswith(".parquet")
-    )
     sample_files = staging_files[:: max(1, sample_mod)] or staging_files[:1]
     sampled_df = (
         ray.data.read_parquet(sample_files, columns=["doc_id", "terms"])
