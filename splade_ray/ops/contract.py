@@ -142,9 +142,15 @@ SELECT doc_id,
 FROM documents"""
 
 
+# pool size 2: a pool whose concurrency x num_cpus covers the whole session
+# (e.g. 4 actors in the 4-cpu test fixture) starves the read stage -> hang
+ANN_POOL = 2
+
+
 def q_ann_cosine(sf_dir: str):
     ids, mat = _query_vectors(sf_dir)
-    return similarity.brute_force_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K)
+    return similarity.brute_force_topk(_emb_ds(sf_dir), ids, mat, k=ANN_K,
+                                       concurrency=ANN_POOL)
 
 
 IVF_CLUSTERS = 16
@@ -158,6 +164,7 @@ def q_ann_ivf(sf_dir: str):
     return similarity.ivf_topk(
         _emb_ds(sf_dir), ids, mat, k=ANN_K, nprobe=IVF_NPROBE,
         centroids=similarity.ivf_fixed_centroids(EMB_DIM, IVF_CLUSTERS),
+        concurrency=ANN_POOL,
     )
 
 

@@ -462,7 +462,8 @@ def rrf_dense_sparse(sf_dir: str):
     )
     qids, qmat = ops_contract._query_vectors(sf_dir)
     dense_tbl = similarity.brute_force_topk(
-        ops_contract._emb_ds(sf_dir), qids, qmat, k=TOP_K
+        ops_contract._emb_ds(sf_dir), qids, qmat, k=TOP_K,
+        concurrency=ops_contract.ANN_POOL,
     )  # tiny: n_q * k rows, already a pa.Table
     wanted = pa.array(
         sorted({str(v) for v in dense_tbl["vec_id"].to_pylist()}),

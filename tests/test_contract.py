@@ -18,6 +18,11 @@ FAST_KEYS = [
     "token_stats", "quality_score", "langid", "dedup_exact", "simhash",
     "chunk_docs", "idf_coord_topk", "bm25_topk_taat", "rrf_hybrid",
     "neardup_clusters",
+    # round 2
+    "chunk_docs_recursive", "bpe_token_count", "sample_by_content",
+    "doclen_quantiles", "embedding_neardup_pairs", "ann_ivf_topk",
+    "events_hourly_window", "events_sessions", "events_rolling_sum",
+    "events_asof_join",
 ]
 
 
@@ -29,7 +34,7 @@ def contract(ray_session):
     import __ray_entry__ as e
 
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return e.queries(), e.oracle_sql(), con
