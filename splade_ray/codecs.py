@@ -277,3 +277,50 @@ def decode_block(
     base = np.uint64(meta.block_last_docid[i - 1]) if i > 0 else np.uint64(0)
     doc_ids = (base + np.cumsum(g, dtype=np.uint64)).astype(np.int64)
     return doc_ids, t.astype(np.int32)
+
+
+def decode_block_range(
+    blob: np.ndarray, meta: PostingMeta, b_lo: int, b_hi: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the contiguous blocks [b_lo, b_hi) in one pass -> (ids, tfs).
+
+    The global delta chain makes any contiguous range self-contained given
+    the previous block's last doc id (``block_last_docid[b_lo-1]``) — this is
+    the decode-on-demand primitive behind the block-max scorer: only blocks
+    whose upper bound survives pruning ever get decoded."""
+    if b_hi <= b_lo:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+    off = int(meta.block_nbytes[:b_lo].sum())
+    nbytes = int(meta.block_nbytes[b_lo:b_hi].sum())
+    counts = meta.block_count[b_lo:b_hi]
+    total = int(counts.sum())
+    region = blob[off : off + nbytes]
+    gaps = np.empty(total, dtype=np.uint64)
+    tfs = np.empty(total, dtype=np.uint64)
+    if nbytes == 2 * total and not bool(
+        (meta.block_nbytes[b_lo:b_hi] != 2 * counts).any()
+    ):
+        by = np.ascontiguousarray(region)
+        p = ip = 0
+        for n in counts:
+            n = int(n)
+            gaps[p : p + n] = by[ip : ip + n]
+            tfs[p : p + n] = by[ip + n : ip + 2 * n]
+            p += n
+            ip += 2 * n
+    else:
+        ints = vb_decode_all(np.ascontiguousarray(region))
+        if len(ints) != 2 * total:
+            raise ValueError(
+                f"corrupt block range: {len(ints)} ints, expected {2 * total}"
+            )
+        p = ip = 0
+        for n in counts:
+            n = int(n)
+            gaps[p : p + n] = ints[ip : ip + n]
+            tfs[p : p + n] = ints[ip + n : ip + 2 * n]
+            p += n
+            ip += 2 * n
+    base = np.uint64(meta.block_last_docid[b_lo - 1]) if b_lo > 0 else np.uint64(0)
+    doc_ids = (base + np.cumsum(gaps, dtype=np.uint64)).astype(np.int64)
+    return doc_ids, tfs.astype(np.int32)

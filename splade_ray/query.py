@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from .analyzer import analyze_query
 from .build import SCORE_SCALE
-from .codecs import decode_postings_many, tf_saturation
+from .codecs import decode_block_range, decode_postings_many, tf_saturation
 from .segments import SegmentReader
 
 RESULT_SCHEMA = pa.schema(
@@ -245,123 +245,169 @@ class QueryEngine:
             out_scores.append(acc)
         return np.asarray(out_ids, dtype=np.int64), np.asarray(out_scores, dtype=np.int64)
 
-    def _score_bmw(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
-        """Block-max WAND over decoded lists with per-block upper bounds.
+    def _score_bmw(self, qterms: dict[str, int],
+                   batch_segments: int = 64) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max scoring in VECTORIZED, decode-on-demand form.
 
-        Returns only the top-k surviving candidates (ids, units).  Bounds are
-        conservative: float upper bounds are inflated by 2 units before the
-        <= theta prune, so quantization can never prune a true top-k doc.
-        Docs are visited in increasing doc_id, so an equal-score candidate
-        can never displace an in-heap doc (ties break doc_id-ascending) and
-        pruning at ``bound <= theta`` is exact.
+        Classic cursor-based WAND walks documents one at a time — a Python
+        loop that is orders of magnitude slower than the TAAT bincount even
+        when it skips most postings.  This formulation keeps the block-max
+        math but works at BLOCK granularity with numpy:
+
+          1. metadata only (no decode): every piece's per-block upper bound
+             (in integer units, +2 safety) defines a step function over doc
+             space; its breakpoints cut [0, N) into disjoint segments with a
+             constant upper bound UB(segment) = sum of covering block bounds.
+          2. visit segments in DESCENDING UB.  For a batch of segments,
+             decode ONLY the blocks overlapping them (contiguous-range
+             decode, per-block cache), gather the postings inside the
+             segment ranges from ALL pieces, and compute exact quantized
+             scores (each doc's postings land wholly in its one segment,
+             so scores are exact).
+          3. theta = k-th best exact score so far.  Stop when the next
+             segment's UB <= theta: any unvisited doc satisfies
+             exact <= UB - 2 < theta (the +2 inflation per contributing
+             block makes the prune strict), so it can neither beat nor tie
+             into the top-k (ties resolve by _topk's doc_id order among the
+             evaluated candidates).
+
+        Worst case (theta never binds) degenerates to a full decode like
+        TAAT plus small bookkeeping; typical top-k queries decode a few
+        high-bound blocks per list.
         """
-        lists = []
+        pieces = []
         for term, qtf in qterms.items():
             if term not in self.refs:
                 continue
             w = idf(self.n_docs, self.df[term])
             for _salt, si, ri in self.refs[term]:
                 seg = self.segments[si]
-                ids, tfs = seg.postings_at(ri)
-                dls = np.asarray(self.doclens)[ids]
-                units = self._contrib_units(qtf, w, tfs, dls)
                 meta = seg.meta_at(ri)
-                # per-piece block bounds in units (+2 safety margin)
-                bmax = (
-                    qtf * w * meta.block_max_tfsat.astype(np.float64) * SCORE_SCALE
-                    + 2.0
+                bub = (
+                    qtf * w * meta.block_max_tfsat.astype(np.float64)
+                    * SCORE_SCALE + 2.0
                 )
-                block_last = meta.block_last_docid
-                lists.append(
-                    {
-                        "ids": ids, "units": units, "pos": 0,
-                        "ub": float(bmax.max()),
-                        "block_bounds": bmax, "block_last": block_last,
-                    }
-                )
-        if not lists:
+                bends = meta.block_last_docid
+                bstarts = np.empty(len(bends), dtype=np.int64)
+                bstarts[0] = 0
+                bstarts[1:] = bends[:-1] + 1
+                pieces.append({
+                    "seg": seg, "ri": ri, "meta": meta, "qtf": qtf, "w": w,
+                    "bstarts": bstarts, "bends": bends, "bub": bub,
+                    "cache": {},  # block idx -> (ids, units)
+                })
+        if not pieces:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+        # step function of summed block bounds over doc-id space
+        ev_pos = np.concatenate(
+            [p["bstarts"] for p in pieces] + [p["bends"] + 1 for p in pieces]
+        )
+        ev_val = np.concatenate(
+            [p["bub"] for p in pieces] + [-p["bub"] for p in pieces]
+        )
+        bpts = np.unique(ev_pos)
+        delta = np.zeros(len(bpts), dtype=np.float64)
+        np.add.at(delta, np.searchsorted(bpts, ev_pos), ev_val)
+        ub = np.cumsum(delta)
+        last_doc = max(int(p["bends"][-1]) for p in pieces)
+        seg_lo = bpts
+        seg_hi = np.r_[bpts[1:] - 1, last_doc]
+        keep = (ub > 1e-9) & (seg_hi >= seg_lo)
+        seg_lo, seg_hi, ub = seg_lo[keep], seg_hi[keep], ub[keep]
+        order = np.argsort(-ub, kind="stable")
+        seg_lo, seg_hi, ub = seg_lo[order], seg_hi[order], ub[order]
+
+        def _decode_piece_blocks(p, needed: np.ndarray) -> None:
+            """Decode (and cache) the piece's blocks in ``needed`` that are
+            not cached yet, coalescing adjacent blocks into contiguous-range
+            decodes.  >50% of the list needed -> decode it whole."""
+            missing = needed[~np.isin(needed, np.fromiter(
+                p["cache"], dtype=np.int64, count=len(p["cache"])))] \
+                if p["cache"] else needed
+            if len(missing) == 0:
+                return
+            n_blocks = len(p["bends"])
+            if len(p["cache"]) + len(missing) > n_blocks // 2:
+                missing = np.setdiff1d(
+                    np.arange(n_blocks, dtype=np.int64),
+                    np.fromiter(p["cache"], dtype=np.int64,
+                                count=len(p["cache"])),
+                )
+            blob = p["seg"].blob[int(p["seg"]._offsets[p["ri"]]):]
+            run_bounds = np.flatnonzero(np.diff(missing) > 1) + 1
+            for run in np.split(missing, run_bounds):
+                f, t = int(run[0]), int(run[-1]) + 1
+                ids, tfs = decode_block_range(blob, p["meta"], f, t)
+                dls = np.asarray(self.doclens)[ids]
+                units = self._contrib_units(p["qtf"], p["w"], tfs, dls)
+                splits = np.cumsum(p["meta"].block_count[f:t])[:-1]
+                for bi, (i_a, u_a) in enumerate(
+                    zip(np.split(ids, splits), np.split(units, splits))
+                ):
+                    p["cache"][f + bi] = (i_a, u_a)
 
         k = self.k
-        heap: list[tuple[int, int]] = []  # (units, -doc_id), worst first
-        theta = -1
-
-        def cur(c):
-            return c["ids"][c["pos"]] if c["pos"] < len(c["ids"]) else None
-
-        live = [c for c in lists if len(c["ids"])]
-        while live:
-            live.sort(key=lambda c: cur(c))
-            # pivot: first prefix whose summed list-max bounds beat theta
-            acc = 0.0
-            pivot = -1
-            for i, c in enumerate(live):
-                acc += c["ub"]
-                if acc > theta:
-                    pivot = i
-                    break
-            if pivot < 0:
+        cand_ids: list[np.ndarray] = []
+        cand_units: list[np.ndarray] = []
+        theta = -1.0
+        n_seg = len(seg_lo)
+        i = 0
+        # fixed round schedule: a small probing round sets theta, one middle
+        # round tightens it, the final round drains whatever still beats it.
+        # Segments are DISJOINT doc ranges, so each round's scores are exact
+        # and no doc is ever scored twice; theta only grows between rounds.
+        for round_size in (batch_segments * 4, batch_segments * 128, n_seg):
+            if i >= n_seg or ub[i] <= theta:
                 break
-            pivot_doc = cur(live[pivot])
-            # extend the prefix over every cursor already AT the pivot doc —
-            # their contributions belong to pivot_doc's bound, and skipping
-            # past pivot_doc must account for them
-            while pivot + 1 < len(live) and cur(live[pivot + 1]) == pivot_doc:
-                pivot += 1
-            # block-max refinement at the pivot doc
-            block_acc = 0.0
-            for c in live[: pivot + 1]:
-                bi = int(np.searchsorted(c["block_last"], pivot_doc))
-                if bi < len(c["block_bounds"]):
-                    block_acc += float(c["block_bounds"][bi])
-            if block_acc <= theta:
-                # skip: advance the lowest cursor past the earliest block end,
-                # capped at cur(pivot+1)-1 — beyond that, lists outside the
-                # pivot prefix start contributing and the bound no longer holds
-                nxt = None
-                for c in live[: pivot + 1]:
-                    bi = int(np.searchsorted(c["block_last"], pivot_doc))
-                    if bi < len(c["block_last"]):
-                        end = int(c["block_last"][bi])
-                        nxt = end if nxt is None else min(nxt, end)
-                if nxt is None:
-                    nxt = pivot_doc
-                if pivot + 1 < len(live):
-                    nxt = min(nxt, int(cur(live[pivot + 1])) - 1)
-                target = max(nxt, pivot_doc) + 1
-                c0 = live[0]
-                c0["pos"] += int(np.searchsorted(c0["ids"][c0["pos"]:], target))
-                live = [c for c in live if c["pos"] < len(c["ids"])]
-                continue
-            if cur(live[0]) == pivot_doc:
-                score = 0
-                for c in live:
-                    if cur(c) == pivot_doc:
-                        score += int(c["units"][c["pos"]])
-                        c["pos"] += 1
-                    else:
-                        break
-                if score > 0 and (len(heap) < k or score > theta):
-                    entry = (score, -int(pivot_doc))
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                    else:
-                        heapq.heappushpop(heap, entry)
-                    if len(heap) == k:
-                        theta = heap[0][0]
-                live = [c for c in live if c["pos"] < len(c["ids"])]
-            else:
-                for c in live[:pivot]:
-                    c["pos"] += int(
-                        np.searchsorted(c["ids"][c["pos"]:], pivot_doc)
+            j = min(i + round_size, n_seg)
+            # segments already under theta contribute nothing: drop them
+            take = np.flatnonzero(ub[i:j] > theta) + i
+            if len(take) == 0:
+                break
+            blo, bhi = seg_lo[take], seg_hi[take]
+            o = np.argsort(blo)
+            blo, bhi = blo[o], bhi[o]  # sorted, disjoint
+            got_ids, got_units = [], []
+            for p in pieces:
+                # blocks overlapping ANY surviving range (vectorized stab:
+                # ranges are disjoint+sorted, so the last range starting at
+                # or before the block's end is the only overlap candidate)
+                cand = np.searchsorted(blo, p["bends"], side="right") - 1
+                ok = cand >= 0
+                ok[ok] &= bhi[cand[ok]] >= p["bstarts"][ok]
+                needed = np.flatnonzero(ok)
+                if len(needed) == 0:
+                    continue
+                _decode_piece_blocks(p, needed)
+                parts = [p["cache"][int(b)] for b in needed]
+                ids = np.concatenate([x[0] for x in parts]) \
+                    if len(parts) > 1 else parts[0][0]
+                units = np.concatenate([x[1] for x in parts]) \
+                    if len(parts) > 1 else parts[0][1]
+                pos = np.searchsorted(blo, ids, side="right") - 1
+                sel = pos >= 0
+                sel[sel] &= ids[sel] <= bhi[pos[sel]]
+                if sel.any():
+                    got_ids.append(ids[sel])
+                    got_units.append(units[sel])
+            if got_ids:
+                g_ids = np.concatenate(got_ids)
+                g_units = np.concatenate(got_units).astype(np.float64)
+                uniq, inv = np.unique(g_ids, return_inverse=True)
+                exact = np.bincount(inv, weights=g_units,
+                                    minlength=len(uniq)).astype(np.int64)
+                cand_ids.append(uniq)
+                cand_units.append(exact)
+                allu = exact if len(cand_units) == 1 else np.concatenate(cand_units)
+                if len(allu) >= k:
+                    theta = float(
+                        np.partition(allu, len(allu) - k)[len(allu) - k]
                     )
-                live = [c for c in live if c["pos"] < len(c["ids"])]
-
-        if not heap:
+            i = j
+        if not cand_ids:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        ids = np.array([-d for _, d in heap], dtype=np.int64)
-        units = np.array([u for u, _ in heap], dtype=np.int64)
-        return ids, units
+        return np.concatenate(cand_ids), np.concatenate(cand_units)
 
     # --------------------------------------------------------------- topk --
     def _topk(self, ids: np.ndarray, units: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
