@@ -110,6 +110,12 @@ def main() -> None:
     timings["query_p99_ms"] = round(cold[int(len(cold) * 0.99) - 1] * 1000, 3)
     timings["query_warm_p50_ms"] = round(warm[len(warm) // 2] * 1000, 3)
     timings["query_warm_p99_ms"] = round(warm[int(len(warm) * 0.99) - 1] * 1000, 3)
+    # block-max scorer, measured alongside (rank-identical to taat; on this
+    # flat-score synthetic corpus block bounds prune little, so taat is the
+    # default — bmw's decode-on-demand pays off under skewed impact)
+    bmw = _latencies(QueryEngine(idx, k=10, scorer="bmw"), 1)
+    timings["query_bmw_p50_ms"] = round(bmw[len(bmw) // 2] * 1000, 3)
+    timings["query_bmw_p99_ms"] = round(bmw[int(len(bmw) * 0.99) - 1] * 1000, 3)
 
     # ---- query throughput through the actor pool --------------------------
     big_q = rd.from_arrow(qtbl)

@@ -77,6 +77,8 @@ class QueryEngine:
         self._cache_size = 0
         self._ucache: dict[str, tuple] = {}  # per-term qtf=1 unit vectors
         self._ucache_size = 0
+        self._bcache: dict[tuple, dict] = {}  # (seg, row) -> {block: (ids, sat)}
+        self._bcache_size = 0
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.langs = self.manifest["langs"]
@@ -294,7 +296,12 @@ class QueryEngine:
                 pieces.append({
                     "seg": seg, "ri": ri, "meta": meta, "qtf": qtf, "w": w,
                     "bstarts": bstarts, "bends": bends, "bub": bub,
-                    "cache": {},  # block idx -> (ids, units)
+                    # block idx -> (ids, sat): sat is query-INDEPENDENT, so
+                    # the cache persists across queries (warm path skips the
+                    # decode entirely); the budgeted overlay spills to a
+                    # per-call dict once the shared budget is full
+                    "cache": self._bcache.setdefault((si, ri), {}),
+                    "overlay": {},
                 })
         if not pieces:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -318,34 +325,43 @@ class QueryEngine:
         order = np.argsort(-ub, kind="stable")
         seg_lo, seg_hi, ub = seg_lo[order], seg_hi[order], ub[order]
 
+        def _cached(p, b: int):
+            hit = p["cache"].get(b)
+            return hit if hit is not None else p["overlay"][b]
+
         def _decode_piece_blocks(p, needed: np.ndarray) -> None:
             """Decode (and cache) the piece's blocks in ``needed`` that are
             not cached yet, coalescing adjacent blocks into contiguous-range
             decodes.  >50% of the list needed -> decode it whole."""
-            missing = needed[~np.isin(needed, np.fromiter(
-                p["cache"], dtype=np.int64, count=len(p["cache"])))] \
-                if p["cache"] else needed
+            have = set(p["cache"]) | set(p["overlay"])
+            missing = (needed[~np.isin(needed, np.fromiter(
+                have, dtype=np.int64, count=len(have)))]
+                if have else needed)
             if len(missing) == 0:
                 return
             n_blocks = len(p["bends"])
-            if len(p["cache"]) + len(missing) > n_blocks // 2:
+            if len(have) + len(missing) > n_blocks // 2:
                 missing = np.setdiff1d(
                     np.arange(n_blocks, dtype=np.int64),
-                    np.fromiter(p["cache"], dtype=np.int64,
-                                count=len(p["cache"])),
+                    np.fromiter(have, dtype=np.int64, count=len(have)),
                 )
             blob = p["seg"].blob[int(p["seg"]._offsets[p["ri"]]):]
             run_bounds = np.flatnonzero(np.diff(missing) > 1) + 1
             for run in np.split(missing, run_bounds):
                 f, t = int(run[0]), int(run[-1]) + 1
                 ids, tfs = decode_block_range(blob, p["meta"], f, t)
-                dls = np.asarray(self.doclens)[ids]
-                units = self._contrib_units(p["qtf"], p["w"], tfs, dls)
+                sat = tf_saturation(tfs, np.asarray(self.doclens)[ids],
+                                    self.avgdl)
                 splits = np.cumsum(p["meta"].block_count[f:t])[:-1]
-                for bi, (i_a, u_a) in enumerate(
-                    zip(np.split(ids, splits), np.split(units, splits))
+                for bi, (i_a, s_a) in enumerate(
+                    zip(np.split(ids, splits), np.split(sat, splits))
                 ):
-                    p["cache"][f + bi] = (i_a, u_a)
+                    if (self._cache_budget > 0 and self._bcache_size
+                            + len(i_a) <= self._cache_budget):
+                        p["cache"][f + bi] = (i_a, s_a)
+                        self._bcache_size += len(i_a)
+                    else:
+                        p["overlay"][f + bi] = (i_a, s_a)
 
         k = self.k
         cand_ids: list[np.ndarray] = []
@@ -380,11 +396,14 @@ class QueryEngine:
                 if len(needed) == 0:
                     continue
                 _decode_piece_blocks(p, needed)
-                parts = [p["cache"][int(b)] for b in needed]
+                parts = [_cached(p, int(b)) for b in needed]
                 ids = np.concatenate([x[0] for x in parts]) \
                     if len(parts) > 1 else parts[0][0]
-                units = np.concatenate([x[1] for x in parts]) \
+                sat = np.concatenate([x[1] for x in parts]) \
                     if len(parts) > 1 else parts[0][1]
+                units = np.round(
+                    p["qtf"] * p["w"] * sat * SCORE_SCALE
+                ).astype(np.int64)
                 pos = np.searchsorted(blo, ids, side="right") - 1
                 sel = pos >= 0
                 sel[sel] &= ids[sel] <= bhi[pos[sel]]

@@ -71,3 +71,23 @@ def test_unsorted_postings_rejected():
     ids = np.array([5, 3], dtype=np.uint64)
     with pytest.raises(ValueError):
         encode_postings(ids, np.array([1, 1]), np.array([1, 1]), 1.0)
+
+
+@given(st.integers(min_value=1, max_value=1200), st.integers(min_value=0, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_block_range_roundtrip(n, seed):
+    from splade_ray.codecs import decode_block_range
+
+    rng = np.random.default_rng(seed * 7919 + n)
+    ids = np.sort(rng.choice(n * 50 + 10, size=n, replace=False)).astype(np.uint64)
+    tfs = rng.integers(1, 99, n)
+    dls = rng.integers(1, 3000, n)
+    blob, meta = encode_postings(ids, tfs, dls, avgdl=100.0)
+    n_blocks = len(meta.block_count)
+    # every contiguous [lo, hi) range decodes exactly like a full-decode slice
+    for lo in range(n_blocks):
+        for hi in range(lo, n_blocks + 1):
+            d, t = decode_block_range(blob, meta, lo, hi)
+            plo, phi = lo * BLOCK, min(hi * BLOCK, n)
+            assert (d == ids[plo:phi].astype(np.int64)).all()
+            assert (t == tfs[plo:phi]).all()
