@@ -86,6 +86,17 @@ def main() -> None:
     timings["build_files_per_sec"] = round(n_files / build_sec, 1)
     timings["build_n_postings"] = manifest["n_postings"]
 
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        # scaling mode: only the headline build matters; skipping the query/
+        # pipeline stages makes best-of-3 per level affordable
+        print(json.dumps({
+            "metric": "index-build wall (build-only scaling probe)",
+            "value": round(build_sec, 3), "unit": "sec", "queries": timings,
+            "sf": sf, "num_cpus": NUM_CPUS, "n_files": n_files,
+        }))
+        ray.shutdown()
+        return
+
     # ---- query latency (single-engine, per-query wall) --------------------
     # cold = postings decoded every query (cache off); warm = per-actor LRU
     qtbl = generate_queries()
@@ -175,7 +186,8 @@ def scaling() -> None:
         # the scaling criterion needs a compute-bound build: below ~500k files
         # fixed pipeline-startup latency dominates and the ratio measures
         # overhead, not scaling
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_BUILD_ONLY="1")
         env.setdefault("GRAFT_BENCH_FILES", "500000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
@@ -190,16 +202,22 @@ def scaling() -> None:
     # brings its own memory system and disks).  The saturated 8-vs-32 pair
     # is reported alongside as secondary evidence.
     lo, hi = 4, 16
-    runs_lo = [run(lo), run(lo)]  # best-of-2: absorb run-to-run noise
-    runs_hi = [run(hi), run(hi)]
+    # best-of-3 per level, INTERLEAVED so a co-tenant noise window (observed
+    # bursts make runs 2-4x slower) cannot hit only one level
+    runs_lo, runs_hi, runs_8, runs_32 = [], [], [], []
+    for _ in range(3):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["build_index_sec"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["build_index_sec"])
     t_lo = r_lo["queries"]["build_index_sec"]
     t_hi = r_hi["queries"]["build_index_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
-    r8, r32 = run(8), run(32)
-    t8 = r8["queries"]["build_index_sec"]
-    t32 = r32["queries"]["build_index_sec"]
+    for _ in range(2):
+        runs_8.append(run(8))
+        runs_32.append(run(32))
+    t8 = min(r["queries"]["build_index_sec"] for r in runs_8)
+    t32 = min(r["queries"]["build_index_sec"] for r in runs_32)
     print(json.dumps({
         "metric": "build scaling efficiency, N=4 vs 4N=16 cpus "
                   "(secondary: 8 vs 32, memory-bandwidth-saturated)",
