@@ -201,12 +201,20 @@ def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
     from .build import SCORE_SCALE
 
     qrows = _qterms_py()
-    qterm_set = {t for _, t, _ in qrows}
+    qterm_set = pa.array(sorted({t for _, t, _ in qrows}), type=pa.string())
     n_docs = _staged(sf_dir).count()
+    # filter to the tiny query-term set INSIDE the dataset (vectorized
+    # is_in per batch) — at vocabulary scale the driver must never hold the
+    # full term_df table
     df_rows = {
         r["term"]: r["df"]
-        for r in term_df(sf_dir).take_all()
-        if r["term"] in qterm_set
+        for r in term_df(sf_dir).map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["term"].combine_chunks()
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"],
+                value_set=qterm_set)),
+            batch_format="pyarrow",
+        ).take_all()
     }
     # per query term: quantization units of qtf * idf
     units_of = {}
