@@ -76,10 +76,13 @@ def main() -> None:
     rd.read_parquet(corpus_dir).count()  # warm (untimed)
     idx = os.path.join(BENCH_ROOT, f"idx_{n_files}")
     shutil.rmtree(idx, ignore_errors=True)
+    # identical job across scaling levels: the shard count must NOT follow
+    # num_cpus or the two levels build different indexes
+    n_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", max(16, NUM_CPUS * 2)))
     t0 = time.perf_counter()
     manifest = build_index(
         rd.read_parquet(corpus_dir), idx, lang_tagged=True,
-        n_shards=max(16, NUM_CPUS * 2),
+        n_shards=n_shards,
     )
     build_sec = time.perf_counter() - t0
     timings["build_index_sec"] = round(build_sec, 3)
@@ -189,6 +192,7 @@ def scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_BUILD_ONLY="1")
         env.setdefault("GRAFT_BENCH_FILES", "500000")
+        env.setdefault("GRAFT_BENCH_SHARDS", "64")  # same job at every level
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
