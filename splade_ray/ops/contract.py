@@ -107,6 +107,48 @@ def q_doclen_quantiles(sf_dir: str):
     return textstats.doclen_quantiles(_docs_ds(sf_dir))
 
 
+def q_hll_distinct_terms(sf_dir: str):
+    return textstats.hll_distinct_terms(_docs_ds(sf_dir))
+
+
+def hll_distinct_terms_sql() -> str:
+    """Bit-exact HLL replay: same sha-derived hash split (top 8 bits ->
+    register, rho = 56 - bit_length(low 55 bits) via printf('%b')), register
+    max, harmonic estimate + linear-counting correction."""
+    m = textstats.HLL_M
+    bits = textstats.HLL_REGISTER_BITS
+    h = H63.format(expr="term")
+    alpha = repr(textstats.HLL_ALPHA)
+    return f"""
+WITH {_DTOK},
+terms AS (SELECT DISTINCT term FROM dtok),
+hashes AS (SELECT {h} AS h FROM terms),
+parts AS (
+  SELECT h >> {63 - bits} AS register,
+         h & ((CAST(1 AS BIGINT) << {63 - bits}) - 1) AS rest
+  FROM hashes
+),
+rhos AS (
+  SELECT register,
+         CASE WHEN rest = 0 THEN 56
+              ELSE 56 - length(printf('%b', rest)) END AS rho
+  FROM parts
+),
+regs AS (SELECT register, max(rho) AS mrho FROM rhos GROUP BY register),
+agg AS (
+  SELECT sum(power(2e0, -mrho)) + ({m} - count(*)) * 1e0 AS denom,
+         {m} - count(*) AS zeros,
+         CAST(count(*) AS BIGINT) AS nonzero
+  FROM regs
+)
+SELECT round(CASE WHEN ({alpha}e0 * {m} * {m} / denom) <= 2.5e0 * {m}
+                   AND zeros > 0
+              THEN {m} * ln({m} * 1e0 / zeros)
+              ELSE {alpha}e0 * {m} * {m} / denom END, 6) AS hll_estimate,
+       nonzero AS nonzero_registers
+FROM agg"""
+
+
 def doclen_quantiles_sql() -> str:
     def pick(q: str) -> str:
         return (f"(SELECT n_tokens FROM ord WHERE rn = "
@@ -656,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
     q["bpe_token_count"] = q_bpe_token_count
     q["sample_by_content"] = q_sample_by_content
     q["doclen_quantiles"] = q_doclen_quantiles
+    q["hll_distinct_terms"] = q_hll_distinct_terms
     q["events_hourly_window"] = q_events_hourly
     q["events_sessions"] = q_events_sessions
     q["events_rolling_sum"] = q_events_rolling
@@ -672,6 +715,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s["bpe_token_count"] = bpe_token_count_sql()
     s["sample_by_content"] = sample_by_content_sql()
     s["doclen_quantiles"] = doclen_quantiles_sql()
+    s["hll_distinct_terms"] = hll_distinct_terms_sql()
     s["events_hourly_window"] = events_hourly_sql()
     s["events_sessions"] = events_sessions_sql()
     s["events_rolling_sum"] = events_rolling_sql()

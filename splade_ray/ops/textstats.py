@@ -159,6 +159,73 @@ def langid_batch(t: pa.Table, text_col: str = "text",
     )
 
 
+HLL_REGISTER_BITS = 8  # m = 256 registers
+HLL_M = 1 << HLL_REGISTER_BITS
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant for m>=128
+
+
+def _hll_partial_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch HLL partial: (register, rho) rows, one per non-zero register.
+
+    The sketch is MERGEABLE (register-wise max), so the shuffle moves at most
+    256 rows per batch regardless of batch size — the canonical
+    sketch-on-Ray shape.  Hash = sha-derived 63 bits (register = top 8 bits,
+    rho = 56 - bit_length(low 55 bits)), all INTEGER math so the SQL oracle
+    reproduces it bit-for-bit (no float log2 boundary hazards)."""
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    if len(flat) == 0:
+        return pa.table(
+            {"register": pa.array([], type=pa.int64()),
+             "rho": pa.array([], type=pa.int64())}
+        )
+    vocab = pc.dictionary_encode(flat).dictionary.to_pylist()
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    low_mask = (1 << (63 - HLL_REGISTER_BITS)) - 1
+    for term in vocab:  # sha per unique term in the batch (like simhash)
+        h = _h63(term)
+        idx = h >> (63 - HLL_REGISTER_BITS)
+        rest = h & low_mask
+        rho = 56 - rest.bit_length() if rest else 56
+        if rho > regs[idx]:
+            regs[idx] = rho
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {"register": pa.array(nz.astype(np.int64)),
+         "rho": pa.array(regs[nz])}
+    )
+
+
+def hll_distinct_terms(ds, text_col: str = "text") -> pa.Table:
+    """HyperLogLog estimate of the corpus's distinct-term count.
+
+    One map_batches of bounded partials + a <=256-group Max aggregate; the
+    driver folds 256 rows into the estimate.  Small-range correction
+    (linear counting) applied exactly as in the SQL oracle."""
+    from ray.data.aggregate import Max
+
+    rows = (
+        ds.map_batches(_hll_partial_batch, batch_format="pyarrow",
+                       fn_kwargs={"text_col": text_col})
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()  # bounded: <= 256 rows
+    )
+    m_arr = np.zeros(HLL_M, dtype=np.int64)
+    for r in rows:
+        m_arr[r["register"]] = r["rho"]
+    zeros = int((m_arr == 0).sum())
+    denom = float(np.sum(np.power(2.0, -m_arr[m_arr > 0]))) + float(zeros)
+    est = HLL_ALPHA * HLL_M * HLL_M / denom
+    if est <= 2.5 * HLL_M and zeros > 0:
+        est = HLL_M * np.log(HLL_M / zeros)
+    return pa.table(
+        {
+            "hll_estimate": pa.array([round(float(est), 6)], type=pa.float64()),
+            "nonzero_registers": pa.array([HLL_M - zeros], type=pa.int64()),
+        }
+    )
+
+
 SAMPLE_MOD = 20  # content-hash sampling keeps h63(text) % SAMPLE_MOD == 0 (~5%)
 
 

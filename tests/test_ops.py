@@ -243,3 +243,28 @@ def test_media_resize(ray_session):
         rd.from_arrow(pa.Table.from_pandas(out.assign(kind="image"))),
     ).to_pandas()
     assert (feats.width == 8).all() and (feats.height == 8).all()
+
+
+def test_hll_distinct_terms_accuracy(ray_session):
+    """HLL estimate lands within ~8% of the true distinct-term count on a
+    2k-term synthetic vocabulary (m=256 -> sigma ~= 1.04/16 ~= 6.5%)."""
+    from splade_ray.ops import textstats
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(2000)]
+    rows = []
+    for i in range(300):
+        k = int(rng.integers(5, 40))
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(words[int(j)] for j in rng.integers(0, 2000, k)),
+        })
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = textstats.hll_distinct_terms(ds).to_pylist()[0]
+    true = len({w for r in rows for w in r["text"].split()})
+    assert abs(out["hll_estimate"] - true) / true < 0.12
+    # partial-merge invariance: different partitioning, same registers
+    out2 = textstats.hll_distinct_terms(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(11)
+    ).to_pylist()[0]
+    assert out == out2
