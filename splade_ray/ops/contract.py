@@ -58,6 +58,18 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs_ds(sf_dir))
 
 
+def q_dedup_apply(sf_dir: str):
+    return dedup.exact_dedup_apply(_docs_ds(sf_dir))
+
+
+def dedup_apply_sql() -> str:
+    return """
+SELECT d.doc_id, d.text
+FROM documents d
+JOIN (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY sha256(text)) k USING (doc_id)"""
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
 
@@ -699,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
     q["sample_by_content"] = q_sample_by_content
     q["doclen_quantiles"] = q_doclen_quantiles
     q["hll_distinct_terms"] = q_hll_distinct_terms
+    q["dedup_apply"] = q_dedup_apply
     q["events_hourly_window"] = q_events_hourly
     q["events_sessions"] = q_events_sessions
     q["events_rolling_sum"] = q_events_rolling
@@ -716,6 +729,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s["sample_by_content"] = sample_by_content_sql()
     s["doclen_quantiles"] = doclen_quantiles_sql()
     s["hll_distinct_terms"] = hll_distinct_terms_sql()
+    s["dedup_apply"] = dedup_apply_sql()
     s["events_hourly_window"] = events_hourly_sql()
     s["events_sessions"] = events_sessions_sql()
     s["events_rolling_sum"] = events_rolling_sql()

@@ -144,6 +144,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Materialize the deduplicated corpus: keep exactly one row (min id) per
+    distinct content.  The keep-list (one int per distinct content) comes
+    from ``exact_dedup``; survivors are selected with a hash-partitioned
+    INNER JOIN on the integer id — no text moves through the shuffle twice
+    and no driver-side keep-set materializes."""
+    keep = exact_dedup(ds, text_col, id_col).select_columns(["keep_doc_id"])
+    keyed = keep.map_batches(
+        lambda t: pa.table({id_col: t["keep_doc_id"]}),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns([id_col, text_col]).join(
+        keyed, join_type="inner", on=(id_col,), num_partitions=8,
+    )
+
+
 # ---------------------------------------------------------------- minhash --
 
 def minhash_signature(text: str) -> list[int]:
