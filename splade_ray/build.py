@@ -207,11 +207,16 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
     salts = group["salt"].to_numpy(zero_copy_only=False)
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     tfs = group["tf"].to_numpy(zero_copy_only=False)
-    # group runs by (code, salt), doc_id-sorted WITHIN runs: an integer
-    # lexsort — a whole-table Arrow sort on the string term key costs ~10x
-    # more and lexicographic term order is not needed (the dictionary is the
-    # lookup structure; merge sorts its own keys)
-    order = np.lexsort((doc_ids, salts, codes))
+    # group runs by (term, salt), doc_id-sorted WITHIN runs — an integer
+    # lexsort over LEXICOGRAPHIC code ranks (one tiny Arrow sort of the
+    # vocab maps first-appearance codes to lex ranks; a whole-table string
+    # sort would cost ~10x).  Lexicographic dictionary order is a FORMAT
+    # INVARIANT (v4): readers binary-search the term column directly, which
+    # is what keeps their startup O(1) in vocabulary size.
+    lex = pc.array_sort_indices(enc.dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(vocab), dtype=np.int32)
+    rank[lex] = np.arange(len(vocab), dtype=np.int32)
+    order = np.lexsort((doc_ids, salts, rank[codes]))
     codes, salts, doc_ids = codes[order], salts[order], doc_ids[order]
     tfs = tfs[order]
 

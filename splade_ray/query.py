@@ -106,28 +106,39 @@ class QueryEngine:
             SegmentReader(os.path.join(seg_root, s["segment_id"]))
             for s in self.manifest["segments"]
         ]
-        # merged dictionary: term -> [(segment_idx, row_idx)], df summed.
-        # At 10^12-doc scale this in-RAM dict becomes a sorted mmapped term
-        # file per segment + binary search; the per-actor pattern is the same.
-        self.refs: dict[str, list[tuple[int, int]]] = {}
-        self.df: dict[str, int] = {}
-        for si, seg in enumerate(self.segments):
-            dfs = seg.dict["df"].to_pylist()
-            salts = seg.dict["salt"].to_pylist()
-            for term, rows in seg.lookup.items():
-                self.refs.setdefault(term, []).extend(
-                    (salts[ri], si, ri) for ri in rows
-                )
-                self.df[term] = self.df.get(term, 0) + sum(dfs[ri] for ri in rows)
-        for term in self.refs:
-            # salt order: within one build generation, a hot term's salted
-            # sub-lists cover disjoint ascending ordinal ranges, so salt-order
-            # concatenation is already doc-sorted (merged indexes may overlap
-            # and fall back to a sort in _gather)
-            self.refs[term].sort()
+        # term lookups are LAZY: each query term binary-searches every
+        # segment's sorted dictionary once, memoized per actor.  Engine
+        # startup is therefore O(1) in vocabulary size — at a 10^12-doc
+        # dictionary an actor comes up as fast as at 10^5 (the old eager
+        # merge built a Python dict over the whole vocabulary per actor).
+        self._refs_memo: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
         # dense TAAT path available when postings are ordinals and one
         # bincount over N is affordable
         self._dense_ok = self.docmap is not None and self.n_docs <= 50_000_000
+
+    # ------------------------------------------------------------- lookup --
+    def _term_refs(self, term: str) -> tuple[list[tuple[int, int, int]], int]:
+        """((salt, segment_idx, row_idx) list sorted by salt, summed df).
+
+        Salt order matters: within one build generation a hot term's salted
+        sub-lists cover disjoint ascending ordinal ranges, so salt-order
+        concatenation is already doc-sorted (merged indexes may overlap and
+        fall back to a sort in _gather).  Empty list <=> term absent."""
+        hit = self._refs_memo.get(term)
+        if hit is not None:
+            return hit
+        refs: list[tuple[int, int, int]] = []
+        df = 0
+        for si, seg in enumerate(self.segments):
+            salt_col = seg.dict["salt"]
+            df_col = seg.dict["df"]
+            for ri in seg.term_rows(term):
+                refs.append((salt_col[ri].as_py(), si, ri))
+                df += df_col[ri].as_py()
+        refs.sort()
+        out = (refs, df)
+        self._refs_memo[term] = out
+        return out
 
     # ------------------------------------------------------------- gather --
     def _gather(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -140,7 +151,7 @@ class QueryEngine:
         if cached is not None:
             return cached
         regions = []
-        for _salt, si, ri in self.refs[term]:
+        for _salt, si, ri in self._term_refs(term)[0]:
             seg = self.segments[si]
             meta = seg.meta_at(ri)
             off = int(seg._offsets[ri])
@@ -173,7 +184,7 @@ class QueryEngine:
         qtf == 1 units are cached per term (the common case — duplicate
         query tokens are rare); qtf > 1 recomputes the full expression so
         the quantization spec round((qtf*idf)*sat*1e9) holds exactly."""
-        w = idf(self.n_docs, self.df[term])
+        w = idf(self.n_docs, self._term_refs(term)[1])
         if qtf == 1:
             hit = self._ucache.get(term)
             if hit is not None:
@@ -191,7 +202,7 @@ class QueryEngine:
     def _score_taat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
         all_ids, all_units = [], []
         for term, qtf in qterms.items():
-            if term not in self.refs:
+            if not self._term_refs(term)[0]:
                 continue
             ids, units = self._term_units(term, qtf)
             all_ids.append(ids)
@@ -224,10 +235,11 @@ class QueryEngine:
         """Naive DAAT heap merge over decoded lists (parity reference)."""
         cursors = []
         for term, qtf in qterms.items():
-            if term not in self.refs:
+            refs, df = self._term_refs(term)
+            if not refs:
                 continue
             ids, tfs, dls = self._gather(term)
-            units = self._contrib_units(qtf, idf(self.n_docs, self.df[term]), tfs, dls)
+            units = self._contrib_units(qtf, idf(self.n_docs, df), tfs, dls)
             cursors.append((ids, units))
         if not cursors:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -279,10 +291,11 @@ class QueryEngine:
         """
         pieces = []
         for term, qtf in qterms.items():
-            if term not in self.refs:
+            refs, df = self._term_refs(term)
+            if not refs:
                 continue
-            w = idf(self.n_docs, self.df[term])
-            for _salt, si, ri in self.refs[term]:
+            w = idf(self.n_docs, df)
+            for _salt, si, ri in refs:
                 seg = self.segments[si]
                 meta = seg.meta_at(ri)
                 bub = (

@@ -33,7 +33,10 @@ import pyarrow.parquet as pq
 
 from .codecs import PostingMeta, decode_postings, encode_postings
 
-FORMAT_VERSION = 3  # v3: ordinal postings, doc_len in the forward doclens.bin array
+# v3: ordinal postings, doc_len in the forward doclens.bin array
+# v4: dictionary rows sorted lexicographically by (term, salt) — readers
+#     binary-search the term column (term_rows), so dict ORDER is load-bearing
+FORMAT_VERSION = 4
 
 DICT_SCHEMA = pa.schema(
     [
@@ -169,12 +172,35 @@ class SegmentReader:
         self.blob = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8,
                               mode="r") if os.path.getsize(
             os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
-        # term -> list of dict-row indices (a term may appear once per salt)
-        self.lookup: dict[str, list[int]] = {}
-        for i, t in enumerate(self.dict["term"].to_pylist()):
-            self.lookup.setdefault(t, []).append(i)
+        # NOTE: no eager term->rows dict — the dictionary is written sorted
+        # by (term, salt), so lookups are a lazy binary search (term_rows).
+        # Reader startup stays O(1) in vocabulary size: at 10^12-doc
+        # dictionaries an actor opens a segment without materializing a
+        # Python object per term.
+        self._terms = self.dict["term"].combine_chunks()
         self._meta_cache: dict[int, PostingMeta] = {}
         self._offsets = self.dict["offset"].to_numpy(zero_copy_only=False)
+
+    def term_rows(self, term: str) -> range:
+        """Dict-row range for ``term`` (one row per salt), via binary search
+        over the sorted term column — O(log n) ``as_py`` calls, no index."""
+        col = self._terms
+        lo, hi = 0, len(col)
+        while lo < hi:  # leftmost
+            mid = (lo + hi) // 2
+            if col[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        left = lo
+        hi = len(col)
+        while lo < hi:  # rightmost
+            mid = (lo + hi) // 2
+            if col[mid].as_py() <= term:
+                lo = mid + 1
+            else:
+                hi = mid
+        return range(left, lo)
 
     def meta_at(self, i: int) -> PostingMeta:
         cached = self._meta_cache.get(i)
@@ -230,7 +256,7 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
     for term, salt in sorted(keys):
         parts = []
         for ri, r in enumerate(readers):
-            for i in r.lookup.get(term, []):
+            for i in r.term_rows(term):
                 if r.dict["salt"][i].as_py() == salt:
                     ids, tfs_p = r.postings_at(i)
                     if id_maps is not None:
