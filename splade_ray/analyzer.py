@@ -75,6 +75,133 @@ def _split_tokens(texts: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     return pc.split_pattern_regex(t, SPLIT)
 
 
+def _tokenize_ascii_bytes(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Single-pass BYTE-level tokenizer for all-ASCII rows.
+
+    The regex pipeline above copies the whole corpus ~4 times (two camel
+    replaces, a lowercase, a split); on this memory-bandwidth-bound stage
+    that traffic IS the cost.  This path computes token boundaries directly
+    on the UTF-8 buffer (camel rules as per-position predicates, proven
+    equivalent to the two sequential regex passes for ASCII: camel-1 splits
+    at lower/digit->Upper, camel-2 before the last upper of an upper-run
+    followed by a lower) and emits the flat token array ZERO-materialization:
+    values = the lowercased alnum bytes, offsets from a cumsum.  Returns
+    (flat tokens StringArray, parent row indices).  ONLY correct for ASCII
+    input — callers must route rows containing bytes >= 0x80 to the regex
+    path (unicode lowercasing can map non-ASCII to ASCII, e.g. Kelvin K).
+    """
+    n_rows = len(texts)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.offset != 0:
+        texts = pa.concat_arrays([texts])
+    buffers = texts.buffers()
+    row_off = np.frombuffer(buffers[1], dtype=np.int32, count=n_rows + 1).astype(np.int64)
+    nbytes = int(row_off[-1])
+    if nbytes == 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8, count=nbytes)
+    low = (data >= 97) & (data <= 122)
+    upp = (data >= 65) & (data <= 90)
+    dig = (data >= 48) & (data <= 57)
+    alnum = low | upp | dig
+    # shifted views with row-boundary sentinels: positions at a row START act
+    # as if preceded by a separator; at a row END as if followed by one
+    prev_low_dig = np.empty(nbytes, dtype=bool)
+    prev_low_dig[0] = False
+    prev_low_dig[1:] = low[:-1] | dig[:-1]
+    prev_upp = np.empty(nbytes, dtype=bool)
+    prev_upp[0] = False
+    prev_upp[1:] = upp[:-1]
+    prev_alnum = np.empty(nbytes, dtype=bool)
+    prev_alnum[0] = False
+    prev_alnum[1:] = alnum[:-1]
+    next_low = np.empty(nbytes, dtype=bool)
+    next_low[-1] = False
+    next_low[:-1] = low[1:]
+    starts_of_rows = row_off[:-1][row_off[:-1] < nbytes]
+    prev_low_dig[starts_of_rows] = False
+    prev_upp[starts_of_rows] = False
+    prev_alnum[starts_of_rows] = False
+    ends_of_rows = row_off[1:] - 1
+    ends_of_rows = ends_of_rows[(ends_of_rows >= 0) & (ends_of_rows < nbytes)]
+    # next_low at the last byte of each row must ignore the next row
+    next_low[ends_of_rows] = False
+    camel_a = prev_low_dig & upp
+    camel_b = prev_upp & upp & next_low
+    tok_start = alnum & (~prev_alnum | camel_a | camel_b)
+    start_idx = np.flatnonzero(tok_start)
+    if len(start_idx) == 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    # token ends pair 1:1 with starts (row-start alnum bytes are starts, so
+    # a row boundary implies an end on the previous byte automatically)
+    tok_end = np.empty(nbytes, dtype=bool)
+    tok_end[:-1] = alnum[:-1] & (~alnum[1:] | tok_start[1:])
+    tok_end[-1] = alnum[-1]
+    end_idx = np.flatnonzero(tok_end)
+    lengths = end_idx - start_idx + 1
+    sel = np.flatnonzero(alnum)
+    values = data[sel] + (upp[sel].astype(np.uint8) * 32)  # lowercase
+    tok_off = np.zeros(len(start_idx) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=tok_off[1:])
+    flat = pa.Array.from_buffers(
+        pa.utf8(), len(start_idx),
+        [None, pa.py_buffer(tok_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+    )
+    parents = (np.searchsorted(row_off, start_idx, side="right") - 1).astype(np.int64)
+    return flat, parents
+
+
+def _regex_flat(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Regex-pipeline tokenization -> (flat tokens, parent row indices)."""
+    lists = _split_tokens(texts)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents[keep.to_numpy(zero_copy_only=False)]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parents
+
+
+def _tokens_flat_inner(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Route each row to the byte fast path (pure ASCII) or the regex path
+    (any byte >= 0x80 — unicode lowercasing can differ, e.g. Kelvin K -> k),
+    then restore ascending-parent order (downstream shingle construction
+    relies on row-contiguous, row-ordered flat tokens)."""
+    if texts.type != pa.utf8() or len(texts) == 0:
+        return _regex_flat(texts)
+    if texts.offset != 0:
+        # sliced arrays share parent buffers; compact before raw-buffer reads
+        texts = pa.concat_arrays([texts])
+    buffers = texts.buffers()
+    n_rows = len(texts)
+    row_off = np.frombuffer(buffers[1], dtype=np.int32,
+                            count=n_rows + 1).astype(np.int64)
+    nbytes = int(row_off[-1])
+    if nbytes == 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8, count=nbytes)
+    bad_bytes = np.flatnonzero(data >= 128)
+    if len(bad_bytes) == 0:
+        return _tokenize_ascii_bytes(texts)
+    bad_rows = np.unique(np.searchsorted(row_off, bad_bytes, side="right") - 1)
+    good_mask = np.ones(n_rows, dtype=bool)
+    good_mask[bad_rows] = False
+    f1, p1 = _tokenize_ascii_bytes(texts.filter(pa.array(good_mask)))
+    f2, p2 = _regex_flat(texts.take(pa.array(bad_rows)))
+    good_idx = np.flatnonzero(good_mask)
+    parents = np.concatenate([
+        good_idx[p1] if len(p1) else p1,
+        bad_rows[p2] if len(p2) else p2,
+    ])
+    flat = pa.concat_arrays([f1, f2])
+    order = np.argsort(parents, kind="stable")
+    return flat.take(pa.array(order)), parents[order]
+
+
 def tokenize_flat(
     texts: pa.ChunkedArray | pa.Array,
     langs: pa.ChunkedArray | pa.Array | None = None,
@@ -84,14 +211,14 @@ def tokenize_flat(
     ``langs`` (optional, aligned with ``texts``) switches on lang-tagging:
     every token becomes ``{lang}:{token}``.  Empty tokens (from leading /
     trailing separators) are dropped.  Returns (tokens: pa.StringArray,
-    parents: np.int64 row index per token).
+    parents: np.int64 row index per token).  All-ASCII rows take the
+    single-pass byte tokenizer (_tokenize_ascii_bytes); rows with any
+    non-ASCII byte take the regex pipeline — identical output, parity-tested.
     """
-    lists = _split_tokens(texts)
-    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    flat = lists.flatten()
-    keep = pc.not_equal(flat, "")
-    flat = flat.filter(keep)
-    parents = parents[keep.to_numpy(zero_copy_only=False)]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    flat, parents = _tokens_flat_inner(texts)
     if langs is not None:
         if isinstance(langs, pa.ChunkedArray):
             langs = langs.combine_chunks()

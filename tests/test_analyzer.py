@@ -3,6 +3,8 @@
 import duckdb
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from splade_ray.analyzer import (
     analyze_query,
@@ -80,3 +82,57 @@ def test_analyze_query_expansion():
     assert analyze_query("def", None, ["py", "js"]) == {"py:def": 1, "js:def": 1}
     assert analyze_query("def", None, None) == {"def": 1}
     assert analyze_query("", None, None) == {}
+
+
+def test_byte_fast_path_parity_adversarial():
+    """_tokenize_ascii_bytes must equal tokens_py on camel/digit/run edge
+    cases, and tokenize_flat must route mixed ASCII/unicode rows correctly."""
+    import numpy as np
+
+    from splade_ray.analyzer import (
+        _tokenize_ascii_bytes,
+        tokenize_flat,
+        tokens_py,
+    )
+
+    cases = [
+        "", "a", "A", "aB", "Ab", "AB", "ABc", "aBc", "aXBc", "getHTTPResponse2Code",
+        "max2Count", "B2", "2b", "snake_case_id", "__x__", "a  b\tc\nd",
+        "ALLCAPS", "xX", "Xx", "xXx", "XxX", "a1B2c3D4", "...", "a.b.C.d",
+        "HTTPserver", "parseURLFast", "A1a", "1A1", "aA", "Aa1Bb2",
+        "trailing ", " leading", "mIxEdCaSe", "x" * 3000 + "Y" + "z" * 10,
+    ]
+    tbl = pa.array(cases, type=pa.string())
+    flat, parents = _tokenize_ascii_bytes(tbl)
+    got = [[] for _ in cases]
+    for tok, p in zip(flat.to_pylist(), parents):
+        got[p].append(tok)
+    for i, c in enumerate(cases):
+        assert got[i] == tokens_py(c), (c, got[i], tokens_py(c))
+
+    # mixed batch: unicode rows (incl. Kelvin sign, which lowercases to
+    # ASCII 'k') must take the regex path and agree with tokens_py
+    mixed = cases + ["héllo wörld", "aKb", "日本語 code", "naïveCase"]
+    flat2, par2 = tokenize_flat(pa.array(mixed, type=pa.string()))
+    got2 = [[] for _ in mixed]
+    for tok, p in zip(flat2.to_pylist(), par2):
+        got2[p].append(tok)
+    for i, c in enumerate(mixed):
+        assert got2[i] == tokens_py(c), (c, got2[i], tokens_py(c))
+    # parents ascending (shingle construction relies on it)
+    assert (np.diff(par2) >= 0).all()
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60),
+    max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_byte_fast_path_parity_hypothesis(rows):
+    from splade_ray.analyzer import tokenize_flat, tokens_py
+
+    flat, parents = tokenize_flat(pa.array(rows, type=pa.string()))
+    got = [[] for _ in rows]
+    for tok, p in zip(flat.to_pylist(), parents):
+        got[p].append(tok)
+    for i, c in enumerate(rows):
+        assert got[i] == tokens_py(c), (c, got[i], tokens_py(c))
