@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_taat": lambda sf: p.bm25_topk(sf, scorer="taat"),
         "bm25_topk_bmw": lambda sf: p.bm25_topk(sf, scorer="bmw"),
         "bm25_topk_merged": p.bm25_topk_merged,
+        "bm25_topk_sharded": p.bm25_topk_sharded,
         "idf_coord_topk": p.idf_coord_topk,
         "bm25_topk_docs": p.bm25_topk_docs,
         "rrf_hybrid": p.rrf_hybrid,
@@ -68,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_taat": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_bmw": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_merged": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
+        "bm25_topk_sharded": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "idf_coord_topk": sql.idf_coord_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_docs": sql.bm25_topk_docs_sql(DOC_QUERIES, TOP_K),
         "rrf_hybrid": sql.rrf_hybrid_sql(DOC_QUERIES, TOP_K),

@@ -257,17 +257,26 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
 
 
 def _corpus_fingerprint(corpus) -> str | None:
-    """Cheap corpus identity for checkpoint binding: sha256 of the sorted
-    input-file list (metadata-only; no data pass).  ``None`` when the Dataset
-    has no file provenance (e.g. from_arrow) — then resume validation falls
-    back to the pre-fingerprint behaviour (trust STAGING.json)."""
+    """Cheap corpus identity for checkpoint binding: sha256 over the sorted
+    input-file list PLUS each file's (size, mtime_ns) — still metadata-only
+    (no data pass), but rewriting a file's contents in place (same names)
+    now invalidates stale staging instead of silently resuming from it.
+    ``None`` when the Dataset has no file provenance (e.g. from_arrow) —
+    then resume validation falls back to trusting STAGING.json."""
     try:
         files = corpus.input_files()
     except Exception:
         return None
     if not files:
         return None
-    digest = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()
+    parts = []
+    for f in sorted(files):
+        try:
+            st = os.stat(f)
+            parts.append(f"{f}\0{st.st_size}\0{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f)  # remote/unstat-able path: name-only identity
+    digest = hashlib.sha256("\n".join(parts).encode()).hexdigest()
     return digest[:16]
 
 

@@ -168,6 +168,12 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
         "hot_terms": sorted({t for m in manifests for t in m["hot_terms"]}),
         "n_postings": n_postings,
         "segments": seg_rows,
+        # source identity: lets callers detect a stale merge when an input
+        # generation was rebuilt underneath it (corpus_fp/n_docs mismatch)
+        "source_fps": [
+            {"corpus_fp": m.get("corpus_fp"), "n_docs": m["n_docs"]}
+            for m in manifests
+        ],
         # docs table = the union of the inputs' staging tables
         "docs_sources": [os.path.join(os.path.abspath(d), "staging")
                          for d in index_dirs],

@@ -74,7 +74,7 @@ def _shingle_pairs(t: pa.Table, text_col: str):
     if len(flat) >= SHINGLE_K:
         m = len(flat) - SHINGLE_K + 1
         joined = pc.binary_join_element_wise(
-            flat.slice(0, m), flat.slice(1, m), flat.slice(2, m), " "
+            *[flat.slice(i, m) for i in range(SHINGLE_K)], " "
         )
         valid = parents[: m] == parents[SHINGLE_K - 1 :]
         parts.append(joined.filter(pa.array(valid)))

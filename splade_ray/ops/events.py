@@ -37,6 +37,11 @@ def _us(t: pa.Table, col: str = "ts") -> np.ndarray:
     ts = t[col]
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
+    # unit-safe: a bare int64 cast yields the column's NATIVE unit, so an
+    # events table stored as timestamp[ns]/[ms] would silently break the
+    # microsecond window constants — normalize to us first
+    if pa.types.is_timestamp(ts.type):
+        ts = ts.cast(pa.timestamp("us"))
     return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 

@@ -14,7 +14,9 @@ here calls ray.init/shutdown.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -392,6 +394,22 @@ def chunk_docs_recursive(sf_dir: str):
     ).map_batches(_chunk_recursive_batch, batch_format="pyarrow")
 
 
+def bm25_topk_sharded(sf_dir: str):
+    """Doc-partitioned query fan-out (SURVEY §2.4 A4): the ordinal space is
+    split across independent QueryEngine pools, per-range top-k merged by a
+    tiny groupby(query_id) — rank/score-identical to bm25_topk, same SQL
+    oracle.  This is the 100x serving shape (each pool's actors resident on
+    only their slice of the index)."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=TOP_K, scorer="taat",
+        n_query_shards=2, concurrency_per_shard=1,
+    )
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def bm25_topk_docs(sf_dir: str):
     """BM25 results joined with doc metadata (A6 doc fetch: the reference
     returns pk+text with each hit, retrievers.py:81,140).  Hash join on
@@ -429,17 +447,27 @@ def bm25_topk_merged(sf_dir: str):
                      pa.scalar(parity, pa.int64()))
         )
 
-    gens = []
+    gens, src_fps = [], []
     for parity in (0, 1):
         idx = os.path.join(root, f"gen{parity}")
         ds = corpus_ds(sf_dir).map_batches(
             _parity_filter, batch_format="pyarrow",
             fn_kwargs={"parity": parity},
         )
-        build_index(ds, idx, lang_tagged=False, n_shards=8)
+        m = build_index(ds, idx, lang_tagged=False, n_shards=8)
         gens.append(idx)
+        src_fps.append({"corpus_fp": m.get("corpus_fp"), "n_docs": m["n_docs"]})
     merged = os.path.join(root, "merged")
-    if not os.path.exists(os.path.join(merged, "MANIFEST.json")):
+    mpath = os.path.join(merged, "MANIFEST.json")
+    # the merged dir is only valid if it was merged from THESE generations:
+    # a rebuilt gen (corpus_fp/n_docs mismatch) invalidates it
+    stale = True
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            stale = json.load(f).get("source_fps") != src_fps
+    if stale:
+        if os.path.isdir(merged):
+            shutil.rmtree(merged)
         merge_index_dirs(gens, merged)
     res = run_queries(
         rd.from_arrow(_queries_table()), merged, k=TOP_K, scorer="taat",

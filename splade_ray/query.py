@@ -63,28 +63,45 @@ class QueryEngine:
     """Callable-class stage: one instance per pool actor, init once per actor."""
 
     def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
-                 cache_postings_budget: int = 32_000_000):
+                 cache_postings_budget: int = 32_000_000,
+                 ord_range: "tuple[int, int] | None" = None):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
         pattern of a repeated query workload (evicts exactly what the next
         round needs).  This is the reference's ``collection.load()`` index
-        residency (ST3) scoped to an actor's memory budget; 0 disables."""
+        residency (ST3) scoped to an actor's memory budget; 0 disables.
+
+        ``ord_range=(lo, hi)`` restricts this engine to doc ORDINALS in
+        [lo, hi) — the doc-partitioned query fan-out (SURVEY §2.4 A4, the
+        shape Milvus uses across query nodes, reference ingest.py:172).
+        Only posting BLOCKS overlapping the range are ever decoded or
+        cached (block_last_docid binary search), so an actor's resident
+        set is ~1/n_shards of the index instead of all of it — the 100x
+        residency fix.  Scores inside the range are complete and exact
+        (every posting of an in-range doc lands in-range), so per-range
+        top-k merge is globally exact; see ``run_queries_sharded``."""
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self._cache: dict[str, tuple] = {}
         self._cache_budget = cache_postings_budget
-        self._cache_size = 0
         self._ucache: dict[str, tuple] = {}  # per-term qtf=1 unit vectors
-        self._ucache_size = 0
         self._bcache: dict[tuple, dict] = {}  # (seg, row) -> {block: (ids, sat)}
-        self._bcache_size = 0
+        # ONE counter charges all three caches against the budget, so an
+        # actor's cached postings never exceed ``cache_postings_budget`` total
+        self._cached_n = 0
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.langs = self.manifest["langs"]
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
+        self.ord_range = None
+        if ord_range is not None:
+            lo, hi = int(ord_range[0]), int(ord_range[1])
+            if not (0 <= lo < hi <= self.n_docs):
+                raise ValueError(f"ord_range {ord_range!r} outside [0, {self.n_docs}]")
+            self.ord_range = (lo, hi)
         # ordinal -> real doc id translation (build.py docmap); memmapped so
         # actor startup stays O(1) in corpus size.  A manifest without
         # doc_ordinals is a pre-v3 index: postings would misdecode (dl gone
@@ -150,22 +167,63 @@ class QueryEngine:
         cached = self._cache.get(term)
         if cached is not None:
             return cached
-        regions = []
+        if self.ord_range is not None:
+            ids, tfs = self._gather_range(term)
+        else:
+            regions = []
+            for _salt, si, ri in self._term_refs(term)[0]:
+                seg = self.segments[si]
+                meta = seg.meta_at(ri)
+                off = int(seg._offsets[ri])
+                regions.append((seg.blob[off : off + meta.nbytes], meta))
+            ids, tfs = decode_postings_many(regions)
+            if len(regions) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
+                order = np.argsort(ids, kind="stable")
+                ids, tfs = ids[order], tfs[order]
+        dls = np.asarray(self.doclens)[ids]  # O(1) forward-array gather
+        if (self._cache_budget > 0
+                and self._cached_n + len(ids) <= self._cache_budget):
+            self._cache[term] = (ids, tfs, dls)
+            self._cached_n += len(ids)
+        return ids, tfs, dls
+
+    def _gather_range(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Range-restricted postings for ``term``: per piece, binary-search
+        ``block_last_docid`` for the blocks overlapping [lo, hi), decode ONLY
+        those (contiguous-range decode), and mask boundary blocks.  A shard
+        engine therefore reads ~1/n_shards of every posting list — the mmap
+        never pages the rest in."""
+        lo, hi = self.ord_range
+        parts_i: list[np.ndarray] = []
+        parts_t: list[np.ndarray] = []
         for _salt, si, ri in self._term_refs(term)[0]:
             seg = self.segments[si]
             meta = seg.meta_at(ri)
+            bl = meta.block_last_docid
+            # block i covers ordinals (bl[i-1], bl[i]] — overlap iff
+            # bl[i] >= lo and first_id(i) <= hi-1
+            b_lo = int(np.searchsorted(bl, lo, side="left"))
+            b_hi = min(int(np.searchsorted(bl, hi - 1, side="left")) + 1, len(bl))
+            if b_lo >= b_hi:
+                continue
             off = int(seg._offsets[ri])
-            regions.append((seg.blob[off : off + meta.nbytes], meta))
-        ids, tfs = decode_postings_many(regions)
-        if len(regions) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
+            ids, tfs = decode_block_range(
+                seg.blob[off : off + meta.nbytes], meta, b_lo, b_hi
+            )
+            m = (ids >= lo) & (ids < hi)
+            if not bool(m.all()):
+                ids, tfs = ids[m], tfs[m]
+            if len(ids):
+                parts_i.append(ids)
+                parts_t.append(tfs)
+        if not parts_i:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        ids = np.concatenate(parts_i)
+        tfs = np.concatenate(parts_t)
+        if len(parts_i) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
             order = np.argsort(ids, kind="stable")
             ids, tfs = ids[order], tfs[order]
-        dls = np.asarray(self.doclens)[ids]  # O(1) forward-array gather
-        if (self._cache_budget > 0
-                and self._cache_size + len(ids) <= self._cache_budget):
-            self._cache[term] = (ids, tfs, dls)
-            self._cache_size += len(ids)
-        return ids, tfs, dls
+        return ids, tfs
 
     def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
         return analyze_query(
@@ -192,10 +250,10 @@ class QueryEngine:
         ids, tfs, dls = self._gather(term)
         units = self._contrib_units(qtf, w, tfs, dls)
         if qtf == 1 and self._cache_budget > 0 and (
-            self._ucache_size + len(ids) <= self._cache_budget
+            self._cached_n + len(ids) <= self._cache_budget
         ):
             self._ucache[term] = (ids, units)
-            self._ucache_size += len(ids)
+            self._cached_n += len(ids)
         return ids, units
 
     # ------------------------------------------------------------- scorers --
@@ -214,18 +272,21 @@ class QueryEngine:
         # integer sums via weighted bincount: float64 accumulation is exact
         # for our magnitudes (per-doc unit sums < 2^53 by construction) and
         # ~6x faster than np.add.at
-        if self._dense_ok and len(ids) * 8 >= self.n_docs:
-            # dense path: when a large fraction of docs match, one bincount
-            # over N + one partition beats sorting the K matched postings
-            acc = np.bincount(ids, weights=units.astype(np.float64),
-                              minlength=self.n_docs)
-            k = min(self.k, self.n_docs)
-            cut = np.partition(acc, self.n_docs - k)[self.n_docs - k]
+        rlo, rhi = self.ord_range or (0, self.n_docs)
+        width = rhi - rlo
+        if self._dense_ok and len(ids) * 8 >= width:
+            # dense path: when a large fraction of (in-range) docs match, one
+            # bincount over the range + one partition beats sorting the K
+            # matched postings; the accumulator is range-width, not corpus-wide
+            acc = np.bincount(ids - rlo, weights=units.astype(np.float64),
+                              minlength=width)
+            k = min(self.k, width)
+            cut = np.partition(acc, width - k)[width - k]
             if cut <= 0:
                 cand = np.nonzero(acc > 0)[0]
             else:
                 cand = np.nonzero(acc >= cut)[0]  # >= keeps boundary ties
-            return cand, acc[cand].astype(np.int64)
+            return cand + rlo, acc[cand].astype(np.int64)
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.bincount(inv, weights=units.astype(np.float64),
                              minlength=len(uniq))
@@ -333,6 +394,13 @@ class QueryEngine:
         last_doc = max(int(p["bends"][-1]) for p in pieces)
         seg_lo = bpts
         seg_hi = np.r_[bpts[1:] - 1, last_doc]
+        if self.ord_range is not None:
+            # sharded engine: clip the step function to this actor's ordinal
+            # range — out-of-range segments vanish before any decode, and the
+            # in-range stab masks boundary blocks' stray postings below
+            rlo, rhi = self.ord_range
+            seg_lo = np.maximum(seg_lo, rlo)
+            seg_hi = np.minimum(seg_hi, rhi - 1)
         keep = (ub > 1e-9) & (seg_hi >= seg_lo)
         seg_lo, seg_hi, ub = seg_lo[keep], seg_hi[keep], ub[keep]
         order = np.argsort(-ub, kind="stable")
@@ -369,10 +437,10 @@ class QueryEngine:
                 for bi, (i_a, s_a) in enumerate(
                     zip(np.split(ids, splits), np.split(sat, splits))
                 ):
-                    if (self._cache_budget > 0 and self._bcache_size
+                    if (self._cache_budget > 0 and self._cached_n
                             + len(i_a) <= self._cache_budget):
                         p["cache"][f + bi] = (i_a, s_a)
-                        self._bcache_size += len(i_a)
+                        self._cached_n += len(i_a)
                     else:
                         p["overlay"][f + bi] = (i_a, s_a)
 
@@ -505,6 +573,7 @@ def run_queries(
     scorer: str = "taat",
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 64,
+    ord_range: "tuple[int, int] | None" = None,
 ):
     """Queries Dataset -> results Dataset via the QueryEngine actor pool."""
     # a small query table often arrives as one block, which would starve the
@@ -513,9 +582,83 @@ def run_queries(
     queries_ds = queries_ds.repartition(max(n_actors * 2, 4))
     return queries_ds.map_batches(
         QueryEngine,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "scorer": scorer},
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "scorer": scorer,
+                               "ord_range": ord_range},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+def run_queries_sharded(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    scorer: str = "taat",
+    n_query_shards: int = 4,
+    concurrency_per_shard: int | tuple[int, int] = 1,
+    batch_size: int = 64,
+):
+    """Doc-partitioned query fan-out: the 100x-scale serving shape.
+
+    The index's doc-ordinal space [0, n_docs) is cut into ``n_query_shards``
+    contiguous ranges; each range gets its OWN QueryEngine actor pool whose
+    actors decode only the posting blocks overlapping their range (resident
+    set ~ index/n_shards — on a multi-node cluster each pool's actors
+    schedule wherever there is room and never page the rest of the index).
+    Reference analogue: Milvus distributes the sparse index across query
+    nodes transparently (reference ingest.py:172); SURVEY §2.4 A4 prescribes
+    exactly this partial-top-k + tiny merge.
+
+    Exactness: every posting of an in-range doc is in-range, so each shard's
+    scores are complete for its docs; a doc in the global top-k has < k docs
+    above it globally, hence < k above it in its own shard, hence is in that
+    shard's local top-k.  The merge re-cuts the union of local top-k lists
+    under the same (score desc, doc_id asc) order — rank- and
+    score-identical to the single-pool path (tested across shard counts).
+
+    The merge is ``groupby(query_id).map_groups`` over k * n_shards rows per
+    query — one tiny task per query, never a data-scale shuffle.
+    """
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    n_shards = max(1, min(n_query_shards, n_docs))
+    bounds = [(i * n_docs) // n_shards for i in range(n_shards + 1)]
+    parts = []
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo >= hi:
+            continue
+        parts.append(
+            run_queries(
+                queries_ds, index_dir, k=k, scorer=scorer,
+                concurrency=concurrency_per_shard, batch_size=batch_size,
+                ord_range=(lo, hi),
+            )
+        )
+    merged = parts[0]
+    if len(parts) > 1:
+        merged = merged.union(*parts[1:])
+
+    def _merge_topk(g: pa.Table, k: int = k) -> pa.Table:
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        # float scores are exact images of the integer units, so score
+        # equality <=> unit equality; ties break by doc_id ascending,
+        # identical to QueryEngine._topk
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(order)),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int32)),
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    return merged.groupby("query_id").map_groups(
+        _merge_topk, batch_format="pyarrow"
     )
