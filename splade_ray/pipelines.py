@@ -296,102 +296,41 @@ def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
     return summed.groupby("query_id").map_groups(_rank, batch_format="pyarrow")
 
 
-CHUNK_SIZE = 1000  # reference ingest.py:90-91 (chunk_size=1000, overlap=100)
-CHUNK_OVERLAP = 100
-_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
-
-
-def _chunk_batch(t: pa.Table) -> pa.Table:
-    """Fixed-window chunker (size 1000 / overlap 100): the reference's
-    RecursiveCharacterTextSplitter role (M1) as a flat map — simple char
-    windows here (the recursive separator-aware variant is a drop-in)."""
-    import math
-
-    out_id, out_cid, out_chunk = [], [], []
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        text = text or ""
-        n = max(1, math.ceil((len(text) - CHUNK_OVERLAP) / _CHUNK_STEP))
-        for j in range(n):
-            out_id.append(did)
-            out_cid.append(j)
-            out_chunk.append(text[j * _CHUNK_STEP : j * _CHUNK_STEP + CHUNK_SIZE])
-    return pa.table(
-        {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "chunk_id": pa.array(out_cid, type=pa.int64()),
-            "chunk": pa.array(out_chunk, type=pa.string()),
-        }
-    )
+# Chunker implementation lives in splade_ray.chunk (vectorized byte-gather
+# fast path + Python fallback); re-exported names keep test/SQL call sites.
+from .chunk import (  # noqa: E402
+    CHUNK_OVERLAP,
+    CHUNK_SEPARATORS,
+    CHUNK_SIZE,
+    chunk_fixed_batch,
+    chunk_recursive_batch,
+    recursive_chunks_py as _recursive_chunks,
+)
 
 
 def chunk_docs(sf_dir: str):
+    """Fixed-window chunker (size 1000 / overlap 100): the reference's
+    RecursiveCharacterTextSplitter role (M1) as a flat map, fully vectorized
+    (chunk.chunk_fixed_batch)."""
     import os as _os
 
     import ray.data as rd
 
     return rd.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(_chunk_batch, batch_format="pyarrow")
-
-
-# Separator priority of the recursive chunker (reference ingest.py:90-91 uses
-# RecursiveCharacterTextSplitter whose default ladder is ["\n\n","\n"," ",""]).
-CHUNK_SEPARATORS = ("\n\n", "\n", " ")
-
-
-def _recursive_chunks(text: str) -> list[str]:
-    """Greedy separator-aware chunking, deterministic and SQL-replicable.
-
-    Window = next CHUNK_SIZE chars; cut at the END of the LAST separator
-    occurrence in the window (first separator in the priority ladder whose
-    cut keeps progress, i.e. cut > CHUNK_OVERLAP); hard cut at CHUNK_SIZE if
-    no separator qualifies.  Next chunk starts OVERLAP chars before the cut.
-    The SQL oracle (sql.chunk_docs_recursive_sql) replays this walk as a
-    recursive CTE using the reverse-strpos trick for "last occurrence".
-    """
-    size, ov = CHUNK_SIZE, CHUNK_OVERLAP
-    out = []
-    s, n = 0, len(text)
-    while True:
-        if n - s <= size:
-            out.append(text[s:])
-            return out
-        w = text[s : s + size]
-        cut = size
-        for sep in CHUNK_SEPARATORS:
-            q = w.rfind(sep)
-            if q >= 0 and q + len(sep) > ov:
-                cut = q + len(sep)
-                break
-        out.append(w[:cut])
-        s = s + cut - ov
-
-
-def _chunk_recursive_batch(t: pa.Table) -> pa.Table:
-    out_id, out_cid, out_chunk = [], [], []
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for j, ch in enumerate(_recursive_chunks(text or "")):
-            out_id.append(did)
-            out_cid.append(j)
-            out_chunk.append(ch)
-    return pa.table(
-        {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "chunk_id": pa.array(out_cid, type=pa.int64()),
-            "chunk": pa.array(out_chunk, type=pa.string()),
-        }
-    )
+    ).map_batches(chunk_fixed_batch, batch_format="pyarrow")
 
 
 def chunk_docs_recursive(sf_dir: str):
-    """Separator-aware recursive chunker (SURVEY M1, full semantics)."""
+    """Separator-aware recursive chunker (SURVEY M1, full semantics),
+    lockstep-vectorized over the batch (chunk.chunk_recursive_batch)."""
     import os as _os
 
     import ray.data as rd
 
     return rd.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(_chunk_recursive_batch, batch_format="pyarrow")
+    ).map_batches(chunk_recursive_batch, batch_format="pyarrow")
 
 
 def bm25_topk_sharded(sf_dir: str):

@@ -52,6 +52,98 @@ def test_recursive_chunks_invariants():
         assert pos + len(chunks[-1]) == len(text)
 
 
+def _py_fixed(text):
+    import math
+
+    step = CHUNK_SIZE - CHUNK_OVERLAP
+    n = max(1, math.ceil((len(text) - CHUNK_OVERLAP) / step))
+    return [text[j * step : j * step + CHUNK_SIZE] for j in range(n)]
+
+
+def _adversarial_docs():
+    docs = _synthetic_docs()
+    docs += [
+        "a",
+        " " * 2500,
+        "\n" * 2500,
+        "\n\n".join(["p"] * 800),
+        "x" * CHUNK_SIZE,  # exactly one window
+        "x" * (CHUNK_SIZE + 1),  # one char over
+        "y" * (CHUNK_SIZE - CHUNK_OVERLAP),  # exactly one step
+        ("z" * 99 + " ") * 30,  # separators right at the overlap boundary
+        ("z" * 100 + "\n") * 30,
+        "héllo wörld " * 300,  # non-ASCII -> Python fallback path
+        "x" * 500 + "é" + "y" * 2000,  # non-ASCII mid-doc
+        "日本語テキスト " * 400,
+        "mix " * 100 + "ünï " * 100 + "mix " * 500,
+    ]
+    return docs
+
+
+def test_vectorized_fixed_chunker_parity():
+    from splade_ray.chunk import chunk_fixed_batch
+
+    docs = _adversarial_docs()
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    got = chunk_fixed_batch(t).to_pylist()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk"]) for r in got)
+    want = sorted(
+        (i, j, c)
+        for i, text in enumerate(docs)
+        for j, c in enumerate(_py_fixed(text))
+    )
+    assert got == want
+
+
+def test_vectorized_recursive_chunker_parity():
+    from splade_ray.chunk import chunk_recursive_batch
+
+    docs = _adversarial_docs()
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    got = chunk_recursive_batch(t).to_pylist()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk"]) for r in got)
+    want = sorted(
+        (i, j, c)
+        for i, text in enumerate(docs)
+        for j, c in enumerate(_recursive_chunks(text))
+    )
+    assert got == want
+
+
+def test_vectorized_chunkers_hypothesis():
+    """Random fuzz: mixed ASCII/unicode snippets with separator runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from splade_ray.chunk import chunk_fixed_batch, chunk_recursive_batch
+
+    piece = st.sampled_from(
+        ["word", "  ", "\n", "\n\n", "\n\n\n", "x" * 950, "é", "語",
+         "a b", ""]
+    )
+    doc = st.lists(piece, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(docs):
+        t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                      "text": pa.array(docs, type=pa.string())})
+        gf = sorted((r["doc_id"], r["chunk_id"], r["chunk"])
+                    for r in chunk_fixed_batch(t).to_pylist())
+        wf = sorted((i, j, c) for i, x in enumerate(docs)
+                    for j, c in enumerate(_py_fixed(x)))
+        assert gf == wf
+        gr = sorted((r["doc_id"], r["chunk_id"], r["chunk"])
+                    for r in chunk_recursive_batch(t).to_pylist())
+        wr = sorted((i, j, c) for i, x in enumerate(docs)
+                    for j, c in enumerate(_recursive_chunks(x)))
+        assert gr == wr
+
+    run()
+
+
 def test_recursive_chunks_match_sql_oracle():
     docs = _synthetic_docs()
     tbl = pa.table(
