@@ -104,27 +104,55 @@ def _shingle_pairs(t: pa.Table, text_col: str):
 
 # ------------------------------------------------------------------ exact --
 
-def exact_dedup_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Batch-local partial: (content_sha256, min doc_id, count) per batch."""
-    texts = t[text_col].to_pylist()
+def exact_dedup_batch(t: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      hash_mode: str = "sha") -> pa.Table:
+    """Batch-local partial: (content_sha256, min doc_id, count) per batch.
+
+    ``hash_mode="sha"``: per-row sha256 hex (DuckDB-reproducible; the oracle
+    contract runs this).  ``"mixer"``: one vectorized 64-bit string hash over
+    the whole column (polars/xxhash-family, zero-copy from Arrow) — the
+    production path; hex only renders per DISTINCT content.  Same output
+    schema, non-SQL hash values; collisions are 2^-64-rare and a paranoid
+    deployment re-verifies keep-groups bytewise (bench.py measures the
+    speedup)."""
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    shas = [hashlib.sha256((x or "").encode()).hexdigest() for x in texts]
-    enc = pc.dictionary_encode(pa.array(shas))
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    n = len(enc.dictionary)
+    texts_col = t[text_col]
+    if isinstance(texts_col, pa.ChunkedArray):
+        texts_col = texts_col.combine_chunks()
+    texts_col = pc.fill_null(texts_col, "")
+    if hash_mode == "mixer":
+        try:
+            import polars as pl
+
+            h = pl.from_arrow(texts_col).hash(seed=1315423911).to_numpy()
+        except ImportError:  # pragma: no cover — polars is in the container
+            h = np.fromiter((_h63(x) for x in texts_col.to_pylist()),
+                            dtype=np.uint64, count=len(texts_col))
+        uniq, codes = np.unique(h, return_inverse=True)
+        dictionary = pa.array([f"{v:016x}" for v in uniq], type=pa.string())
+        n = len(uniq)
+    else:
+        shas = [hashlib.sha256(x.encode()).hexdigest()
+                for x in texts_col.to_pylist()]
+        enc = pc.dictionary_encode(pa.array(shas))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        dictionary = enc.dictionary
+        n = len(dictionary)
     keep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(keep, codes, ids)
     counts = np.bincount(codes, minlength=n)
     return pa.table(
         {
-            "content_sha256": enc.dictionary,
+            "content_sha256": dictionary,
             "keep_doc_id": pa.array(keep),
             "n_dups": pa.array(counts.astype(np.int64)),
         }
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                hash_mode: str = "sha"):
     """(content_sha256, keep_doc_id = min doc_id, n_dups) per distinct content.
 
     Partial per batch, then a small groupby — the shuffle moves one row per
@@ -134,7 +162,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return (
         ds.map_batches(
             exact_dedup_batch, batch_format="pyarrow",
-            fn_kwargs={"text_col": text_col, "id_col": id_col},
+            fn_kwargs={"text_col": text_col, "id_col": id_col,
+                       "hash_mode": hash_mode},
         )
         .groupby("content_sha256")
         .aggregate(
@@ -144,13 +173,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id",
+                      hash_mode: str = "sha"):
     """Materialize the deduplicated corpus: keep exactly one row (min id) per
     distinct content.  The keep-list (one int per distinct content) comes
     from ``exact_dedup``; survivors are selected with a hash-partitioned
     INNER JOIN on the integer id — no text moves through the shuffle twice
     and no driver-side keep-set materializes."""
-    keep = exact_dedup(ds, text_col, id_col).select_columns(["keep_doc_id"])
+    keep = exact_dedup(ds, text_col, id_col,
+                       hash_mode).select_columns(["keep_doc_id"])
     keyed = keep.map_batches(
         lambda t: pa.table({id_col: t["keep_doc_id"]}),
         batch_format="pyarrow",
@@ -372,25 +403,106 @@ def shingle_rows_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _shingle_df_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: (shingle, partial df) — the hot-shingle detection
+    shuffle moves one row per distinct shingle per batch."""
+    sh = t["shingle"]
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    enc = pc.dictionary_encode(sh)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"shingle": enc.dictionary,
+         "df": pa.array(np.bincount(codes, minlength=len(enc.dictionary))
+                        .astype(np.int64))}
+    )
+
+
+def _salt_shingles_left(t: pa.Table, *, hot: pa.Array, n_salts: int) -> pa.Table:
+    """Probe side: hot shingles get salt = mix64(doc_id) % n_salts, cold 0."""
+    from .textstats import mix64
+
+    sh = t["shingle"]
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    is_hot = pc.is_in(sh, value_set=hot).to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    salt = np.zeros(len(ids), dtype=np.int32)
+    if is_hot.any():
+        salt[is_hot] = (mix64(ids[is_hot].astype(np.uint64))
+                        % np.uint64(n_salts)).astype(np.int32)
+    return t.append_column("salt", pa.array(salt))
+
+
+def _salt_shingles_right(t: pa.Table, *, hot: pa.Array, n_salts: int) -> pa.Table:
+    """Build side: hot-shingle rows REPLICATED to every salt (fragment-
+    replicate join), cold rows salt 0 — each co-occurring pair meets in
+    exactly one (shingle, salt) bucket."""
+    sh = t["shingle"]
+    if isinstance(sh, pa.ChunkedArray):
+        sh = sh.combine_chunks()
+    is_hot = pc.is_in(sh, value_set=hot).to_numpy(zero_copy_only=False)
+    n = len(is_hot)
+    if not is_hot.any():
+        return t.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
+    hot_idx = np.flatnonzero(is_hot)
+    take = np.concatenate([np.flatnonzero(~is_hot),
+                           np.repeat(hot_idx, n_salts)])
+    salt = np.concatenate([
+        np.zeros(n - len(hot_idx), dtype=np.int32),
+        np.tile(np.arange(n_salts, dtype=np.int32), len(hot_idx)),
+    ])
+    return t.take(pa.array(take)).append_column("salt", pa.array(salt))
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        salt_threshold: int = 512, n_salts: int = 8):
     """Exact token-shingle Jaccard >= threshold pairs (doc_a < doc_b).
 
     Shuffle pattern: explode distinct shingles, hash-partitioned self-join on
-    shingle emits co-occurrences, a vectorized Count aggregate sums the
-    intersection size; |union| = n_a + n_b - inter.  At 100 TB the join key
-    is salted like any hot key and candidate pairs are vastly fewer than the
-    cross product.
+    (shingle, salt) emits co-occurrences, a vectorized Count aggregate sums
+    the intersection size; |union| = n_a + n_b - inter.
+
+    HOT shingles (df >= ``salt_threshold``, found by a cheap partial-count
+    aggregate) are SALTED: the probe side gets salt = hash(doc_id) % n_salts,
+    the build side replicates its hot rows to every salt (fragment-replicate
+    join, same hot-key discipline as the index-build shuffle).  Each pair
+    still meets exactly once, but a head shingle's join bucket shrinks n_salts
+    x — without this, one stop-word shingle serializes the whole join into a
+    single partition.  Salting fixes the partition skew, not the inherently
+    quadratic pair OUTPUT of a head shingle — MinHash-LSH is the scale path
+    for that (minhash_lsh_pairs).
     """
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count, Max, Sum
 
     sh = ds.map_batches(
         shingle_rows_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col},
     )
-    joined = sh.join(
-        sh, join_type="inner", on=("shingle",),
+    hot_rows = (
+        sh.map_batches(_shingle_df_partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(
+            lambda t, m=salt_threshold: t.filter(
+                pc.greater_equal(t["df"], pa.scalar(m, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    hot = pa.array(sorted(r["shingle"] for r in hot_rows), type=pa.string())
+    left = sh.map_batches(
+        _salt_shingles_left, batch_format="pyarrow",
+        fn_kwargs={"hot": hot, "n_salts": n_salts},
+    )
+    right = sh.map_batches(
+        _salt_shingles_right, batch_format="pyarrow",
+        fn_kwargs={"hot": hot, "n_salts": n_salts},
+    )
+    joined = left.join(
+        right, join_type="inner", on=("shingle", "salt"),
         num_partitions=num_partitions, right_suffix="_r",
     )
     co = joined.map_batches(

@@ -216,8 +216,23 @@ def rolling_sum(ds, w: int = ROLLING_ROWS, n_groups: int = N_GROUPS):
 def _asof_group(group: pa.Table, *, right_type: str) -> pa.Table:
     """Within one coarse partition: each event joined to the user's LATEST
     event of ``right_type`` at-or-before it (inner semantics: unmatched rows
-    drop).  Vectorized: per-user searchsorted into the user's error stream.
-    Identical-(user, ts) errors keep the max event_id (both sides)."""
+    drop).  Identical-(user, ts) errors keep the max event_id (both sides).
+
+    FULLY vectorized — no per-user Python loop (a partition with millions of
+    users pays O(rows) numpy, not O(users) iterations):
+
+      1. rows sorted (user, ts, event_id); equal-(user, ts) runs found once;
+         each row's horizon = the LAST index of its run (so an equal-ts
+         right-side row sorting AFTER the left row still matches, with max
+         event_id winning ties — same as searchsorted side='right').
+      2. per-user segmented cummax of "last right-side index so far",
+         realized as ONE global np.maximum.accumulate over values offset by
+         user_index * (n+1): consecutive users' ranges are disjoint and
+         ascending, so the accumulate can never carry a match across a user
+         boundary (the standard offset-shift segmented-scan trick).
+      3. answer for row i = cummax at its horizon, decoded back to a
+         position; rows whose user has no right event yet drop.
+    """
     if group.num_rows == 0:
         return pa.table(
             {"event_id": pa.array([], type=pa.int64()),
@@ -226,39 +241,37 @@ def _asof_group(group: pa.Table, *, right_type: str) -> pa.Table:
              "match_value": pa.array([], type=pa.float64())}
         )
     uid, us, order, new_user = _user_sorted(group)
+    n = len(uid)
     eid = group["event_id"].to_numpy(zero_copy_only=False)[order]
     val = group["value"].to_numpy(zero_copy_only=False)[order]
-    etype = group["event_type"].to_pylist()
-    is_r = np.array([etype[i] == right_type for i in order], dtype=bool)
-    out_e, out_u, out_me, out_mv = [], [], [], []
-    user_starts = np.flatnonzero(new_user)
-    user_ends = np.r_[user_starts[1:], len(uid)]
-    for lo, hi in zip(user_starts, user_ends):
-        r = np.flatnonzero(is_r[lo:hi]) + lo
-        if len(r) == 0:
-            continue
-        # lexsort put ties in (ts, event_id) order: for equal ts the LAST
-        # index has max event_id -> searchsorted side='right' - 1 picks it
-        idx = np.searchsorted(us[r], us[lo:hi], side="right") - 1
-        ok = idx >= 0
-        sel = r[idx[ok]]
-        out_e.append(eid[lo:hi][ok])
-        out_u.append(uid[lo:hi][ok])
-        out_me.append(eid[sel])
-        out_mv.append(val[sel])
-    if not out_e:
-        return pa.table(
-            {"event_id": pa.array([], type=pa.int64()),
-             "user_id": pa.array([], type=pa.int64()),
-             "match_event_id": pa.array([], type=pa.int64()),
-             "match_value": pa.array([], type=pa.float64())}
-        )
+    etype = group["event_type"]
+    if isinstance(etype, pa.ChunkedArray):
+        etype = etype.combine_chunks()
+    is_r = pc.equal(etype, right_type).to_numpy(zero_copy_only=False)[order]
+
+    # (user, ts) run ends: horizon[i] = last row of i's equal-(user, ts) run
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = new_user[1:] | (us[1:] != us[:-1])
+    run_id = np.cumsum(run_start) - 1
+    run_last = np.zeros(int(run_id[-1]) + 1, dtype=np.int64)
+    run_last[run_id] = np.arange(n, dtype=np.int64)  # last write wins
+    horizon = run_last[run_id]
+
+    # segmented cummax via offset shift: base = user_index * (n + 1)
+    uidx = np.cumsum(new_user) - 1
+    base = uidx * np.int64(n + 1)
+    tagged = np.where(is_r, base + np.arange(n, dtype=np.int64) + 1, base)
+    m = np.maximum.accumulate(tagged)[horizon]
+    rel = m - base  # > 0 iff this user has a right event at-or-before
+    ok = rel > 0
+    sel = rel[ok] - 1  # global row index of the matched right event
     return pa.table(
         {
-            "event_id": pa.array(np.concatenate(out_e), type=pa.int64()),
-            "user_id": pa.array(np.concatenate(out_u), type=pa.int64()),
-            "match_event_id": pa.array(np.concatenate(out_me), type=pa.int64()),
-            "match_value": pa.array(np.concatenate(out_mv), type=pa.float64()),
+            "event_id": pa.array(eid[ok], type=pa.int64()),
+            "user_id": pa.array(uid[ok], type=pa.int64()),
+            "match_event_id": pa.array(eid[sel], type=pa.int64()),
+            "match_value": pa.array(val[sel], type=pa.float64()),
         }
     )
 

@@ -26,6 +26,39 @@ def test_exact_dedup(docs_ds):
     assert sorted(out["keep_doc_id"]) == list(range(20))
 
 
+def test_exact_dedup_mixer_matches_sha_groups(docs_ds):
+    """Mixer mode must produce the same keep/count structure as sha (hash
+    VALUES differ; groups must not)."""
+    sha = dedup.exact_dedup(docs_ds, hash_mode="sha").to_pandas()
+    mix = dedup.exact_dedup(docs_ds, hash_mode="mixer").to_pandas()
+    assert len(mix) == len(sha) == 20
+    assert sorted(mix["keep_doc_id"]) == sorted(sha["keep_doc_id"])
+    assert sorted(mix["n_dups"]) == sorted(sha["n_dups"])
+    apply_sha = dedup.exact_dedup_apply(docs_ds).to_pandas()
+    apply_mix = dedup.exact_dedup_apply(docs_ds, hash_mode="mixer").to_pandas()
+    assert sorted(apply_mix["doc_id"]) == sorted(apply_sha["doc_id"])
+
+
+def test_jaccard_salted_skewed_key(ray_session):
+    """One shingle shared by EVERY doc (the hot-key fixture): forcing a low
+    salt threshold must leave the pair set identical to the unsalted join."""
+    rows = []
+    for i in range(40):
+        # "common common common" shingle in every doc + a distinct tail
+        rows.append({"doc_id": i,
+                     "text": "common common common common "
+                             f"tail{i} tail{i} tail{i} end{i % 4}"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    base = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.05, salt_threshold=10**9).to_pandas()
+    salted = dedup.ngram_jaccard_pairs(
+        ds, threshold=0.05, salt_threshold=2, n_salts=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]]
+                                .itertuples(index=False)))
+    assert key(salted) == key(base)
+    assert len(base) > 0
+
+
 def test_minhash_pairs_find_duplicates(docs_ds):
     pairs = dedup.minhash_lsh_pairs(docs_ds).to_pandas()
     got = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
