@@ -328,7 +328,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     if overwrite:
-        for sub in ("staging", "segments", "docs"):
+        for sub in ("staging", "segments", "docs", "docmap"):
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -344,7 +344,7 @@ def build_index(
         # stale/absent staging: every derived artifact (segments, docmap,
         # manifest) came from that staging — drop them too, or a fingerprint
         # mismatch would rebuild staging yet keep serving stale segments
-        for sub in ("staging", "segments"):
+        for sub in ("staging", "segments", "docmap"):
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -393,23 +393,19 @@ def build_index(
     # Adaptive (same pattern as ops.dedup.connected_components): up to
     # ``ordinal_driver_threshold`` docs a driver-side argsort is strictly
     # faster than paying a distributed-sort pipeline (bounded: 12 bytes/doc,
-    # 5M docs = 60 MB).  Above it the sort is DISTRIBUTED (ray.data
-    # range-partition sort over the pruned 2-column read) and the driver
-    # streams the ordered batches into docmap.bin/doclens.bin append-only,
-    # holding ONE batch at a time — ordinal of a row = count of rows already
-    # written (a prefix sum over sorted partitions, realized by the write
-    # cursor).  Either path doubles as the duplicate-identity check: equal
-    # ids end up adjacent.  At 10^12 docs the single file becomes per-range
-    # shards written by the sort's output tasks; the ordinal math is
-    # identical.
+    # 5M docs = 60 MB) and writes the FLAT docmap.bin/doclens.bin layout.
+    # Above it the sort is DISTRIBUTED (ray.data range-partition sort over
+    # the pruned 2-column read) and the sort's OUTPUT TASKS write per-range
+    # shard files themselves (docmap.write_sharded): the driver only
+    # prefix-sums one summary row per shard into ranges.json — nothing
+    # doc-scale flows through a driver write cursor, so the path holds at
+    # 10^12 docs.  Either path doubles as the duplicate-identity check:
+    # equal ids end up adjacent.
+    from .docmap import doc_arrays_valid, open_doc_arrays, write_sharded
+
     docmap_path = os.path.join(index_dir, "docmap.bin")
     doclens_path = os.path.join(index_dir, "doclens.bin")
-    docmap_valid = (
-        os.path.exists(docmap_path)
-        and os.path.getsize(docmap_path) == 8 * n_docs
-        and os.path.exists(doclens_path)
-        and os.path.getsize(doclens_path) == 4 * n_docs
-    )
+    docmap_valid = doc_arrays_valid(index_dir, n_docs)
     tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
     dup_msg = (
         "duplicate (repo, path, commit) identity rows (or a 63-bit "
@@ -471,56 +467,24 @@ def build_index(
         os.replace(tmp_map, docmap_path)
         os.replace(tmp_dl, doclens_path)
     else:
-        # distributed range-partition sort; the driver streams the ordered
-        # batches into the files (one batch in memory), absorbing stats from
-        # the same stream — ordinal of a row = the write cursor (prefix sum
-        # over sorted partitions).  At 10^12 docs the single file becomes
-        # per-range shards written by the sort's output tasks; the ordinal
-        # math is identical.
+        # distributed range-partition sort; the sort's output tasks write
+        # the per-range shard layout themselves and return one summary row
+        # each — stats are absorbed from the same rows (no extra pipeline)
         sorted_ds = ray.data.read_parquet(
             staging_dir, columns=["doc_id", "doc_len", "lang"]
         ).sort("doc_id")
-        last_id = None
-        n_written = 0
-        with open(tmp_map, "wb") as fmap, open(tmp_dl, "wb") as fdl:
-            for batch in sorted_ds.iter_batches(batch_size=262144,
-                                                batch_format="pyarrow"):
-                if batch.num_rows == 0:
-                    continue
-                _absorb_stats(batch)
-                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-                d = np.diff(ids)
-                if (d < 0).any() or (last_id is not None
-                                     and ids[0] < last_id):
-                    raise AssertionError(
-                        "sorted dataset iterated out of order")
-                if (d == 0).any() or (last_id is not None
-                                      and ids[0] == last_id):
-                    raise ValueError(dup_msg)
-                last_id = int(ids[-1])
-                fmap.write(np.ascontiguousarray(
-                    ids, dtype=np.int64).tobytes())
-                fdl.write(np.ascontiguousarray(
-                    batch["doc_len"].to_numpy(zero_copy_only=False),
-                    dtype=np.int32).tobytes())
-                n_written += batch.num_rows
-        if n_written != n_docs:
-            raise AssertionError(
-                f"ordinal pass wrote {n_written} rows, "
-                f"metadata counted {n_docs}"
-            )
-        os.replace(tmp_map, docmap_path)
-        os.replace(tmp_dl, doclens_path)
+        stats = write_sharded(sorted_ds, index_dir, n_docs)
+        total_len += stats["total_len"]
+        langset |= stats["langs"]
     avgdl = total_len / n_docs
     langs = sorted(langset)
-    # memmap (not fromfile): the driver never loads the arrays into its heap;
+    # memmap-backed handles: the driver never loads the arrays into its heap;
     # ray.put streams them into the object store as the one broadcast copy
-    docmap = np.memmap(docmap_path, dtype=np.int64, mode="r")
-    doclens = np.memmap(doclens_path, dtype=np.int32, mode="r")
+    doc_arrays = open_doc_arrays(index_dir)
     import ray as _ray
 
-    docmap_ref = _ray.put(np.asarray(docmap))
-    doclens_ref = _ray.put(np.asarray(doclens))
+    docmap_ref = _ray.put(doc_arrays.docmap_array())
+    doclens_ref = _ray.put(doc_arrays.doclens_array())
     timings["docmap_sec"] = round(_t() - t0, 3)
     t0 = _t()
 

@@ -91,10 +91,10 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     # docmap to real ids, then into the merged sorted id space
     import ray as _ray
 
-    id_maps = [
-        np.fromfile(os.path.join(d, "docmap.bin"), dtype=np.int64)
-        for d in index_dirs
-    ]
+    from .docmap import open_doc_arrays
+
+    in_arrays = [open_doc_arrays(d) for d in index_dirs]
+    id_maps = [a.docmap_array() for a in in_arrays]
     new_map = np.unique(np.concatenate(id_maps))
     if len(new_map) != sum(len(m) for m in id_maps):
         raise ValueError(
@@ -106,9 +106,8 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     os.replace(tmp_map, os.path.join(out_dir, "docmap.bin"))
     # merged forward doc-length array, remapped into the new ordinal space
     new_doclens = np.zeros(len(new_map), dtype=np.int32)
-    for d, old_map in zip(index_dirs, id_maps):
-        old_dl = np.fromfile(os.path.join(d, "doclens.bin"), dtype=np.int32)
-        new_doclens[np.searchsorted(new_map, old_map)] = old_dl
+    for a, old_map in zip(in_arrays, id_maps):
+        new_doclens[np.searchsorted(new_map, old_map)] = a.doclens_array()
     tmp_dl = os.path.join(out_dir, "doclens.bin.tmp")
     new_doclens.tofile(tmp_dl)
     os.replace(tmp_dl, os.path.join(out_dir, "doclens.bin"))

@@ -102,8 +102,10 @@ class QueryEngine:
             if not (0 <= lo < hi <= self.n_docs):
                 raise ValueError(f"ord_range {ord_range!r} outside [0, {self.n_docs}]")
             self.ord_range = (lo, hi)
-        # ordinal -> real doc id translation (build.py docmap); memmapped so
-        # actor startup stays O(1) in corpus size.  A manifest without
+        # ordinal -> real doc id translation (docmap.open_doc_arrays:
+        # memmap-backed, flat or per-range-sharded layout); actor startup
+        # stays O(1) in corpus size, and a range-restricted engine only
+        # pages in the shards overlapping its slice.  A manifest without
         # doc_ordinals is a pre-v3 index: postings would misdecode (dl gone
         # from the posting stream) — refuse it loudly rather than crash later.
         if not self.manifest.get("doc_ordinals"):
@@ -111,13 +113,9 @@ class QueryEngine:
                 f"index at {index_dir} predates the ordinal-postings format "
                 f"(manifest lacks doc_ordinals); rebuild required"
             )
-        self.docmap = np.memmap(
-            os.path.join(index_dir, "docmap.bin"), dtype=np.int64, mode="r"
-        )
-        # forward doc-length array (ordinal-indexed; postings omit dl)
-        self.doclens = np.memmap(
-            os.path.join(index_dir, "doclens.bin"), dtype=np.int32, mode="r"
-        )
+        from .docmap import open_doc_arrays
+
+        self.docs = open_doc_arrays(index_dir)
         seg_root = os.path.join(index_dir, "segments")
         self.segments = [
             SegmentReader(os.path.join(seg_root, s["segment_id"]))
@@ -131,7 +129,7 @@ class QueryEngine:
         self._refs_memo: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
         # dense TAAT path available when postings are ordinals and one
         # bincount over N is affordable
-        self._dense_ok = self.docmap is not None and self.n_docs <= 50_000_000
+        self._dense_ok = self.n_docs <= 50_000_000
 
     # ------------------------------------------------------------- lookup --
     def _term_refs(self, term: str) -> tuple[list[tuple[int, int, int]], int]:
@@ -180,7 +178,7 @@ class QueryEngine:
             if len(regions) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
                 order = np.argsort(ids, kind="stable")
                 ids, tfs = ids[order], tfs[order]
-        dls = np.asarray(self.doclens)[ids]  # O(1) forward-array gather
+        dls = self.docs.gather_lens(ids)  # O(1) forward-array gather
         if (self._cache_budget > 0
                 and self._cached_n + len(ids) <= self._cache_budget):
             self._cache[term] = (ids, tfs, dls)
@@ -431,7 +429,7 @@ class QueryEngine:
             for run in np.split(missing, run_bounds):
                 f, t = int(run[0]), int(run[-1]) + 1
                 ids, tfs = decode_block_range(blob, p["meta"], f, t)
-                sat = tf_saturation(tfs, np.asarray(self.doclens)[ids],
+                sat = tf_saturation(tfs, self.docs.gather_lens(ids),
                                     self.avgdl)
                 splits = np.cumsum(p["meta"].block_count[f:t])[:-1]
                 for bi, (i_a, s_a) in enumerate(
@@ -535,8 +533,8 @@ class QueryEngine:
         else:
             raise ValueError(f"unknown scorer {self.scorer!r}")
         ids, units = self._topk(ids, units)
-        if self.docmap is not None and len(ids):
-            ids = np.asarray(self.docmap[ids])  # ordinal -> real doc id
+        if len(ids):
+            ids = self.docs.gather_ids(ids)  # ordinal -> real doc id
         return ids, units
 
     def __call__(self, batch: pa.Table) -> pa.Table:

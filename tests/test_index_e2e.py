@@ -181,11 +181,17 @@ def test_partitioning_invariance(ray_session, corpus_table, oracle):
         assert got == want, (qid, query)
 
 
-def test_distributed_ordinal_path_parity(corpus_table, ray_session):
-    """ordinal_driver_threshold=0 forces the distributed-sort ordinal pass;
-    the resulting docmap/doclens/index must be byte-identical to the
-    driver-argsort path."""
-    import filecmp
+def test_distributed_ordinal_path_parity(corpus_table, oracle, ray_session):
+    """ordinal_driver_threshold=0 forces the distributed-sort ordinal pass,
+    which now writes the PER-RANGE-SHARDED docmap layout (sort output tasks
+    write their own shard files); its logical content must be identical to
+    the driver-argsort flat layout, and queries over the sharded-docmap
+    index must stay oracle-exact."""
+    from splade_ray.docmap import (
+        FlatDocArrays,
+        ShardedDocArrays,
+        open_doc_arrays,
+    )
 
     base = "/tmp/splade_ray_ordpath"
     shutil.rmtree(base, ignore_errors=True)
@@ -195,7 +201,25 @@ def test_distributed_ordinal_path_parity(corpus_table, ray_session):
     m_dist = build_index(ds, os.path.join(base, "dist"), lang_tagged=True,
                          n_shards=4, ordinal_driver_threshold=0)
     assert m_drv["n_postings"] == m_dist["n_postings"]
-    for fn in ("docmap.bin", "doclens.bin"):
-        assert filecmp.cmp(os.path.join(base, "drv", fn),
-                           os.path.join(base, "dist", fn), shallow=False)
+    assert abs(m_drv["avgdl"] - m_dist["avgdl"]) < 1e-12
+    assert m_drv["langs"] == m_dist["langs"]
+    a = open_doc_arrays(os.path.join(base, "drv"))
+    b = open_doc_arrays(os.path.join(base, "dist"))
+    assert isinstance(a, FlatDocArrays) and isinstance(b, ShardedDocArrays)
+    np.testing.assert_array_equal(a.docmap_array(), b.docmap_array())
+    np.testing.assert_array_equal(a.doclens_array(), b.doclens_array())
+    # sharded gathers == flat gathers on a scattered ordinal sample
+    rng = np.random.default_rng(7)
+    sample = rng.integers(0, a.n_docs, 200)
+    np.testing.assert_array_equal(a.gather_ids(sample), b.gather_ids(sample))
+    np.testing.assert_array_equal(a.gather_lens(sample), b.gather_lens(sample))
+    # end-to-end: queries over the sharded-docmap index stay oracle-exact
+    from splade_ray.corpus import generate_queries
+
+    engine = QueryEngine(os.path.join(base, "dist"), k=10, scorer="taat")
+    q = generate_queries()
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        ids, units = engine.search_one(query, lang or None)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == oracle.search(query, lang or None, k=10)
     shutil.rmtree(base, ignore_errors=True)
