@@ -735,3 +735,102 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s["events_rolling_sum"] = events_rolling_sql()
     s["events_asof_join"] = events_asof_sql()
     return s
+
+
+# ------------------------------------------- learned-sparse encoder (M4) --
+
+def q_sparse_encode(sf_dir: str):
+    from . import sparse
+
+    return sparse.sparse_encode(_docs_ds(sf_dir))
+
+
+def q_sparse_topk(sf_dir: str):
+    from ..pipelines import DOC_QUERIES
+    from . import sparse
+
+    return sparse.sparse_topk(_docs_ds(sf_dir), DOC_QUERIES, k=sparse.TOPK)
+
+
+def _sparse_proj_sql(tf_src: str) -> str:
+    """Projection CTE body over a (id, term, tf)-shaped relation: one row per
+    (id, term, projection slot j), emitting (dim, w, saturated tf) — the SQL
+    replay of sparse._term_projection / _bitlen."""
+    from . import sparse
+
+    h = f"sha256(CAST(j.j AS VARCHAR) || ':' || term)"
+    return f"""
+  SELECT {tf_src}.*, j.j,
+         CAST(('0x' || substr({h}, 1, 8))::UBIGINT % {sparse.SPARSE_DIM} AS BIGINT) AS dim,
+         CAST(1 + ('0x' || substr({h}, 9, 4))::UBIGINT % {sparse.W_MOD} AS BIGINT) AS w,
+         CAST(length(bin(tf)) AS BIGINT) AS sat
+  FROM {tf_src} CROSS JOIN (SELECT unnest(range(0, {sparse.N_PROJ})) AS j) j"""
+
+
+def sparse_encode_sql() -> str:
+    return f"""
+WITH {_DTOK}, {_DPOST},
+proj AS ({_sparse_proj_sql('dpost')})
+SELECT doc_id, dim, CAST(sum(sat * w) AS BIGINT) AS weight
+FROM proj GROUP BY doc_id, dim"""
+
+
+def sparse_topk_sql() -> str:
+    from ..pipelines import DOC_QUERIES
+    from ..sql import _queries_values
+    from . import sparse
+
+    return f"""
+WITH {_DTOK}, {_DPOST},
+{_queries_values(DOC_QUERIES)},
+qtok AS (
+  SELECT query_id, unnest({tokens_sql('query')}) AS term FROM query_lit
+),
+qpost AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM qtok GROUP BY query_id, term
+),
+dproj AS ({_sparse_proj_sql('dpost')}),
+denc AS (
+  SELECT doc_id, dim, CAST(sum(sat * w) AS BIGINT) AS weight
+  FROM dproj GROUP BY doc_id, dim
+),
+qproj AS ({_sparse_proj_sql('qpost')}),
+qenc AS (
+  SELECT query_id, dim, CAST(sum(sat * w) AS BIGINT) AS weight
+  FROM qproj GROUP BY query_id, dim
+),
+scores AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(sum(q.weight * d.weight) AS BIGINT) AS score
+  FROM qenc q JOIN denc d USING (dim)
+  GROUP BY q.query_id, d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {sparse.TOPK}"""
+
+
+queries_v2 = queries
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    q = queries_v2()
+    q["sparse_encode"] = q_sparse_encode
+    q["sparse_topk"] = q_sparse_topk
+    return q
+
+
+oracle_sql_v2 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    s = oracle_sql_v2()
+    s["sparse_encode"] = sparse_encode_sql()
+    s["sparse_topk"] = sparse_topk_sql()
+    return s

@@ -23,6 +23,8 @@ FAST_KEYS = [
     "doclen_quantiles", "embedding_neardup_pairs", "ann_ivf_topk",
     "events_hourly_window", "events_sessions", "events_rolling_sum",
     "events_asof_join",
+    # round 3
+    "sparse_encode", "sparse_topk",
 ]
 
 
