@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_dense_sparse": p.rrf_dense_sparse,
         "chunk_docs": p.chunk_docs,
         "chunk_docs_recursive": p.chunk_docs_recursive,
+        "bm25_topk_deleted": p.bm25_topk_deleted,
+        "bm25_topk_compacted": p.bm25_topk_compacted,
+        "scorer_eval": p.scorer_eval,
     }
     try:  # training-data ops (splade_ray.ops) — added as they land
         from splade_ray.ops import contract as ops_contract
@@ -58,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from splade_ray import sql
+    from splade_ray import pipelines as p
     from splade_ray.pipelines import DOC_QUERIES, TOP_K
 
     catalog = {
@@ -76,6 +80,16 @@ def oracle_sql() -> dict[str, str]:
         "rrf_dense_sparse": sql.rrf_dense_sparse_sql(DOC_QUERIES, TOP_K),
         "chunk_docs": sql.chunk_docs_sql(),
         "chunk_docs_recursive": sql.chunk_docs_recursive_sql(),
+        "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
+            DOC_QUERIES, TOP_K,
+            dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"
+                       f" = {p.DEAD_RESIDUE}"),
+        ),
+        "bm25_topk_compacted": sql.bm25_topk_compacted_sql(
+            DOC_QUERIES, TOP_K,
+            live_where=f"(doc_id % {p.DEAD_MOD}) <> {p.DEAD_RESIDUE}",
+        ),
+        "scorer_eval": sql.scorer_eval_sql(DOC_QUERIES, TOP_K),
     }
     try:
         from splade_ray.ops import contract as ops_contract

@@ -4,6 +4,8 @@
     python -m splade_ray.cli query  --index DIR "free text query" [--lang py]
     python -m splade_ray.cli eval   --index DIR --queries Q.csv --out R.csv
     python -m splade_ray.cli merge  --index A --index B --out DIR
+    python -m splade_ray.cli delete --index DIR --ids 1,2,3 | --ids-file F
+    python -m splade_ray.cli compact --index DIR --out DIR2
 
 Reference analogues: ``ingest.py`` (build), ``main.py`` chat loop (query),
 ``eval.py`` batch retrieval (eval, minus the LLM/RAGAS layers, which are out
@@ -114,6 +116,32 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone docs by id (file of one id per line, or --ids).  Queries
+    mask immediately; run ``compact`` to reclaim space and refresh stats."""
+    from .delete import delete_docs
+
+    ids = []
+    if args.ids:
+        ids.extend(int(x) for x in args.ids.split(","))
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids.extend(int(line) for line in f if line.strip())
+    n = delete_docs(args.index, ids)
+    print(f"tombstones now cover {n} docs in {args.index}")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .delete import compact_index
+
+    _ensure_ray()
+    m = compact_index(args.index, args.out)
+    print(f"compacted: {m['n_docs']} live docs ({m['n_deleted']} removed),"
+          f" {m['n_postings']} postings -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="splade_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -147,6 +175,17 @@ def main(argv=None) -> int:
     m.add_argument("--index", action="append", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", default="", help="comma-separated doc ids")
+    d.add_argument("--ids-file", default="", help="file with one doc id per line")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     try:

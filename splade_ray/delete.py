@@ -1,0 +1,251 @@
+"""Index update path: tombstone deletes + compaction.
+
+The reference's only delete is dropping the whole collection
+(reference clear_milvus.py:9-21, ``utility.drop_collection``).  Here
+delete/update is first-class and scale-safe, Lucene-style:
+
+  * ``delete_docs(index_dir, doc_ids)`` merges sorted REAL doc ids into
+    ``tombstones.bin`` (atomic tmp+rename; idempotent — re-deleting is a
+    no-op).  Query actors load the tombstone ORDINALS once per actor
+    (``__init__``) and mask them inside every scorer BEFORE top-k /
+    theta pruning, so masked answers are exact over the live subset
+    while corpus stats (N, avgdl, df) stay frozen at build time — the
+    standard deleted-docs semantics of an LSM index before compaction.
+
+  * ``compact_index(index_dir, out_dir)`` rewrites the index without the
+    tombstoned docs: per-shard parallel Ray tasks decode each posting
+    list, drop dead ordinals, remap the survivors and re-encode with the
+    recomputed avgdl.  Scores from the compacted index are IDENTICAL to
+    a from-scratch build over the surviving corpus (SQL-oracled:
+    pipelines.bm25_topk_compacted).
+
+  * incremental ADD is the existing generation path: build a new index
+    over the new docs and ``merge.merge_index_dirs`` the generations.
+    delete + add + compact together make the index fully updatable.
+
+Scale notes (10^12 docs): the ordinal REMAP is ``o - count(tombstones <=
+o)`` — one searchsorted against the sorted tombstone-ordinal array, so
+per-task memory is O(|deleted|), never O(corpus).  The tombstone array
+itself is the only piece proportional to the delete set; beyond ~10^9
+deletes it would shard by ordinal range exactly like docmap/ — the
+mask/remap searchsorted then touches only the shards a posting block
+overlaps.  Docmap compaction reuses the sharded layout: one task per
+docmap shard, driver prefix-sums the survivor counts (same protocol as
+docmap.write_sharded).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .docmap import open_doc_arrays
+from .segments import SegmentBuilder, SegmentReader, validate_segment
+
+TOMBSTONES = "tombstones.bin"
+
+
+# ---------------------------------------------------------------- tombstones --
+
+def read_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted unique REAL doc ids marked deleted (empty array if none)."""
+    path = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.fromfile(path, dtype=np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Mark ``doc_ids`` (real 63-bit ids) deleted; returns the total
+    tombstone count after the merge.  Ids not present in the index are
+    ignored (delete of a missing doc is a no-op, matching SQL DELETE).
+    """
+    ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    docs = open_doc_arrays(index_dir)
+    # keep only ids that exist: absent ids would silently skew counts
+    ords = docs.ords_of_ids(ids)
+    present = docs.gather_ids(ords) if len(ords) else np.empty(0, np.int64)
+    merged = np.union1d(read_tombstones(index_dir), present)
+    tmp = os.path.join(index_dir, TOMBSTONES + ".tmp")
+    merged.astype(np.int64).tofile(tmp)
+    os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
+    return int(len(merged))
+
+
+def tombstone_ordinals(index_dir: str, docs=None) -> np.ndarray:
+    """Tombstoned doc ids translated to sorted ORDINALS (what the scorers
+    and the compactor mask/remap against)."""
+    ids = read_tombstones(index_dir)
+    if not len(ids):
+        return np.empty(0, dtype=np.int64)
+    if docs is None:
+        docs = open_doc_arrays(index_dir)
+    return docs.ords_of_ids(ids)
+
+
+def tombstones_fingerprint(index_dir: str) -> str | None:
+    """sha256 of the tombstone set (None if empty) — lets downstream
+    artifacts (a compacted dir) detect a stale source."""
+    ids = read_tombstones(index_dir)
+    if not len(ids):
+        return None
+    return hashlib.sha256(ids.tobytes()).hexdigest()
+
+
+# ---------------------------------------------------------------- compaction --
+
+def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
+                       out_root: str, avgdl: float, tomb_ref) -> pa.Table:
+    """One task per segment: decode each (term, salt) list, drop dead
+    ordinals, remap survivors (o -> o - count(tomb <= o)), re-encode with
+    the compacted avgdl.  Terms whose postings all die are dropped from
+    the dictionary (df reflects live docs only).  Doc LENGTHS are
+    unchanged by deletion, so each worker gathers them from the source
+    index's memmapped forward arrays at the OLD ordinals — the only
+    broadcast object is the O(|deleted|) tombstone array."""
+    import ray
+
+    tomb = ray.get(tomb_ref)  # sorted dead ordinals, O(|deleted|)
+    src_docs = open_doc_arrays(src_index)
+    out = {"shard": [], "n_terms": [], "n_postings": []}
+    for row in t.to_pylist():
+        shard = int(row["shard"])
+        seg_id = row["segment_id"]
+        reader = SegmentReader(os.path.join(src_root, seg_id))
+        builder = SegmentBuilder(seg_id, shard)
+        builder.set_lineage(compacted_from=seg_id, n_tombstones=len(tomb))
+        d = reader.dict
+        for i in range(d.num_rows):
+            ids, tfs = reader.postings_at(i)
+            if len(tomb):
+                pos = np.searchsorted(tomb, ids, side="left")
+                dead = (pos < len(tomb)) & (
+                    tomb[np.minimum(pos, len(tomb) - 1)] == ids
+                )
+            else:  # compacting a tombstone-free index is a plain re-encode
+                dead = np.zeros(len(ids), dtype=bool)
+            if dead.all() and len(ids):
+                continue
+            live, tfs_l = ids[~dead], tfs[~dead]
+            new_ids = live - np.searchsorted(tomb, live, side="left")
+            builder.add(d["term"][i].as_py(), d["salt"][i].as_py(),
+                        new_ids, tfs_l, src_docs.gather_lens(live), avgdl)
+        m = builder.write(os.path.join(out_root, seg_id))
+        out["shard"].append(shard)
+        out["n_terms"].append(m["n_terms"])
+        out["n_postings"].append(m["n_postings"])
+    return pa.table({
+        "shard": pa.array(out["shard"], type=pa.int32()),
+        "n_terms": pa.array(out["n_terms"], type=pa.int64()),
+        "n_postings": pa.array(out["n_postings"], type=pa.int64()),
+    })
+
+
+def _write_flat_docmap(out_dir: str, new_map: np.ndarray,
+                       new_lens: np.ndarray) -> None:
+    for name, arr in (("docmap.bin", new_map.astype(np.int64)),
+                      ("doclens.bin", new_lens.astype(np.int32))):
+        tmp = os.path.join(out_dir, name + ".tmp")
+        arr.tofile(tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Rewrite ``index_dir`` minus its tombstones into ``out_dir``.
+
+    Resumable like the build: segments already valid in ``out_dir`` are
+    skipped; the MANIFEST is written last.  The output records
+    ``source_fps`` (base corpus_fp + tombstone fingerprint) so callers
+    can detect a stale compaction when the base rebuilds or more docs
+    are deleted (same protocol as merge.merge_index_dirs).
+    """
+    import ray as _ray
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    if not man.get("doc_ordinals"):
+        raise ValueError("compact requires an ordinal-postings index")
+    docs = open_doc_arrays(index_dir)
+    tomb = tombstone_ordinals(index_dir, docs)
+    n_docs = man["n_docs"]
+    n_live = n_docs - len(tomb)
+    if n_live <= 0:
+        raise ValueError("compaction would delete every document")
+
+    # compacted forward arrays: survivors keep sorted-id order, so the new
+    # map is one boolean filter; at 10^12 docs this runs per docmap shard
+    # (see module docstring) — here the driver-side filter is bounded by
+    # the flat layout it mirrors
+    keep = np.ones(n_docs, dtype=bool)
+    keep[tomb] = False
+    new_map = docs.docmap_array()[keep]
+    new_lens = docs.doclens_array()[keep]
+    total_len = int(new_lens.astype(np.int64).sum())
+    avgdl = total_len / n_live
+
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    _write_flat_docmap(out_dir, new_map, new_lens)
+
+    tomb_ref = _ray.put(tomb)
+    src_root = os.path.join(index_dir, "segments")
+    out_root = os.path.join(out_dir, "segments")
+    todo = [
+        {"shard": s["shard"], "segment_id": s["segment_id"]}
+        for s in man["segments"]
+        if validate_segment(os.path.join(out_root, s["segment_id"])) is None
+    ]
+    if todo:
+        (
+            rd.from_items(todo)
+            .map_batches(
+                _compact_seg_batch, batch_format="pyarrow", batch_size=1,
+                fn_kwargs={"src_index": index_dir, "src_root": src_root,
+                           "out_root": out_root, "avgdl": avgdl,
+                           "tomb_ref": tomb_ref},
+            )
+            .count()
+        )
+
+    seg_rows = []
+    n_postings = 0
+    for s in man["segments"]:
+        m = validate_segment(os.path.join(out_root, s["segment_id"]))
+        if m is None:
+            raise RuntimeError(f"compaction left invalid segment {s['segment_id']}")
+        n_postings += m["n_postings"]
+        seg_rows.append({"shard": s["shard"], "segment_id": m["segment_id"],
+                         "n_terms": m["n_terms"],
+                         "n_postings": m["n_postings"]})
+
+    manifest = {
+        "format_version": 1,
+        "compacted_from": os.path.abspath(index_dir),
+        "n_docs": n_live,
+        "n_deleted": int(len(tomb)),
+        "n_dropped_rows": man.get("n_dropped_rows", 0),
+        "total_doc_len": total_len,
+        "avgdl": avgdl,
+        "langs": man["langs"],
+        "lang_tagged": man["lang_tagged"],
+        "n_shards": man["n_shards"],
+        "salt_bits": man["salt_bits"],
+        "doc_ordinals": True,
+        "hot_terms": man.get("hot_terms", []),
+        "n_postings": int(n_postings),
+        "segments": seg_rows,
+        "source_fps": [{"corpus_fp": man.get("corpus_fp"),
+                        "n_docs": n_docs,
+                        "tombstones_fp": tombstones_fingerprint(index_dir)}],
+        "docs_sources": man.get("docs_sources",
+                                [os.path.join(os.path.abspath(index_dir),
+                                              "staging")]),
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -49,6 +49,16 @@ class FlatDocArrays:
     def gather_lens(self, ordinals: np.ndarray) -> np.ndarray:
         return np.asarray(self._lens)[ordinals]
 
+    def ords_of_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Sorted ordinals of the doc ids present in the map (absent ids are
+        dropped).  Ordinals ARE ranks in the sorted id space, so this is one
+        searchsorted against the memmap — no materialization."""
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        m = np.asarray(self._map)
+        pos = np.searchsorted(m, ids)
+        ok = (pos < len(m)) & (m[np.minimum(pos, len(m) - 1)] == ids)
+        return pos[ok].astype(np.int64)
+
     def docmap_array(self) -> np.ndarray:
         return np.asarray(self._map)
 
@@ -106,6 +116,25 @@ class ShardedDocArrays:
     def gather_lens(self, ordinals: np.ndarray) -> np.ndarray:
         return self._gather(np.asarray(ordinals, dtype=np.int64),
                             self._shard_lens, np.int32)
+
+    def ords_of_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Sorted ordinals of the present doc ids; only the shards whose
+        [min_id, max_id] range is hit are paged in."""
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        mins = np.array([s["min_id"] for s in self._shards], dtype=np.int64)
+        which = np.searchsorted(mins, ids, side="right") - 1
+        out = []
+        for si in np.unique(which):
+            if si < 0:
+                continue
+            sub = ids[which == si]
+            m = np.asarray(self._shard_map(int(si)))
+            pos = np.searchsorted(m, sub)
+            ok = (pos < len(m)) & (m[np.minimum(pos, len(m) - 1)] == sub)
+            out.append(pos[ok] + self._starts[si])
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(out)).astype(np.int64)
 
     def docmap_array(self) -> np.ndarray:
         return np.concatenate([np.asarray(self._shard_map(i))

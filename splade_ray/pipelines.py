@@ -415,6 +415,105 @@ def bm25_topk_merged(sf_dir: str):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+# Shared delete predicate (Ray + SQL both render from these): docs whose RAW
+# id satisfies raw % DEAD_MOD == DEAD_RESIDUE are tombstoned in the contract.
+DEAD_MOD = 7
+DEAD_RESIDUE = 3
+
+
+def _dead_doc_ids(sf_dir: str) -> np.ndarray:
+    """63-bit ids of the contract's tombstoned docs.  The filtered id list
+    flows back to the driver because delete_docs takes ids — bounded at
+    contract scale; at 10^12 docs the same filter would append straight to
+    sharded tombstone files (delete.py module docstring)."""
+
+    def _flag(t: pa.Table) -> pa.Table:
+        raw = pc.cast(t["path"], pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(
+            pa.array((raw % DEAD_MOD) == DEAD_RESIDUE)
+        ).select(["doc_id"])
+
+    rows = (
+        _staged(sf_dir)
+        .select_columns(["doc_id", "path"])
+        .map_batches(_flag, batch_format="pyarrow")
+        .take_all()
+    )
+    return np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+
+
+def _deleted_index(sf_dir: str) -> str:
+    """Contract index with the DEAD_MOD/DEAD_RESIDUE docs tombstoned —
+    a SEPARATE dir from _contract_index so the shared index stays clean.
+    delete_docs is an idempotent union, so re-entry is safe."""
+    from .delete import delete_docs
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/splade_ray_contract_del", key, "base")
+    build_index(corpus_ds(sf_dir), idx, lang_tagged=False, n_shards=8)
+    delete_docs(idx, _dead_doc_ids(sf_dir))
+    return idx
+
+
+def bm25_topk_deleted(sf_dir: str):
+    """Tombstone-masked query (delete.delete_docs): stats frozen at build,
+    deleted docs excluded from every scorer before top-k — oracle
+    sql.bm25_topk_deleted_sql (full-corpus stats, ranked over live docs)."""
+    idx = _deleted_index(sf_dir)
+    res = run_queries(
+        rd.from_arrow(_queries_table()), idx, k=TOP_K, scorer="taat",
+        concurrency=2,
+    )
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def bm25_topk_compacted(sf_dir: str):
+    """Post-compaction query (delete.compact_index): segments rewritten
+    without the tombstoned docs, stats recomputed — score-identical to a
+    from-scratch build over the surviving corpus, which is exactly what the
+    oracle (sql.bm25_topk_compacted_sql) computes."""
+    from .delete import compact_index, tombstones_fingerprint
+
+    idx = _deleted_index(sf_dir)
+    cdir = os.path.join(os.path.dirname(idx), "compacted")
+    with open(os.path.join(idx, "MANIFEST.json")) as f:
+        base_man = json.load(f)
+    want_fps = [{"corpus_fp": base_man.get("corpus_fp"),
+                 "n_docs": base_man["n_docs"],
+                 "tombstones_fp": tombstones_fingerprint(idx)}]
+    mpath = os.path.join(cdir, "MANIFEST.json")
+    stale = True
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            stale = json.load(f).get("source_fps") != want_fps
+    if stale:
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir)
+        compact_index(idx, cdir)
+    res = run_queries(
+        rd.from_arrow(_queries_table()), cdir, k=TOP_K, scorer="taat",
+        concurrency=2,
+    )
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def scorer_eval(sf_dir: str) -> pa.Table:
+    """Retrieval-quality harness (reference eval.py:238-247): per-query
+    integer agreement of each scorer against the BM25 ground truth
+    (eval.scorer_agreement) — bmw exercises the rank-identity contract,
+    idf_coord is a genuinely different ranking."""
+    from .eval import scorer_agreement
+
+    gt = bm25_topk(sf_dir, scorer="taat")
+    return scorer_agreement(
+        gt,
+        {
+            "bmw": bm25_topk(sf_dir, scorer="bmw"),
+            "idf_coord": idf_coord_topk(sf_dir),
+        },
+    )
+
+
 def rrf_dense_sparse(sf_dir: str):
     """The reference's ACTUAL hybrid shape — dense + sparse RRF
     (retrievers.py:110-150): BM25 over the inverted index fused with native

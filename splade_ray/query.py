@@ -130,6 +130,16 @@ class QueryEngine:
         # dense TAAT path available when postings are ordinals and one
         # bincount over N is affordable
         self._dense_ok = self.n_docs <= 50_000_000
+        # tombstones (delete.delete_docs): dead doc ORDINALS, masked inside
+        # every scorer BEFORE top-k / theta so masked answers are exact over
+        # the live subset; stats stay frozen until compaction (Lucene
+        # semantics).  Range-restricted engines keep only their slice.
+        from .delete import tombstone_ordinals
+
+        self.tomb = tombstone_ordinals(index_dir, self.docs)
+        if self.ord_range is not None and len(self.tomb):
+            lo, hi = self.ord_range
+            self.tomb = self.tomb[(self.tomb >= lo) & (self.tomb < hi)]
 
     # ------------------------------------------------------------- lookup --
     def _term_refs(self, term: str) -> tuple[list[tuple[int, int, int]], int]:
@@ -254,6 +264,20 @@ class QueryEngine:
             self._cached_n += len(ids)
         return ids, units
 
+    def _mask_dead(self, ids: np.ndarray,
+                   units: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Drop tombstoned ordinals (sorted-membership searchsorted); called
+        inside each scorer before any top-k cut or theta update so a dead
+        doc can never displace or prune a live one."""
+        tomb = self.tomb
+        if not len(tomb) or not len(ids):
+            return ids, units
+        pos = np.searchsorted(tomb, ids)
+        dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+        if dead.any():
+            return ids[~dead], units[~dead]
+        return ids, units
+
     # ------------------------------------------------------------- scorers --
     def _score_taat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
         all_ids, all_units = [], []
@@ -278,6 +302,8 @@ class QueryEngine:
             # matched postings; the accumulator is range-width, not corpus-wide
             acc = np.bincount(ids - rlo, weights=units.astype(np.float64),
                               minlength=width)
+            if len(self.tomb):
+                acc[self.tomb - rlo] = 0.0  # dead docs can't set the cut
             k = min(self.k, width)
             cut = np.partition(acc, width - k)[width - k]
             if cut <= 0:
@@ -288,7 +314,7 @@ class QueryEngine:
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.bincount(inv, weights=units.astype(np.float64),
                              minlength=len(uniq))
-        return uniq, scores.astype(np.int64)
+        return self._mask_dead(uniq, scores.astype(np.int64))
 
     def _score_daat(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
         """Naive DAAT heap merge over decoded lists (parity reference)."""
@@ -316,7 +342,8 @@ class QueryEngine:
                     heapq.heappush(heap, (int(ids[pos + 1]), ci, pos + 1))
             out_ids.append(doc)
             out_scores.append(acc)
-        return np.asarray(out_ids, dtype=np.int64), np.asarray(out_scores, dtype=np.int64)
+        return self._mask_dead(np.asarray(out_ids, dtype=np.int64),
+                               np.asarray(out_scores, dtype=np.int64))
 
     def _score_bmw(self, qterms: dict[str, int],
                    batch_segments: int = 64) -> tuple[np.ndarray, np.ndarray]:
@@ -495,6 +522,12 @@ class QueryEngine:
                 uniq, inv = np.unique(g_ids, return_inverse=True)
                 exact = np.bincount(inv, weights=g_units,
                                     minlength=len(uniq)).astype(np.int64)
+                # mask dead docs BEFORE theta: a tombstoned doc's score must
+                # never raise the prune bar above a live top-k doc
+                uniq, exact = self._mask_dead(uniq, exact)
+                if not len(uniq):
+                    i = j
+                    continue
                 cand_ids.append(uniq)
                 cand_units.append(exact)
                 allu = exact if len(cand_units) == 1 else np.concatenate(cand_units)

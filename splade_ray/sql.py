@@ -36,15 +36,23 @@ def _f(x: float) -> str:
 
 
 # The documents -> corpus adapter, mirrored from corpus.documents_as_corpus_batch
-CORPUS_FROM_DOCUMENTS = f"""
+def corpus_from_documents_sql(where: str | None = None) -> str:
+    """The corpus CTE, optionally filtered at the source (``where`` is a
+    predicate over the raw ``documents`` columns) — the compacted-index
+    oracle reads only the surviving rows, like a fresh build would."""
+    w = f"\n  WHERE {where}" if where else ""
+    return f"""
 corpus AS (
   SELECT source AS repo,
          CAST(doc_id AS VARCHAR) AS path,
          '{DOCS_COMMIT}' AS commit_sha,
          lang,
          text AS content
-  FROM documents
+  FROM documents{w}
 )"""
+
+
+CORPUS_FROM_DOCUMENTS = corpus_from_documents_sql()
 
 # docs: identity + sha256 + tokens; empty/whitespace rows dropped
 # (build.prepare_batch) — trim set rendered from the shared DROP_WS constant
@@ -155,14 +163,20 @@ qterms AS (
     ]
 
 
-def _bm25_ranked_cte() -> str:
-    """CTE chain ``contribs -> scores -> ranked`` (full BM25, quantized)."""
+def _bm25_ranked_cte(dead_pred: str | None = None) -> str:
+    """CTE chain ``contribs -> scores -> ranked`` (full BM25, quantized).
+
+    ``dead_pred`` (a predicate over the docs alias ``d``) is the
+    tombstone-mask oracle: stats/df stay FULL-corpus (frozen at build, the
+    pre-compaction semantics of delete.delete_docs) while matching docs are
+    excluded before ranking — exactly what the engine's scorer mask does."""
     contrib = (
         f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
         f" * ((({_f(K1)} + 1e0) * p.tf)"
         f" / (p.tf + {_f(K1)} * ((1e0 - {_f(B)}) + ({_f(B)} * d.doc_len) / s.avgdl)))"
         f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
     )
+    mask = f"\n  WHERE NOT ({dead_pred})" if dead_pred else ""
     return f"""
 contribs AS (
   SELECT q.query_id, p.doc_id, {contrib} AS units
@@ -170,7 +184,7 @@ contribs AS (
   JOIN postings p ON p.term = q.term
   JOIN df f ON f.term = q.term
   JOIN docs d ON d.doc_id = p.doc_id
-  CROSS JOIN stats s
+  CROSS JOIN stats s{mask}
 ),
 scores AS (
   SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
@@ -367,6 +381,85 @@ rrf_ranked AS (
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        units / {_f(float(SCORE_SCALE))} AS rrf_score
 FROM rrf_ranked WHERE rnk <= {k}"""
+    )
+
+
+def bm25_topk_deleted_sql(queries: list[tuple[int, str]], k: int = 10,
+                          dead_pred: str = "FALSE") -> str:
+    """Tombstone-masked BM25 oracle (delete.delete_docs pre-compaction):
+    stats over the FULL corpus, docs matching ``dead_pred`` (predicate over
+    the docs alias ``d``) excluded before ranking."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(dead_pred=dead_pred),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def bm25_topk_compacted_sql(queries: list[tuple[int, str]], k: int = 10,
+                            live_where: str = "TRUE") -> str:
+    """Post-compaction BM25 oracle: identical to a from-scratch build over
+    the surviving corpus (``live_where`` filters raw ``documents`` rows) —
+    stats, df and ranks all recomputed from the live subset."""
+    return (
+        _with(
+            corpus_from_documents_sql(where=live_where), DOCS_CTE,
+            POSTINGS_CTE, DF_CTE, STATS_CTE, *_query_ctes(queries),
+            _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Retrieval-quality harness oracle (reference eval.py:238-247 computes
+    retrieval metrics over a query set): per-query INTEGER agreement of each
+    scorer against the BM25 ground truth — ``n_overlap`` (|top-k ∩ gt
+    top-k|) and ``top1_rank`` (rank of gt's #1 doc in the scorer's list, 0
+    if absent).  Integers only, so the driver hash is immune to float
+    summation order; aggregate recall@k / MRR derive as n_overlap/k and
+    1/top1_rank.  Scorers: ``bmw`` (rank-identity contract: same ranked
+    CTE) and ``idf_coord`` (genuinely different ranking)."""
+
+    def legs(name: str) -> str:
+        return f"""
+ov_{name} AS (
+  SELECT g.query_id, CAST(count(s.doc_id) AS BIGINT) AS n_overlap
+  FROM gt g LEFT JOIN s_{name} s
+    ON s.query_id = g.query_id AND s.doc_id = g.doc_id
+  GROUP BY g.query_id
+),
+t1_{name} AS (
+  SELECT g.query_id, CAST(coalesce(s.rnk, 0) AS BIGINT) AS top1_rank
+  FROM gt g LEFT JOIN s_{name} s
+    ON s.query_id = g.query_id AND s.doc_id = g.doc_id
+  WHERE g.rnk = 1
+)"""
+
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            f"""
+gt AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
+s_bmw AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
+s_coord AS (SELECT query_id, doc_id, rnk FROM coord_ranked WHERE rnk <= {k})"""
+            + "," + legs("bmw") + "," + legs("coord"),
+        )
+        + """
+SELECT 'bmw' AS scorer, o.query_id, o.n_overlap, t.top1_rank
+FROM ov_bmw o JOIN t1_bmw t ON t.query_id = o.query_id
+UNION ALL
+SELECT 'idf_coord' AS scorer, o.query_id, o.n_overlap, t.top1_rank
+FROM ov_coord o JOIN t1_coord t ON t.query_id = o.query_id"""
     )
 
 

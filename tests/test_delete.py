@@ -1,0 +1,180 @@
+"""Tombstone deletes + compaction (the index update path).
+
+Contracts under test:
+  * masked query == query over an index built WITHOUT the deleted docs,
+    except stats stay frozen (so scores differ, but no dead doc appears
+    and no live doc is wrongly pruned) — across all three scorers and
+    the sharded fan-out;
+  * compacted index == from-scratch build over the survivors, score- and
+    rank-identical (the strong equality);
+  * delete is idempotent and ignores absent ids; compaction resumes.
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.compute as pc
+import ray.data as rd
+
+from splade_ray.build import build_index
+from splade_ray.corpus import generate_corpus, generate_queries
+from splade_ray.delete import (
+    compact_index,
+    delete_docs,
+    read_tombstones,
+    tombstone_ordinals,
+)
+from splade_ray.query import QueryEngine
+from splade_ray.segments import validate_segment
+
+ROOT = "/tmp/splade_ray_delete_test"
+KW = dict(lang_tagged=True, n_shards=6, hot_df_min=40, hot_df_frac=0.05,
+          sample_mod=2)
+
+
+def _as_l(r):
+    return [(int(d), int(u)) for d, u in zip(*r)]
+
+
+def _setup():
+    """Build base (all docs), delete every 5th doc, plus a survivors-only
+    build for the strong compaction equality.  Idempotent across tests."""
+    tbl = generate_corpus(400, seed=33)
+    base = os.path.join(ROOT, "base")
+    live_idx = os.path.join(ROOT, "live")
+    if not os.path.exists(os.path.join(ROOT, "done")):
+        shutil.rmtree(ROOT, ignore_errors=True)
+        os.makedirs(ROOT)
+        build_index(rd.from_arrow(tbl), base, **KW)
+        # dead set: every 5th row of the staging docs table
+        from splade_ray.build import read_docs
+
+        ids = np.sort(np.asarray(
+            [r["doc_id"] for r in
+             read_docs(base, columns=["doc_id"]).take_all()],
+            dtype=np.int64))
+        dead = ids[::5]
+        n = delete_docs(base, dead)
+        assert n == len(dead)
+        np.save(os.path.join(ROOT, "dead.npy"), dead)
+        # survivors-only index for ground truth
+        import pyarrow as pa
+
+        from splade_ray.ids import doc_id63_column
+
+        dead_arr = pa.array(sorted(int(x) for x in dead), type=pa.int64())
+
+        def _drop_dead(t: pa.Table) -> pa.Table:
+            ids = doc_id63_column(t["repo"], t["path"], t["commit"])
+            return t.filter(pc.invert(pc.is_in(ids, value_set=dead_arr)))
+
+        live_ds = rd.from_arrow(tbl).map_batches(
+            _drop_dead, batch_format="pyarrow")
+        build_index(live_ds, live_idx, **KW)
+        open(os.path.join(ROOT, "done"), "w").close()
+    dead = np.load(os.path.join(ROOT, "dead.npy"))
+    return base, live_idx, dead
+
+
+def test_masked_query_hides_deleted_docs(ray_session):
+    base, _live, dead = _setup()
+    dead_set = set(int(x) for x in dead)
+    q = generate_queries()
+    engines = {s: QueryEngine(base, k=10, scorer=s)
+               for s in ("taat", "daat", "bmw")}
+    got_any = 0
+    base_results = {}
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        per_scorer = {
+            s: _as_l(e.search_one(query, lang or None))
+            for s, e in engines.items()
+        }
+        # no scorer returns a dead doc; all scorers agree exactly
+        for s, res in per_scorer.items():
+            assert not (dead_set & {d for d, _ in res}), (s, query)
+        assert per_scorer["taat"] == per_scorer["daat"] == per_scorer["bmw"]
+        got_any += bool(per_scorer["taat"])
+        base_results[(query, lang)] = per_scorer["taat"]
+    assert got_any > 0
+
+    # sharded fan-out masks identically (per-range tombstone slices)
+    n = engines["taat"].n_docs
+    sh = [QueryEngine(base, k=10, scorer="taat", ord_range=r)
+          for r in ((0, n // 2), (n // 2, n))]
+    for (query, lang), want in list(base_results.items())[:8]:
+        merged = []
+        for e in sh:
+            merged.extend(_as_l(e.search_one(query, lang or None)))
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        assert merged[:len(want)] == want, query
+
+
+def test_masked_vs_live_build_same_docs(ray_session):
+    """Frozen stats change scores but not the LIVE doc candidates: the
+    masked top-k doc SET is drawn from live docs only, and every returned
+    doc exists in the survivors-only index's docmap."""
+    base, live_idx, dead = _setup()
+    live_docmap = set(
+        QueryEngine(live_idx, k=10).docs.docmap_array().tolist())
+    e = QueryEngine(base, k=10, scorer="taat")
+    q = generate_queries()
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        for d, _ in _as_l(e.search_one(query, lang or None)):
+            assert d in live_docmap
+
+
+def test_compacted_equals_fresh_build(ray_session):
+    base, live_idx, _dead = _setup()
+    cdir = os.path.join(ROOT, "compacted")
+    shutil.rmtree(cdir, ignore_errors=True)
+    man = compact_index(base, cdir)
+    with open(os.path.join(live_idx, "MANIFEST.json")) as f:
+        live_man = json.load(f)
+    assert man["n_docs"] == live_man["n_docs"]
+    assert abs(man["avgdl"] - live_man["avgdl"]) < 1e-12
+    assert man["n_postings"] == live_man["n_postings"]
+
+    ec = {s: QueryEngine(cdir, k=10, scorer=s) for s in ("taat", "bmw")}
+    el = QueryEngine(live_idx, k=10, scorer="taat")
+    q = generate_queries()
+    n_nonempty = 0
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        want = _as_l(el.search_one(query, lang or None))
+        assert _as_l(ec["taat"].search_one(query, lang or None)) == want
+        assert _as_l(ec["bmw"].search_one(query, lang or None)) == want
+        n_nonempty += bool(want)
+    assert n_nonempty > 0
+    # compacted index carries no tombstones and serves ordinal postings
+    assert len(read_tombstones(cdir)) == 0
+
+
+def test_delete_idempotent_and_absent_ids(ray_session):
+    base, _live, dead = _setup()
+    before = read_tombstones(base)
+    assert delete_docs(base, dead) == len(before)          # re-delete: no-op
+    assert delete_docs(base, [1, 2, 3]) == len(before)     # absent ids: no-op
+    assert np.array_equal(read_tombstones(base), before)
+    ords = tombstone_ordinals(base)
+    assert len(ords) == len(before)
+    # ordinals translate back to exactly the tombstoned ids
+    e = QueryEngine(base, k=10)
+    assert np.array_equal(np.sort(e.docs.gather_ids(ords)), before)
+
+
+def test_compaction_resume_skips_valid_segments(ray_session):
+    base, _live, _dead = _setup()
+    cdir = os.path.join(ROOT, "compacted")
+    segs = sorted(os.listdir(os.path.join(cdir, "segments")))
+    victim = os.path.join(cdir, "segments", segs[0])
+    mtimes = {
+        s: os.path.getmtime(os.path.join(cdir, "segments", s, "manifest.json"))
+        for s in segs[1:]
+    }
+    shutil.rmtree(victim)
+    compact_index(base, cdir)
+    assert validate_segment(victim) is not None
+    for s, t in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(cdir, "segments", s, "manifest.json")) == t
