@@ -301,3 +301,47 @@ def test_hll_distinct_terms_accuracy(ray_session):
         rd.from_arrow(pa.Table.from_pylist(rows)).repartition(11)
     ).to_pylist()[0]
     assert out == out2
+
+
+def test_multimodal_vectorized_matches_per_row_reference():
+    """The batch-wide buffer-math paths (features / resize / frames) must
+    reproduce the naive per-row decode exactly — pixel bytes included."""
+    import hashlib
+
+    mm = multimodal
+    media = mm.synth_media_table(40, seed=9)
+    feats = mm.MediaFeatures(decode="fake", feature_dim=8)(media)
+    resized = mm.MediaResize(out_w=5, out_h=7)(media)
+    frames = mm.FrameSampler(stride=3)(media)
+
+    f_rows = {r["media_id"]: r for r in feats.to_pylist()}
+    r_rows = {r["media_id"]: r for r in resized.to_pylist()}
+    fr_rows = {}
+    for r in frames.to_pylist():
+        fr_rows.setdefault(r["media_id"], {})[r["frame"]] = r["frame_bytes"]
+
+    fy = (np.arange(7) + 0.5) / 7
+    fx = (np.arange(5) + 0.5) / 5
+    for mid, payload in zip(media["media_id"].to_pylist(),
+                            media["payload"].to_pylist()):
+        w, h, body = mm._decode_payload(payload, "fake")
+        arr = np.frombuffer(body, dtype=np.uint8)
+        row = f_rows[mid]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_bytes"] == len(payload)
+        assert row["mean_byte"] == float(arr.mean())
+        digest = hashlib.sha256(payload).digest()
+        want_feat = (np.frombuffer(digest[:32], dtype=np.uint32)
+                     .astype(np.float32) / np.float32(2**32))
+        assert np.array_equal(np.asarray(row["feature"], dtype=np.float32),
+                              want_feat)
+
+        img = arr.reshape(h, w)
+        ys = np.minimum((fy * h).astype(np.int64), h - 1)
+        xs = np.minimum((fx * w).astype(np.int64), w - 1)
+        want_payload = mm.HEADER.pack(mm.MAGIC, 5, 7) + \
+            img[np.ix_(ys, xs)].tobytes()
+        assert r_rows[mid]["payload"] == want_payload
+
+        want_frames = {f: body[f * w:(f + 1) * w] for f in range(0, h, 3)}
+        assert fr_rows[mid] == want_frames
