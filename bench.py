@@ -139,6 +139,30 @@ def main() -> None:
     timings["query_pool_sec"] = round(time.perf_counter() - t0, 3)
     timings["query_pool_rows"] = n_res
 
+    # ---- update path: tombstone delete + compaction -----------------------
+    # delete 10% of docs, then compact; compaction is a full segment rewrite,
+    # so files/sec here is the floor for "rewrite the index minus deletes"
+    import numpy as np
+
+    from splade_ray.build import read_docs
+    from splade_ray.delete import compact_index, delete_docs
+
+    all_ids = np.sort(np.asarray(
+        [r["doc_id"] for r in read_docs(idx, columns=["doc_id"]).take_all()],
+        dtype=np.int64))
+    t0 = time.perf_counter()
+    delete_docs(idx, all_ids[::10])
+    timings["delete_sec"] = round(time.perf_counter() - t0, 3)
+    masked = _latencies(QueryEngine(idx, k=10, scorer="taat"), 1)
+    timings["query_masked_p50_ms"] = round(masked[len(masked) // 2] * 1000, 3)
+    cdir = os.path.join(BENCH_ROOT, f"idx_{n_files}_compacted")
+    shutil.rmtree(cdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    cman = compact_index(idx, cdir)
+    compact_sec = time.perf_counter() - t0
+    timings["compact_sec"] = round(compact_sec, 3)
+    timings["compact_files_per_sec"] = round(cman["n_docs"] / compact_sec, 1)
+
     # ---- contract pipelines over the driver's documents table -------------
     from splade_ray import pipelines
 
