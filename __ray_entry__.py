@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_dense_sparse": p.rrf_dense_sparse,
         "chunk_docs": p.chunk_docs,
         "chunk_docs_recursive": p.chunk_docs_recursive,
+        "phrase_topk": p.phrase_topk,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_dense_sparse": sql.rrf_dense_sparse_sql(DOC_QUERIES, TOP_K),
         "chunk_docs": sql.chunk_docs_sql(),
         "chunk_docs_recursive": sql.chunk_docs_recursive_sql(),
+        "phrase_topk": sql.phrase_topk_sql(p.PHRASE_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

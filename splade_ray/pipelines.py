@@ -190,6 +190,27 @@ def _qterms_py() -> list[tuple[int, str, int]]:
     return rows
 
 
+def _rank_units_group(top_k: int):
+    """Per-query ranking of summed integer units -> (rank, doc_id, score);
+    ties break (units desc, doc_id asc), score = units / SCORE_SCALE."""
+    from .build import SCORE_SCALE
+
+    def _rank(group: pa.Table) -> pa.Table:
+        units = group["units"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -units))[:top_k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(ids[order]),
+                "score": pa.array(units[order] / SCORE_SCALE, type=pa.float64()),
+            }
+        )
+
+    return _rank
+
+
 def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
     """Relational scoring without an index: BM25 with k1=0 (each matching
     term contributes qtf*idf — coordination/IDF match).  qterms (tiny) are
@@ -280,20 +301,8 @@ def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
         .aggregate(Sum("units", alias_name="units"))
     )
 
-    def _rank(group: pa.Table) -> pa.Table:
-        units = group["units"].to_numpy(zero_copy_only=False)
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -units))[:top_k]
-        return pa.table(
-            {
-                "query_id": group["query_id"].take(pa.array(order)),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-                "doc_id": pa.array(ids[order]),
-                "score": pa.array(units[order] / SCORE_SCALE, type=pa.float64()),
-            }
-        )
-
-    return summed.groupby("query_id").map_groups(_rank, batch_format="pyarrow")
+    return summed.groupby("query_id").map_groups(
+        _rank_units_group(top_k), batch_format="pyarrow")
 
 
 # Chunker implementation lives in splade_ray.chunk (vectorized byte-gather
@@ -331,6 +340,155 @@ def chunk_docs_recursive(sf_dir: str):
     return rd.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(chunk_recursive_batch, batch_format="pyarrow")
+
+
+# Phrase queries (candidate + verify): exact case-sensitive substring over
+# the raw content, BM25-scored on the phrase's terms.  (10) matches nothing.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "spark window"),
+    (1, "hash join"),
+    (2, "merge sort"),
+    (3, "window agg"),
+    (4, "stream filter"),
+    (10, "no such phrase anywhere"),
+]
+
+
+def phrase_topk(sf_dir: str, top_k: int = TOP_K):
+    """Phrase search without positional postings — the standard scale shape:
+    candidate docs come from the term index (here: the postings stream),
+    verification is one vectorized substring match over the forward content,
+    scoring is full BM25 over the phrase's terms.  Everything happens in a
+    SINGLE streaming pass over the corpus (terms, doc_len, phrase flags all
+    from the same batch — no join, no second corpus read); the only shuffle
+    is the tiny per-(query, doc) sum.  Oracle: sql.phrase_topk_sql."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from . import B, DROP_WS, K1
+    from .analyzer import doc_token_stats, tokens_py
+    from .build import SCORE_SCALE
+    from .ids import doc_id63_column
+
+    phrases = PHRASE_QUERIES
+    qrows: list[tuple[int, str, int]] = []
+    for qid, ph in phrases:
+        tf: dict[str, int] = {}
+        for tok in tokens_py(ph):
+            tf[tok] = tf.get(tok, 0) + 1
+        qrows.extend((qid, t, n) for t, n in tf.items())
+    qt_all = pa.array(sorted({t for _, t, _ in qrows}), type=pa.string())
+
+    docs = _staged(sf_dir).select_columns(["doc_id", "doc_len"])
+    n_docs = docs.count()
+    avgdl = docs.sum("doc_len") / n_docs
+    df_rows = {
+        r["term"]: r["df"]
+        for r in term_df(sf_dir).map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["term"].combine_chunks()
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"],
+                value_set=qt_all)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    # per term: aligned (query row, qtf*idf) runs — same flattened-run join
+    # as idf_coord_topk, but weights stay FLOAT here (the tf-saturation
+    # factor is per-posting, so quantization happens at the posting)
+    w_of: dict[str, list[tuple[int, float]]] = {}
+    for qid, t, qtf in qrows:
+        df = df_rows.get(t)
+        if df is None:
+            continue
+        w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        w_of.setdefault(t, []).append((qid, qtf * w))
+    qt_terms = sorted(w_of)
+    qt_arr = pa.array(qt_terms, type=pa.string())
+    qt_offsets = np.zeros(len(qt_terms) + 1, dtype=np.int64)
+    flat_q, flat_w = [], []
+    for i, t in enumerate(qt_terms):
+        pairs = w_of[t]
+        qt_offsets[i + 1] = qt_offsets[i] + len(pairs)
+        flat_q.extend(q for q, _ in pairs)
+        flat_w.extend(w for _, w in pairs)
+    flat_q = np.asarray(flat_q, dtype=np.int64)
+    flat_w = np.asarray(flat_w, dtype=np.float64)
+    qid_row = {qid: i for i, (qid, _) in enumerate(phrases)}
+    flat_qrow = np.asarray([qid_row[q] for q in flat_q], dtype=np.int64)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "units": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _batch(t: pa.Table) -> pa.Table:
+        # keep-filter mirrors build.prepare_batch (build.py:61-69)
+        content = t["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        trimmed = pc.utf8_trim(pc.fill_null(content, ""), characters=DROP_WS)
+        t = t.filter(pc.not_equal(trimmed, ""))
+        if t.num_rows == 0 or not len(qt_terms):
+            return empty
+        content = t["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        terms, tfs, dl = doc_token_stats(content, None)
+        ids_np = doc_id63_column(t["repo"], t["path"], t["commit"]) \
+            .to_numpy(zero_copy_only=False)
+        flags = np.stack([
+            pc.match_substring(content, ph).to_numpy(zero_copy_only=False)
+            for _, ph in phrases
+        ])  # (n_phrases, n_rows)
+        parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+        flat_terms = terms.flatten()
+        flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
+        sel_m = pc.is_in(flat_terms, value_set=qt_arr)
+        sel = sel_m.to_numpy(zero_copy_only=False)
+        if not sel.any():
+            return empty
+        idx = pc.index_in(flat_terms.filter(sel_m), value_set=qt_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parents[sel]
+        tfv = flat_tfs[sel].astype(np.float64)
+        counts = qt_offsets[idx + 1] - qt_offsets[idx]
+        row_rep = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        starts = np.repeat(qt_offsets[idx], counts)
+        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        pos = starts + within
+        p_exp = par[row_rep]
+        ok = flags[flat_qrow[pos], p_exp]  # phrase verified for this doc?
+        if not ok.any():
+            return empty
+        pos, p_exp = pos[ok], p_exp[ok]
+        tfe = tfv[row_rep[ok]]
+        dle = dl[p_exp].astype(np.float64)
+        # quantization spec pinned to sql._bm25_ranked_cte / engine
+        # _contrib_units: round(((qtf*idf) * sat) * SCALE)
+        sat = ((K1 + 1.0) * tfe) / (
+            tfe + K1 * ((1.0 - B) + (B * dle) / avgdl))
+        units = np.round(flat_w[pos] * sat * SCORE_SCALE).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(flat_q[pos], type=pa.int64()),
+                "doc_id": pa.array(ids_np[p_exp], type=pa.int64()),
+                "units": pa.array(units, type=pa.int64()),
+            }
+        )
+
+    summed = (
+        corpus_ds(sf_dir)
+        .map_batches(_batch, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("units", alias_name="units"))
+    )
+    return summed.groupby("query_id").map_groups(
+        _rank_units_group(top_k), batch_format="pyarrow")
 
 
 def bm25_topk_sharded(sf_dir: str):

@@ -163,13 +163,18 @@ qterms AS (
     ]
 
 
-def _bm25_ranked_cte(dead_pred: str | None = None) -> str:
+def _bm25_ranked_cte(dead_pred: str | None = None,
+                     verify_join: str | None = None) -> str:
     """CTE chain ``contribs -> scores -> ranked`` (full BM25, quantized).
 
     ``dead_pred`` (a predicate over the docs alias ``d``) is the
     tombstone-mask oracle: stats/df stay FULL-corpus (frozen at build, the
     pre-compaction semantics of delete.delete_docs) while matching docs are
-    excluded before ranking — exactly what the engine's scorer mask does."""
+    excluded before ranking — exactly what the engine's scorer mask does.
+
+    ``verify_join`` (an extra JOIN clause over aliases q/p/d) restricts
+    contributions to (query, doc) pairs that pass a verification CTE —
+    the phrase-search candidate+verify shape."""
     contrib = (
         f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
         f" * ((({_f(K1)} + 1e0) * p.tf)"
@@ -177,6 +182,7 @@ def _bm25_ranked_cte(dead_pred: str | None = None) -> str:
         f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
     )
     mask = f"\n  WHERE NOT ({dead_pred})" if dead_pred else ""
+    vjoin = f"\n  {verify_join}" if verify_join else ""
     return f"""
 contribs AS (
   SELECT q.query_id, p.doc_id, {contrib} AS units
@@ -184,7 +190,7 @@ contribs AS (
   JOIN postings p ON p.term = q.term
   JOIN df f ON f.term = q.term
   JOIN docs d ON d.doc_id = p.doc_id
-  CROSS JOIN stats s{mask}
+  CROSS JOIN stats s{vjoin}{mask}
 ),
 scores AS (
   SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
@@ -411,6 +417,34 @@ def bm25_topk_compacted_sql(queries: list[tuple[int, str]], k: int = 10,
             corpus_from_documents_sql(where=live_where), DOCS_CTE,
             POSTINGS_CTE, DF_CTE, STATS_CTE, *_query_ctes(queries),
             _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def phrase_topk_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
+    """Phrase search oracle (candidate + verify): BM25 over the phrase's
+    terms, restricted to docs whose raw content contains the phrase as an
+    exact (case-sensitive) substring.  Mirrors pipelines.phrase_topk —
+    the classic scale shape for phrase queries without positional postings
+    (candidate docs from the inverted index, substring verification on the
+    forward content)."""
+    verify = ("JOIN phrase_ok v ON v.query_id = q.query_id"
+              " AND v.doc_id = p.doc_id")
+    phrase_ok = f"""
+phrase_ok AS (
+  SELECT l.query_id,
+         {doc_id63_sql('c.repo', 'c.path', 'c.commit_sha')} AS doc_id
+  FROM query_lit l JOIN corpus c ON strpos(c.content, l.query) > 0
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(phrases), phrase_ok,
+            _bm25_ranked_cte(verify_join=verify),
         )
         + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,

@@ -25,6 +25,7 @@ FAST_KEYS = [
     "events_asof_join",
     # round 3
     "sparse_encode", "sparse_topk",
+    "phrase_topk", "scorer_eval", "bm25_topk_deleted", "bm25_topk_compacted",
 ]
 
 

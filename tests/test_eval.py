@@ -55,3 +55,33 @@ def test_summarize_recall_and_mrr():
     assert abs(s["recall_at_k"] - 0.75) < 1e-12   # (1.0 + 0.5) / 2
     assert abs(s["mrr"] - 0.5) < 1e-12            # (1 + 0) / 2
     assert s["n_queries"] == 2
+
+
+def test_phrase_topk_docs_contain_phrase(ray_session):
+    """Every (query, doc) hit must contain the exact phrase; the absent
+    phrase returns no rows."""
+    import os
+
+    import duckdb
+
+    from splade_ray.pipelines import PHRASE_QUERIES, phrase_topk
+
+    sf = "/root/testdata/sf0.001"
+    res = phrase_topk(sf).to_pandas()
+    assert len(res) > 0
+    phrases = dict(PHRASE_QUERIES)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, source, text FROM read_parquet(?)",
+        [os.path.join(sf, "documents.parquet")]).fetchall()
+    texts = {int(r[0]): r[2] for r in rows}
+    # doc_id63 -> raw id via the corpus adapter (repo=source, path=raw id)
+    from splade_ray.corpus import DOCS_COMMIT
+    from splade_ray.ids import doc_id63
+
+    id63 = {doc_id63(r[1], str(int(r[0])), DOCS_COMMIT): int(r[0])
+            for r in rows}
+    assert 10 not in set(res.query_id)  # absent phrase -> no rows
+    # NOTE: iterrows() would coerce the row to float64 and corrupt 63-bit ids
+    for qid, doc in zip(res["query_id"].astype(int), res["doc_id"].astype(int)):
+        assert phrases[int(qid)] in texts[id63[int(doc)]]
