@@ -152,6 +152,19 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
         seg_rows.append({"shard": s, "segment_id": m["segment_id"],
                          "n_terms": m["n_terms"], "n_postings": m["n_postings"]})
 
+    # tombstones PROPAGATE: a doc deleted in any input generation stays
+    # deleted in the merged index (its postings still merge through — the
+    # mask stays query-side until compact_index reclaims them)
+    from .delete import read_tombstones
+
+    tomb = np.unique(np.concatenate(
+        [read_tombstones(d) for d in index_dirs] + [np.empty(0, np.int64)]
+    ))
+    if len(tomb):
+        tmp_t = os.path.join(out_dir, "tombstones.bin.tmp")
+        tomb.astype(np.int64).tofile(tmp_t)
+        os.replace(tmp_t, os.path.join(out_dir, "tombstones.bin"))
+
     manifest = {
         "format_version": 1,
         "merged_from": [os.path.abspath(d) for d in index_dirs],

@@ -178,3 +178,44 @@ def test_compaction_resume_skips_valid_segments(ray_session):
     for s, t in mtimes.items():
         assert os.path.getmtime(
             os.path.join(cdir, "segments", s, "manifest.json")) == t
+
+
+def test_merge_propagates_tombstones(ray_session):
+    """Merging generations must not resurrect deleted docs: the union of
+    input tombstones carries into the merged index and queries stay masked."""
+    import ray.data as rd
+
+    from splade_ray.corpus import generate_corpus, generate_queries
+    from splade_ray.merge import merge_index_dirs
+
+    tbl = generate_corpus(300, seed=44)
+    root = os.path.join(ROOT, "mergeprop")
+    shutil.rmtree(root, ignore_errors=True)
+    a, b, merged = (os.path.join(root, x) for x in ("a", "b", "m"))
+    build_index(rd.from_arrow(tbl.slice(0, 150)), a, **KW)
+    build_index(rd.from_arrow(tbl.slice(150)), b, **KW)
+    # delete a handful of docs from each generation
+    from splade_ray.build import read_docs
+
+    ids_a = np.sort(np.asarray([r["doc_id"] for r in
+                                read_docs(a, columns=["doc_id"]).take_all()]))
+    ids_b = np.sort(np.asarray([r["doc_id"] for r in
+                                read_docs(b, columns=["doc_id"]).take_all()]))
+    delete_docs(a, ids_a[::7])
+    delete_docs(b, ids_b[::5])
+    merge_index_dirs([a, b], merged)
+    want = set(np.union1d(ids_a[::7], ids_b[::5]).tolist())
+    assert set(read_tombstones(merged).tolist()) == want
+    e = QueryEngine(merged, k=10)
+    q = generate_queries()
+    hit = 0
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        ids, _ = e.search_one(query, lang or None)
+        assert not (want & {int(d) for d in ids})
+        hit += len(ids) > 0
+    assert hit > 0
+    # compaction of the merged index reclaims them for good
+    cdir = os.path.join(root, "mc")
+    man = compact_index(merged, cdir)
+    assert man["n_docs"] == len(ids_a) + len(ids_b) - len(want)
+    assert len(read_tombstones(cdir)) == 0
