@@ -75,17 +75,25 @@ def main() -> None:
                                 root=os.path.join(BENCH_ROOT, "corpus"))
     rd.read_parquet(corpus_dir).count()  # warm (untimed)
     idx = os.path.join(BENCH_ROOT, f"idx_{n_files}")
-    shutil.rmtree(idx, ignore_errors=True)
     # identical job across scaling levels: the shard count must NOT follow
     # num_cpus or the two levels build different indexes
     n_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", max(16, NUM_CPUS * 2)))
-    t0 = time.perf_counter()
-    manifest = build_index(
-        rd.read_parquet(corpus_dir), idx, lang_tagged=True,
-        n_shards=n_shards,
-    )
-    build_sec = time.perf_counter() - t0
+    # best-of-2 full builds: the sandbox sees bursty co-tenant noise windows
+    # (observed 2-8x wall-time inflation hitting one stage while adjacent
+    # stages run clean), so a single sample is not a measurement.  The
+    # scaling harness already runs best-of-3 per level for the same reason.
+    build_runs = []
+    for _ in range(2 if not os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = build_index(
+            rd.read_parquet(corpus_dir), idx, lang_tagged=True,
+            n_shards=n_shards,
+        )
+        build_runs.append(time.perf_counter() - t0)
+    build_sec = min(build_runs)
     timings["build_index_sec"] = round(build_sec, 3)
+    timings["build_runs_sec"] = [round(x, 3) for x in build_runs]
     timings["build_files_per_sec"] = round(n_files / build_sec, 1)
     timings["build_n_postings"] = manifest["n_postings"]
 

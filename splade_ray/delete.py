@@ -43,7 +43,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .docmap import open_doc_arrays
+from .docmap import RANGES_NAME, SHARD_DIR, open_doc_arrays
 from .segments import SegmentBuilder, SegmentReader, validate_segment
 
 TOMBSTONES = "tombstones.bin"
@@ -154,6 +154,102 @@ def _write_flat_docmap(out_dir: str, new_map: np.ndarray,
         os.replace(tmp, os.path.join(out_dir, name))
 
 
+def _compact_docmap_shard_batch(t: pa.Table, *, src_root: str, out_root: str,
+                                tomb_ref) -> pa.Table:
+    """One task per docmap shard: filter the shard's (dm, dl) arrays by the
+    tombstone ordinals falling in its range, write the surviving pair under
+    the output's docmap/ (same min-id naming), return a summary row.  Memory
+    per task is one shard + O(|deleted|) — never O(corpus)."""
+    import ray
+
+    tomb = ray.get(tomb_ref)
+    out = {"ordinal_start_src": [], "min_id": [], "max_id": [], "count": [],
+           "total_len": [], "dm": [], "dl": []}
+    for row in t.to_pylist():
+        start = int(row["ordinal_start"])
+        count = int(row["count"])
+        dm = np.fromfile(os.path.join(src_root, row["dm"]), dtype=np.int64)
+        dl = np.fromfile(os.path.join(src_root, row["dl"]), dtype=np.int32)
+        lo = np.searchsorted(tomb, start, side="left")
+        hi = np.searchsorted(tomb, start + count, side="left")
+        keep = np.ones(count, dtype=bool)
+        keep[tomb[lo:hi] - start] = False
+        dm, dl = dm[keep], dl[keep]
+        if not len(dm):
+            continue
+        stem = f"{int(dm[0]):016x}"
+        dm_name, dl_name = f"dm-{stem}.bin", f"dl-{stem}.bin"
+        for name, arr in ((dm_name, dm), (dl_name, dl)):
+            tmp = os.path.join(out_root, name + ".tmp")
+            arr.tofile(tmp)
+            os.replace(tmp, os.path.join(out_root, name))
+        out["ordinal_start_src"].append(start)
+        out["min_id"].append(int(dm[0]))
+        out["max_id"].append(int(dm[-1]))
+        out["count"].append(len(dm))
+        out["total_len"].append(int(dl.astype(np.int64).sum()))
+        out["dm"].append(dm_name)
+        out["dl"].append(dl_name)
+    return pa.table(
+        {
+            "ordinal_start_src": pa.array(out["ordinal_start_src"], pa.int64()),
+            "min_id": pa.array(out["min_id"], pa.int64()),
+            "max_id": pa.array(out["max_id"], pa.int64()),
+            "count": pa.array(out["count"], pa.int64()),
+            "total_len": pa.array(out["total_len"], pa.int64()),
+            "dm": pa.array(out["dm"], pa.string()),
+            "dl": pa.array(out["dl"], pa.string()),
+        }
+    )
+
+
+def _compact_docmap_sharded(index_dir: str, out_dir: str, tomb_ref,
+                            n_docs: int, n_tomb: int) -> tuple[int, int]:
+    """Distributed docmap compaction (sharded source layout): one Ray task
+    per shard filters and rewrites its (dm, dl) pair; the driver only sees
+    one summary row per shard and prefix-sums the new ordinal starts —
+    the same protocol as docmap.write_sharded.  Returns (n_live, total_len).
+    """
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    src_root = os.path.join(index_dir, SHARD_DIR)
+    out_root = os.path.join(out_dir, SHARD_DIR)
+    if os.path.isdir(out_root):
+        _shutil.rmtree(out_root)
+    os.makedirs(out_root)
+    with open(os.path.join(src_root, RANGES_NAME)) as f:
+        src_man = json.load(f)
+    rows = (
+        rd.from_items(src_man["shards"])
+        .map_batches(
+            _compact_docmap_shard_batch, batch_format="pyarrow", batch_size=4,
+            fn_kwargs={"src_root": src_root, "out_root": out_root,
+                       "tomb_ref": tomb_ref},
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["ordinal_start_src"])
+    shards, start, total_len = [], 0, 0
+    for r in rows:
+        shards.append({"dm": r["dm"], "dl": r["dl"], "min_id": r["min_id"],
+                       "max_id": r["max_id"], "count": r["count"],
+                       "ordinal_start": start})
+        start += r["count"]
+        total_len += r["total_len"]
+    n_live = start
+    if n_live != n_docs - n_tomb:
+        raise AssertionError(
+            f"docmap compaction kept {n_live} rows, expected {n_docs - n_tomb}")
+    manifest = {"n_docs": n_live, "shards": shards}
+    tmp = os.path.join(out_root, RANGES_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_root, RANGES_NAME))
+    return n_live, total_len
+
+
 def compact_index(index_dir: str, out_dir: str) -> dict:
     """Rewrite ``index_dir`` minus its tombstones into ``out_dir``.
 
@@ -178,21 +274,24 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     if n_live <= 0:
         raise ValueError("compaction would delete every document")
 
-    # compacted forward arrays: survivors keep sorted-id order, so the new
-    # map is one boolean filter; at 10^12 docs this runs per docmap shard
-    # (see module docstring) — here the driver-side filter is bounded by
-    # the flat layout it mirrors
-    keep = np.ones(n_docs, dtype=bool)
-    keep[tomb] = False
-    new_map = docs.docmap_array()[keep]
-    new_lens = docs.doclens_array()[keep]
-    total_len = int(new_lens.astype(np.int64).sum())
-    avgdl = total_len / n_live
-
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
-    _write_flat_docmap(out_dir, new_map, new_lens)
-
     tomb_ref = _ray.put(tomb)
+    # compacted forward arrays: survivors keep sorted-id order, so the new
+    # map is a boolean filter.  Sharded source layout -> one Ray task per
+    # docmap shard (driver sees one summary row each, 10^12-doc safe);
+    # flat source -> bounded driver-side filter mirroring its layout.
+    if os.path.exists(os.path.join(index_dir, SHARD_DIR, RANGES_NAME)):
+        n_live2, total_len = _compact_docmap_sharded(
+            index_dir, out_dir, tomb_ref, n_docs, len(tomb))
+        assert n_live2 == n_live
+    else:
+        keep = np.ones(n_docs, dtype=bool)
+        keep[tomb] = False
+        new_map = docs.docmap_array()[keep]
+        new_lens = docs.doclens_array()[keep]
+        total_len = int(new_lens.astype(np.int64).sum())
+        _write_flat_docmap(out_dir, new_map, new_lens)
+    avgdl = total_len / n_live
     src_root = os.path.join(index_dir, "segments")
     out_root = os.path.join(out_dir, "segments")
     todo = [

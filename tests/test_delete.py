@@ -219,3 +219,46 @@ def test_merge_propagates_tombstones(ray_session):
     man = compact_index(merged, cdir)
     assert man["n_docs"] == len(ids_a) + len(ids_b) - len(want)
     assert len(read_tombstones(cdir)) == 0
+
+
+def test_compact_sharded_docmap_layout(ray_session):
+    """Compaction of a SHARDED-docmap index runs the distributed per-shard
+    rewrite and matches the flat-layout compaction exactly."""
+    import pyarrow as pa
+
+    from splade_ray.corpus import generate_corpus, generate_queries
+
+    tbl = generate_corpus(250, seed=55)
+    root = os.path.join(ROOT, "shardedmap")
+    shutil.rmtree(root, ignore_errors=True)
+    sh, fl = os.path.join(root, "sh"), os.path.join(root, "fl")
+    build_index(rd.from_arrow(tbl), sh, ordinal_driver_threshold=0, **KW)
+    build_index(rd.from_arrow(tbl), fl, **KW)
+    assert os.path.exists(os.path.join(sh, "docmap", "ranges.json"))
+    assert os.path.exists(os.path.join(fl, "docmap.bin"))
+
+    from splade_ray.build import read_docs
+
+    ids = np.sort(np.asarray([r["doc_id"] for r in
+                              read_docs(sh, columns=["doc_id"]).take_all()]))
+    for idx in (sh, fl):
+        delete_docs(idx, ids[::4])
+    csh, cfl = os.path.join(root, "csh"), os.path.join(root, "cfl")
+    man_sh = compact_index(sh, csh)
+    man_fl = compact_index(fl, cfl)
+    # sharded layout is preserved through compaction
+    assert os.path.exists(os.path.join(csh, "docmap", "ranges.json"))
+    assert man_sh["n_docs"] == man_fl["n_docs"]
+    assert abs(man_sh["avgdl"] - man_fl["avgdl"]) < 1e-12
+    assert man_sh["n_postings"] == man_fl["n_postings"]
+    e_sh = QueryEngine(csh, k=10, scorer="taat")
+    e_fl = QueryEngine(cfl, k=10, scorer="taat")
+    assert np.array_equal(e_sh.docs.docmap_array(), e_fl.docs.docmap_array())
+    assert np.array_equal(e_sh.docs.doclens_array(), e_fl.docs.doclens_array())
+    q = generate_queries()
+    hit = 0
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        a = _as_l(e_sh.search_one(query, lang or None))
+        assert a == _as_l(e_fl.search_one(query, lang or None))
+        hit += bool(a)
+    assert hit > 0
