@@ -117,7 +117,11 @@ def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
         seg_id = row["segment_id"]
         reader = SegmentReader(os.path.join(src_root, seg_id))
         builder = SegmentBuilder(seg_id, shard)
-        builder.set_lineage(compacted_from=seg_id, n_tombstones=len(tomb))
+        # tombstones_fp binds the output segment to THIS delete set: a
+        # resumed compaction skips a segment only if it was compacted
+        # against the same tombstones (compact_index's todo filter)
+        builder.set_lineage(compacted_from=seg_id, n_tombstones=len(tomb),
+                            tombstones_fp=row["tombstones_fp"])
         d = reader.dict
         for i in range(d.num_rows):
             ids, tfs = reader.postings_at(i)
@@ -294,10 +298,20 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     avgdl = total_len / n_live
     src_root = os.path.join(index_dir, "segments")
     out_root = os.path.join(out_dir, "segments")
+    tomb_fp = tombstones_fingerprint(index_dir)
+
+    def _resumable(seg_id: str) -> bool:
+        """A segment survives resume only if compacted against the SAME
+        tombstone set — more deletes between a crash and the re-run would
+        otherwise leave a mixed-generation index."""
+        m = validate_segment(os.path.join(out_root, seg_id))
+        return (m is not None
+                and m.get("lineage", {}).get("tombstones_fp") == tomb_fp)
+
     todo = [
-        {"shard": s["shard"], "segment_id": s["segment_id"]}
-        for s in man["segments"]
-        if validate_segment(os.path.join(out_root, s["segment_id"])) is None
+        {"shard": s["shard"], "segment_id": s["segment_id"],
+         "tombstones_fp": tomb_fp}
+        for s in man["segments"] if not _resumable(s["segment_id"])
     ]
     if todo:
         (

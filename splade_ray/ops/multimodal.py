@@ -82,10 +82,15 @@ def _binary_np(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     instead of materializing Python bytes objects."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    bufs = col.buffers()
+    if len(col) == 0 or bufs[1] is None:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), z, z
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
     return data, off[:-1], off[1:]
 
 

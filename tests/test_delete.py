@@ -262,3 +262,31 @@ def test_compact_sharded_docmap_layout(ray_session):
         assert a == _as_l(e_fl.search_one(query, lang or None))
         hit += bool(a)
     assert hit > 0
+
+
+def test_compaction_resume_invalidated_by_new_deletes(ray_session):
+    """A crash-resumed compaction must NOT mix segments from two different
+    tombstone sets: deleting more docs between runs invalidates everything."""
+    base, _live, dead = _setup()
+    cdir = os.path.join(ROOT, "compact2")
+    shutil.rmtree(cdir, ignore_errors=True)
+    compact_index(base, cdir)
+    # grow the tombstone set (delete one more live doc) and re-compact into
+    # the SAME out dir -> every segment must be rebuilt against the new set
+    from splade_ray.build import read_docs
+
+    ids = np.sort(np.asarray([r["doc_id"] for r in
+                              read_docs(base, columns=["doc_id"]).take_all()]))
+    extra = next(int(x) for x in ids if int(x) not in set(dead.tolist()))
+    n_before = len(read_tombstones(base))
+    try:
+        delete_docs(base, [extra])
+        man = compact_index(base, cdir)
+        assert man["n_docs"] == len(ids) - n_before - 1
+        assert extra not in set(
+            QueryEngine(cdir, k=10).docs.docmap_array().tolist())
+    finally:
+        # restore the canonical tombstone set for the other tests
+        np.asarray(sorted(set(int(x) for x in dead)), dtype=np.int64).tofile(
+            os.path.join(base, "tombstones.bin"))
+        shutil.rmtree(cdir, ignore_errors=True)
