@@ -116,6 +116,19 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    """Incremental add: new docs -> new generation, merged with the base."""
+    import ray.data as rd
+
+    from .merge import add_generation
+
+    _ensure_ray()
+    m = add_generation(args.index, rd.read_parquet(args.corpus), args.out)
+    print(f"added: merged index has {m['n_docs']} docs,"
+          f" {m['n_postings']} postings -> {args.out}")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone docs by id (file of one id per line, or --ids).  Queries
     mask immediately; run ``compact`` to reclaim space and refresh stats."""
@@ -175,6 +188,12 @@ def main(argv=None) -> int:
     m.add_argument("--index", action="append", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    a = sub.add_parser("add")
+    a.add_argument("--index", required=True, help="base index (unchanged)")
+    a.add_argument("--corpus", required=True, help="parquet dir of NEW docs")
+    a.add_argument("--out", required=True)
+    a.set_defaults(fn=cmd_add)
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)

@@ -67,6 +67,25 @@ def _merge_shard_batch(t: pa.Table, *, out_dir: str, avgdl: float,
     )
 
 
+def add_generation(base_index: str, corpus_ds, out_dir: str,
+                   **build_overrides) -> dict:
+    """Incremental ADD: build a new generation over ``corpus_ds`` (docs
+    DISJOINT from the base) with the base's build settings, then LSM-merge
+    base + generation into ``out_dir``.  With delete.delete_docs and
+    compact_index this completes the update lifecycle; tombstones on the
+    base propagate through the merge."""
+    from .build import build_index
+
+    with open(os.path.join(base_index, "MANIFEST.json")) as f:
+        base_man = json.load(f)
+    kw = {"lang_tagged": base_man["lang_tagged"],
+          "n_shards": base_man["n_shards"]}
+    kw.update(build_overrides)
+    gen_dir = out_dir.rstrip("/") + ".gen"
+    build_index(corpus_ds, gen_dir, **kw)
+    return merge_index_dirs([base_index, gen_dir], out_dir)
+
+
 def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     """Merge several built indexes (disjoint doc sets) into ``out_dir``."""
     manifests = []

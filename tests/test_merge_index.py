@@ -66,3 +66,44 @@ def test_merge_resume_skips_done_shards(ray_session):
     for s, t in mtimes.items():
         assert os.path.getmtime(
             os.path.join(merged, "segments", s, "manifest.json")) == t
+
+
+def test_add_generation_inherits_base_settings(ray_session):
+    """add_generation builds the new gen with the base's analyzer/shard
+    settings and the result matches the already-verified merged index."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.merge import add_generation
+
+    tbl = generate_corpus(500, seed=21)
+    a = os.path.join(ROOT, "a")
+    out = os.path.join(ROOT, "added")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".gen", ignore_errors=True)
+    new_dir = os.path.join(ROOT, "new_docs")
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir)
+    pq.write_table(tbl.slice(300), os.path.join(new_dir, "part.parquet"))
+
+    import ray.data as rd
+
+    m = add_generation(a, rd.read_parquet(new_dir), out)
+    full_dir = full = os.path.join(ROOT, "full")
+    e_full = QueryEngine(full, k=10, scorer="taat")
+    e_add = QueryEngine(out, k=10, scorer="taat")
+    import json as _json
+
+    with open(os.path.join(out + ".gen", "MANIFEST.json")) as f:
+        gen_man = _json.load(f)
+    with open(os.path.join(a, "MANIFEST.json")) as f:
+        base_man = _json.load(f)
+    assert gen_man["lang_tagged"] == base_man["lang_tagged"]
+    assert gen_man["n_shards"] == base_man["n_shards"]
+    with open(os.path.join(full_dir, "MANIFEST.json")) as f:
+        assert m["n_docs"] == _json.load(f)["n_docs"]
+    q = generate_queries()
+    for query, lang in zip(q["query"].to_pylist(), q["lang"].to_pylist()):
+        want = e_full.search_one(query, lang or None)
+        got = e_add.search_one(query, lang or None)
+        as_l = lambda r: [(int(d), int(u)) for d, u in zip(*r)]
+        assert as_l(got) == as_l(want), query
