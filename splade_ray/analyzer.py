@@ -240,6 +240,15 @@ def doc_token_stats(
     """
     n_rows = len(texts)
     flat, parents = tokenize_flat(texts, langs)
+    return doc_token_stats_from_flat(flat, parents, n_rows)
+
+
+def doc_token_stats_from_flat(
+    flat: pa.Array, parents: np.ndarray, n_rows: int
+) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+    """doc_token_stats over an ALREADY-tokenized flat stream — callers that
+    also need the positional token stream (e.g. token-level phrase match)
+    tokenize once and derive both from it."""
     doc_len = np.bincount(parents, minlength=n_rows).astype(np.int32)
     if len(flat) == 0:
         empty_terms = pa.ListArray.from_arrays(

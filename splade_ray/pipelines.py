@@ -342,36 +342,80 @@ def chunk_docs_recursive(sf_dir: str):
     ).map_batches(chunk_recursive_batch, batch_format="pyarrow")
 
 
-# Phrase queries (candidate + verify): exact case-sensitive substring over
-# the raw content, BM25-scored on the phrase's terms.  (10) matches nothing.
+# Phrase queries (candidate + verify), shared by both match modes.
+# ``substring`` mode: exact case-sensitive substring over the raw content.
+# ``tokens`` mode: consecutive TOKEN positions (case/separator-insensitive:
+# "sparkWindow" tokenizes to [spark, window] and matches "spark window").
+# (10) matches nothing in either mode; (6) matches only in token mode.
 PHRASE_QUERIES: list[tuple[int, str]] = [
     (0, "spark window"),
     (1, "hash join"),
     (2, "merge sort"),
     (3, "window agg"),
     (4, "stream filter"),
+    (5, "vector"),
+    (6, "sparkWindow"),
     (10, "no such phrase anywhere"),
 ]
 
 
-def phrase_topk(sf_dir: str, top_k: int = TOP_K):
+def _token_phrase_flags(flat, parents: np.ndarray, n_rows: int,
+                        ph_toks: list[list[str]]) -> np.ndarray:
+    """(n_phrases, n_rows) bool: phrase i appears as CONSECUTIVE tokens in
+    row r.  Same shifted-slice trick as the dedup shingles: the k joined
+    slices of the flat token array enumerate every k-gram in the batch in
+    one vectorized pass; a phrase hit is one string-equality compare."""
+    flags = np.zeros((len(ph_toks), n_rows), dtype=bool)
+    if len(flat) == 0:
+        return flags
+    by_len: dict[int, list[int]] = {}
+    for i, toks in enumerate(ph_toks):
+        if toks:
+            by_len.setdefault(len(toks), []).append(i)
+    for k, rows in by_len.items():
+        m = len(flat) - k + 1
+        if m <= 0:
+            continue
+        if k == 1:
+            joined, valid, par_m = flat, None, parents
+        else:
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(i, m) for i in range(k)], " ")
+            valid = parents[:m] == parents[k - 1:]
+            par_m = parents[:m]
+        for i in rows:
+            eq = pc.equal(joined, " ".join(ph_toks[i])) \
+                .to_numpy(zero_copy_only=False)
+            hit = eq if valid is None else (eq & valid)
+            if hit.any():
+                flags[i, par_m[hit]] = True
+    return flags
+
+
+def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
     """Phrase search without positional postings — the standard scale shape:
     candidate docs come from the term index (here: the postings stream),
-    verification is one vectorized substring match over the forward content,
-    scoring is full BM25 over the phrase's terms.  Everything happens in a
-    SINGLE streaming pass over the corpus (terms, doc_len, phrase flags all
-    from the same batch — no join, no second corpus read); the only shuffle
-    is the tiny per-(query, doc) sum.  Oracle: sql.phrase_topk_sql."""
+    verification is vectorized over the forward data, scoring is full BM25
+    over the phrase's terms.  Everything happens in a SINGLE streaming pass
+    over the corpus (tokens, doc_len and phrase flags all from the same
+    batch — no join, no second corpus read); the only shuffle is the tiny
+    per-(query, doc) sum.
+
+    ``match="substring"``: exact substring of the raw content
+    (sql.phrase_topk_sql oracle).  ``match="tokens"``: consecutive token
+    positions via the batch k-gram enumeration — true positional phrase
+    semantics with no positional index (sql.phrase_topk_tokens_sql)."""
     import math
 
     from ray.data.aggregate import Sum
 
     from . import B, DROP_WS, K1
-    from .analyzer import doc_token_stats, tokens_py
+    from .analyzer import doc_token_stats_from_flat, tokenize_flat, tokens_py
     from .build import SCORE_SCALE
     from .ids import doc_id63_column
 
     phrases = PHRASE_QUERIES
+    ph_toks = [tokens_py(ph) for _, ph in phrases]
     qrows: list[tuple[int, str, int]] = []
     for qid, ph in phrases:
         tf: dict[str, int] = {}
@@ -437,13 +481,19 @@ def phrase_topk(sf_dir: str, top_k: int = TOP_K):
         content = t["content"]
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
-        terms, tfs, dl = doc_token_stats(content, None)
+        flat_toks, tok_parents = tokenize_flat(content, None)
+        terms, tfs, dl = doc_token_stats_from_flat(
+            flat_toks, tok_parents, t.num_rows)
         ids_np = doc_id63_column(t["repo"], t["path"], t["commit"]) \
             .to_numpy(zero_copy_only=False)
-        flags = np.stack([
-            pc.match_substring(content, ph).to_numpy(zero_copy_only=False)
-            for _, ph in phrases
-        ])  # (n_phrases, n_rows)
+        if match == "tokens":
+            flags = _token_phrase_flags(
+                flat_toks, tok_parents, t.num_rows, ph_toks)
+        else:
+            flags = np.stack([
+                pc.match_substring(content, ph).to_numpy(zero_copy_only=False)
+                for _, ph in phrases
+            ])  # (n_phrases, n_rows)
         parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
         flat_terms = terms.flatten()
         flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)

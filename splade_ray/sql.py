@@ -453,6 +453,53 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def phrase_topk_tokens_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
+    """Token-level phrase oracle (pipelines.phrase_topk match='tokens'):
+    the phrase's analyzed tokens must appear at CONSECUTIVE positions in the
+    doc's token stream — replayed in SQL via unnest+generate_subscripts and
+    one self-join per extra token.  Case/separator-insensitive by
+    construction (both sides run the analyzer)."""
+    from .analyzer import tokens_py
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    legs = []
+    for qid, ph in phrases:
+        toks = tokens_py(ph)
+        if not toks:
+            continue
+        joins = "".join(
+            f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+            f" AND x{j}.pos = x0.pos + {j} AND x{j}.term = {q(toks[j])}"
+            for j in range(1, len(toks))
+        )
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+            f"\n  WHERE x0.term = {q(toks[0])} GROUP BY x0.doc_id"
+        )
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    tokpos = """
+tokpos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) AS pos
+  FROM docs
+)"""
+    verify = ("JOIN phrase_ok v ON v.query_id = q.query_id"
+              " AND v.doc_id = p.doc_id")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(phrases), tokpos, phrase_ok,
+            _bm25_ranked_cte(verify_join=verify),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     """Retrieval-quality harness oracle (reference eval.py:238-247 computes
     retrieval metrics over a query set): per-query INTEGER agreement of each

@@ -85,3 +85,20 @@ def test_phrase_topk_docs_contain_phrase(ray_session):
     # NOTE: iterrows() would coerce the row to float64 and corrupt 63-bit ids
     for qid, doc in zip(res["query_id"].astype(int), res["doc_id"].astype(int)):
         assert phrases[int(qid)] in texts[id63[int(doc)]]
+
+
+def test_phrase_token_mode_is_case_and_separator_insensitive(ray_session):
+    """Token-mode phrase matching analyzes the query: "sparkWindow" (qid 6)
+    must return exactly the rows of "spark window" (qid 0); substring mode
+    must return nothing for it (no literal camelCase in the corpus)."""
+    from splade_ray.pipelines import phrase_topk
+
+    sf = "/root/testdata/sf0.001"
+    tok = phrase_topk(sf, match="tokens").to_pandas()
+    sub = phrase_topk(sf, match="substring").to_pandas()
+    assert 6 not in set(sub.query_id)
+    a = tok[tok.query_id == 0].sort_values("rank").reset_index(drop=True)
+    b = tok[tok.query_id == 6].sort_values("rank").reset_index(drop=True)
+    assert len(b) > 0
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.score.tolist() == b.score.tolist()
