@@ -181,6 +181,22 @@ def main() -> None:
     pipelines.bm25_topk(SF_DIR, scorer="taat").count()
     timings["bm25_topk_documents_sec"] = round(time.perf_counter() - t0, 3)
 
+    # ---- similarity + events + phrase operator walls ----------------------
+    from splade_ray.ops import contract as ops_contract
+
+    t0 = time.perf_counter()
+    ops_contract.queries()["ann_cosine_topk"](SF_DIR)
+    timings["ann_cosine_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ops_contract.queries()["ann_ivf_topk"](SF_DIR)
+    timings["ann_ivf_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ops_contract.queries()["events_hourly_window"](SF_DIR).count()
+    timings["events_hourly_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.phrase_topk(SF_DIR, match="tokens").count()
+    timings["phrase_topk_tokens_sec"] = round(time.perf_counter() - t0, 3)
+
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is
     # dominated by fixed Ray startup, which would mask the kernel ratio)

@@ -392,19 +392,14 @@ def _token_phrase_flags(flat, parents: np.ndarray, n_rows: int,
     return flags
 
 
-def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
-    """Phrase search without positional postings — the standard scale shape:
-    candidate docs come from the term index (here: the postings stream),
-    verification is vectorized over the forward data, scoring is full BM25
-    over the phrase's terms.  Everything happens in a SINGLE streaming pass
-    over the corpus (tokens, doc_len and phrase flags all from the same
-    batch — no join, no second corpus read); the only shuffle is the tiny
-    per-(query, doc) sum.
-
-    ``match="substring"``: exact substring of the raw content
-    (sql.phrase_topk_sql oracle).  ``match="tokens"``: consecutive token
-    positions via the batch k-gram enumeration — true positional phrase
-    semantics with no positional index (sql.phrase_topk_tokens_sql)."""
+def _bm25_over_verified(sf_dir: str, lits: list[tuple[int, str]],
+                        make_flags, top_k: int = TOP_K):
+    """Shared skeleton for verified-subset BM25 ranking: score the analyzed
+    terms of each query literal with full BM25, restricted to docs where
+    ``make_flags(content, flat_tokens, token_parents, n_rows)`` marks the
+    (query, doc) pair verified.  One streaming corpus pass (tokens, doc_len
+    and flags from the same batch); only the tiny per-(query, doc) sum
+    shuffles.  Powers phrase (substring + token modes) and proximity."""
     import math
 
     from ray.data.aggregate import Sum
@@ -414,8 +409,7 @@ def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
     from .build import SCORE_SCALE
     from .ids import doc_id63_column
 
-    phrases = PHRASE_QUERIES
-    ph_toks = [tokens_py(ph) for _, ph in phrases]
+    phrases = lits
     qrows: list[tuple[int, str, int]] = []
     for qid, ph in phrases:
         tf: dict[str, int] = {}
@@ -486,14 +480,7 @@ def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
             flat_toks, tok_parents, t.num_rows)
         ids_np = doc_id63_column(t["repo"], t["path"], t["commit"]) \
             .to_numpy(zero_copy_only=False)
-        if match == "tokens":
-            flags = _token_phrase_flags(
-                flat_toks, tok_parents, t.num_rows, ph_toks)
-        else:
-            flags = np.stack([
-                pc.match_substring(content, ph).to_numpy(zero_copy_only=False)
-                for _, ph in phrases
-            ])  # (n_phrases, n_rows)
+        flags = make_flags(content, flat_toks, tok_parents, t.num_rows)
         parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
         flat_terms = terms.flatten()
         flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
@@ -539,6 +526,76 @@ def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
     )
     return summed.groupby("query_id").map_groups(
         _rank_units_group(top_k), batch_format="pyarrow")
+
+
+def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
+    """Phrase search without positional postings (candidate + verify).
+
+    ``match="substring"``: exact substring of the raw content
+    (sql.phrase_topk_sql oracle).  ``match="tokens"``: consecutive token
+    positions via the batch k-gram enumeration — true positional phrase
+    semantics with no positional index (sql.phrase_topk_tokens_sql)."""
+    from .analyzer import tokens_py
+
+    phrases = PHRASE_QUERIES
+    ph_toks = [tokens_py(ph) for _, ph in phrases]
+
+    if match == "tokens":
+        def make_flags(content, flat, parents, n_rows):
+            return _token_phrase_flags(flat, parents, n_rows, ph_toks)
+    else:
+        def make_flags(content, flat, parents, n_rows):
+            return np.stack([
+                pc.match_substring(content, ph).to_numpy(zero_copy_only=False)
+                for _, ph in phrases
+            ])
+
+    return _bm25_over_verified(sf_dir, phrases, make_flags, top_k)
+
+
+# Proximity queries: (qid, first-term, second-term, slop) — second term must
+# appear AFTER the first within ``slop`` token positions (slop 1 = adjacent).
+NEAR_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "spark", "window", 3),
+    (1, "hash", "join", 2),
+    (2, "merge", "sort", 5),
+    (3, "customer", "filter", 4),
+    (10, "nonexistentzzterm", "join", 3),
+]
+
+
+def phrase_near_topk(sf_dir: str, top_k: int = TOP_K):
+    """Ordered proximity search (NEAR/slop): doc qualifies when the second
+    term occurs within ``slop`` positions AFTER the first; qualifying docs
+    are BM25-ranked on both terms.  The window test is one searchsorted over
+    (row, position)-encoded keys per query — no per-doc Python, no
+    positional index.  Oracle: sql.phrase_near_topk_sql."""
+    lits = [(qid, f"{a} {b}") for qid, a, b, _ in NEAR_QUERIES]
+
+    def make_flags(content, flat, parents, n_rows):
+        flags = np.zeros((len(NEAR_QUERIES), n_rows), dtype=bool)
+        if len(flat) == 0:
+            return flags
+        # within-row token positions: 0,1,2,... per row
+        counts = np.bincount(parents, minlength=n_rows)
+        pos = np.arange(len(parents), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        # (row, pos) packed keys: rows are >= 2^32 apart, so a slop window
+        # can never leak across rows
+        keys = parents.astype(np.int64) * (1 << 32) + pos
+        for i, (_qid, a, b, slop) in enumerate(NEAR_QUERIES):
+            ka = keys[pc.equal(flat, a).to_numpy(zero_copy_only=False)]
+            kb = keys[pc.equal(flat, b).to_numpy(zero_copy_only=False)]
+            if not len(ka) or not len(kb):
+                continue
+            lo = np.searchsorted(kb, ka + 1, side="left")
+            hi = np.searchsorted(kb, ka + slop, side="right")
+            hit_a = ka[lo < hi]
+            if len(hit_a):
+                flags[i, (hit_a >> 32)] = True
+        return flags
+
+    return _bm25_over_verified(sf_dir, lits, make_flags, top_k)
 
 
 def bm25_topk_sharded(sf_dir: str):

@@ -500,6 +500,46 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def phrase_near_topk_sql(near: list[tuple[int, str, str, int]],
+                         k: int = 10) -> str:
+    """Ordered-proximity oracle (pipelines.phrase_near_topk): second term
+    within ``slop`` positions after the first, qualifying docs BM25-ranked
+    on both terms."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    legs = []
+    for qid, a, b, slop in near:
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0"
+            f"\n  JOIN tokpos x1 ON x1.doc_id = x0.doc_id"
+            f" AND x1.pos > x0.pos AND x1.pos <= x0.pos + {slop}"
+            f" AND x1.term = {q(b)}"
+            f"\n  WHERE x0.term = {q(a)} GROUP BY x0.doc_id"
+        )
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    tokpos = """
+tokpos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) AS pos
+  FROM docs
+)"""
+    verify = ("JOIN phrase_ok v ON v.query_id = q.query_id"
+              " AND v.doc_id = p.doc_id")
+    lits = [(qid, f"{a} {b}") for qid, a, b, _ in near]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), tokpos, phrase_ok,
+            _bm25_ranked_cte(verify_join=verify),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     """Retrieval-quality harness oracle (reference eval.py:238-247 computes
     retrieval metrics over a query set): per-query INTEGER agreement of each

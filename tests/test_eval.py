@@ -102,3 +102,35 @@ def test_phrase_token_mode_is_case_and_separator_insensitive(ray_session):
     assert len(b) > 0
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert a.score.tolist() == b.score.tolist()
+
+
+def test_phrase_near_topk_window_invariant(ray_session):
+    """Every proximity hit must actually contain term b within slop
+    positions after term a (checked against the analyzed token stream)."""
+    import os
+
+    import duckdb
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.corpus import DOCS_COMMIT
+    from splade_ray.ids import doc_id63
+    from splade_ray.pipelines import NEAR_QUERIES, phrase_near_topk
+
+    sf = "/root/testdata/sf0.001"
+    res = phrase_near_topk(sf).to_pandas()
+    assert len(res) > 0
+    assert 10 not in set(res.query_id)
+    near = {qid: (a, b, s) for qid, a, b, s in NEAR_QUERIES}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, source, text FROM read_parquet(?)",
+        [os.path.join(sf, "documents.parquet")]).fetchall()
+    toks = {doc_id63(r[1], str(int(r[0])), DOCS_COMMIT): tokens_py(r[2])
+            for r in rows}
+    for qid, doc in zip(res["query_id"].astype(int), res["doc_id"].astype(int)):
+        a, b, slop = near[int(qid)]
+        ts = toks[int(doc)]
+        assert any(
+            ts[i] == a and b in ts[i + 1: i + 1 + slop]
+            for i in range(len(ts))
+        ), (qid, doc)
