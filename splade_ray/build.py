@@ -58,8 +58,14 @@ STAGING_SCHEMA_COLS = [
 ]
 
 
-def prepare_batch(t: pa.Table, *, lang_tagged: bool) -> pa.Table:
-    """Corpus batch -> staging batch. Drops empty/whitespace-only content."""
+def prepare_batch(t: pa.Table, *, lang_tagged: bool,
+                  with_sha: bool = True) -> pa.Table:
+    """Corpus batch -> staging batch. Drops empty/whitespace-only content.
+
+    ``with_sha=False`` skips the per-row content sha256 (the input_hint
+    invariant column): postings/stats consumers that never read it save the
+    single most expensive per-row hash in the stage.  The BUILD path always
+    keeps it (the invariant is asserted through the whole pipeline)."""
     content = t["content"]
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
@@ -69,19 +75,21 @@ def prepare_batch(t: pa.Table, *, lang_tagged: bool) -> pa.Table:
     content = t["content"]
     langs = t["lang"] if lang_tagged else None
     terms, tfs, doc_len = doc_token_stats(content, langs)
-    return pa.table(
-        {
-            "doc_id": doc_id63_column(t["repo"], t["path"], t["commit"]),
-            "repo": t["repo"],
-            "path": t["path"],
-            "commit": t["commit"],
-            "lang": t["lang"],
-            "content_sha256": sha256_hex_column(content),
-            "doc_len": pa.array(doc_len, type=pa.int32()),
-            "terms": terms,
-            "tfs": tfs,
-        }
-    )
+    cols = {
+        "doc_id": doc_id63_column(t["repo"], t["path"], t["commit"]),
+        "repo": t["repo"],
+        "path": t["path"],
+        "commit": t["commit"],
+        "lang": t["lang"],
+        "doc_len": pa.array(doc_len, type=pa.int32()),
+        "terms": terms,
+        "tfs": tfs,
+    }
+    if with_sha:
+        cols["content_sha256"] = sha256_hex_column(content)
+        order = STAGING_SCHEMA_COLS
+        return pa.table({c: cols[c] for c in order})
+    return pa.table(cols)
 
 
 def _sample_df_batch(t: pa.Table, *, sample_mod: int) -> pa.Table:

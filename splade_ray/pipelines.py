@@ -54,9 +54,12 @@ def corpus_ds(sf_dir: str):
     ).map_batches(documents_as_corpus_batch, batch_format="pyarrow")
 
 
-def _staged(sf_dir: str):
+def _staged(sf_dir: str, with_sha: bool = True):
+    """``with_sha=False`` for consumers that never read content_sha256 —
+    skips the most expensive per-row hash of the stage."""
     return corpus_ds(sf_dir).map_batches(
-        prepare_batch, batch_format="pyarrow", fn_kwargs={"lang_tagged": False}
+        prepare_batch, batch_format="pyarrow",
+        fn_kwargs={"lang_tagged": False, "with_sha": with_sha},
     )
 
 
@@ -97,7 +100,8 @@ def _postings_batch(t: pa.Table) -> pa.Table:
 
 def postings(sf_dir: str):
     """(term, doc_id, tf) triples — the relational sparse vector (SURVEY M3)."""
-    return _staged(sf_dir).map_batches(_postings_batch, batch_format="pyarrow")
+    return _staged(sf_dir, with_sha=False).map_batches(
+        _postings_batch, batch_format="pyarrow")
 
 
 def _partial_df_batch(t: pa.Table) -> pa.Table:
@@ -128,7 +132,7 @@ def term_df(sf_dir: str):
 
 
 def corpus_stats(sf_dir: str) -> pa.Table:
-    docs = _staged(sf_dir).select_columns(["doc_id", "doc_len"])
+    docs = _staged(sf_dir, with_sha=False).select_columns(["doc_id", "doc_len"])
     n_docs = docs.count()
     total = docs.sum("doc_len")
     n_terms = term_df(sf_dir).count()
@@ -224,21 +228,10 @@ def idf_coord_topk(sf_dir: str, top_k: int = TOP_K):
     from .build import SCORE_SCALE
 
     qrows = _qterms_py()
-    qterm_set = pa.array(sorted({t for _, t, _ in qrows}), type=pa.string())
-    n_docs = _staged(sf_dir).count()
-    # filter to the tiny query-term set INSIDE the dataset (vectorized
-    # is_in per batch) — at vocabulary scale the driver must never hold the
-    # full term_df table
-    df_rows = {
-        r["term"]: r["df"]
-        for r in term_df(sf_dir).map_batches(
-            lambda t: t.filter(pc.is_in(
-                t["term"].combine_chunks()
-                if isinstance(t["term"], pa.ChunkedArray) else t["term"],
-                value_set=qterm_set)),
-            batch_format="pyarrow",
-        ).take_all()
-    }
+    # n_docs + query-term df in ONE fused corpus pass (_query_stats) — at
+    # vocabulary scale the driver never holds the full term_df table
+    n_docs, _total_len, df_rows = _query_stats(
+        sf_dir, sorted({t for _, t, _ in qrows}))
     # per query term: quantization units of qtf * idf
     units_of = {}
     for qid, t, qtf in qrows:
@@ -392,6 +385,56 @@ def _token_phrase_flags(flat, parents: np.ndarray, n_rows: int,
     return flags
 
 
+def _query_stats(sf_dir: str, qt_terms: list[str]):
+    """(n_docs, total_len, {term: df}) for the tiny query-term set in ONE
+    corpus pass: per batch, membership of each query term is a vectorized
+    is_in over the flat token stream and df partials a bincount over
+    packed (term, row) keys — the driver sees one partial row per batch.
+    Replaces the count + sum + full-term_df prologue (three corpus passes,
+    each re-tokenizing everything) that a ds.stats() audit flagged."""
+    from . import DROP_WS
+    from .analyzer import tokenize_flat
+
+    qt_arr = pa.array(qt_terms, type=pa.string())
+
+    def _p(t: pa.Table) -> pa.Table:
+        content = t["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        trimmed = pc.utf8_trim(pc.fill_null(content, ""), characters=DROP_WS)
+        keep = pc.not_equal(trimmed, "")
+        content = content.filter(keep)
+        n_rows = len(content)
+        flat, parents = tokenize_flat(content, None)
+        df = np.zeros(max(len(qt_terms), 1), dtype=np.int64)
+        if len(flat) and len(qt_terms):
+            sel_m = pc.is_in(flat, value_set=qt_arr)
+            sel = sel_m.to_numpy(zero_copy_only=False)
+            if sel.any():
+                idx = pc.index_in(flat.filter(sel_m), value_set=qt_arr) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                par = parents[sel]
+                uniq = np.unique(idx * (1 << 32) + par)
+                df = np.bincount(uniq >> 32, minlength=len(qt_terms)) \
+                    .astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([n_rows], type=pa.int64()),
+                "total_len": pa.array([len(flat)], type=pa.int64()),
+                "df": pa.array([df.tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    rows = corpus_ds(sf_dir).map_batches(_p, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    total_len = sum(r["total_len"] for r in rows)
+    df_sum = np.zeros(max(len(qt_terms), 1), dtype=np.int64)
+    for r in rows:
+        df_sum += np.asarray(r["df"], dtype=np.int64)
+    dfs = {t: int(df_sum[i]) for i, t in enumerate(qt_terms) if df_sum[i] > 0}
+    return n_docs, total_len, dfs
+
+
 def _bm25_over_verified(sf_dir: str, lits: list[tuple[int, str]],
                         make_flags, top_k: int = TOP_K):
     """Shared skeleton for verified-subset BM25 ranking: score the analyzed
@@ -416,21 +459,10 @@ def _bm25_over_verified(sf_dir: str, lits: list[tuple[int, str]],
         for tok in tokens_py(ph):
             tf[tok] = tf.get(tok, 0) + 1
         qrows.extend((qid, t, n) for t, n in tf.items())
-    qt_all = pa.array(sorted({t for _, t, _ in qrows}), type=pa.string())
+    qt_all_terms = sorted({t for _, t, _ in qrows})
 
-    docs = _staged(sf_dir).select_columns(["doc_id", "doc_len"])
-    n_docs = docs.count()
-    avgdl = docs.sum("doc_len") / n_docs
-    df_rows = {
-        r["term"]: r["df"]
-        for r in term_df(sf_dir).map_batches(
-            lambda t: t.filter(pc.is_in(
-                t["term"].combine_chunks()
-                if isinstance(t["term"], pa.ChunkedArray) else t["term"],
-                value_set=qt_all)),
-            batch_format="pyarrow",
-        ).take_all()
-    }
+    n_docs, total_len, df_rows = _query_stats(sf_dir, qt_all_terms)
+    avgdl = total_len / n_docs
     # per term: aligned (query row, qtf*idf) runs — same flattened-run join
     # as idf_coord_topk, but weights stay FLOAT here (the tf-saturation
     # factor is per-posting, so quantization happens at the posting)
@@ -699,7 +731,7 @@ def _dead_doc_ids(sf_dir: str) -> np.ndarray:
         ).select(["doc_id"])
 
     rows = (
-        _staged(sf_dir)
+        _staged(sf_dir, with_sha=False)
         .select_columns(["doc_id", "path"])
         .map_batches(_flag, batch_format="pyarrow")
         .take_all()
@@ -809,7 +841,7 @@ def rrf_dense_sparse(sf_dir: str):
         type=pa.string(),
     )
     id_map_rows = (
-        _staged(sf_dir)
+        _staged(sf_dir, with_sha=False)
         .select_columns(["doc_id", "path"])
         .map_batches(
             lambda t: t.filter(pc.is_in(t["path"], value_set=wanted)),
