@@ -588,12 +588,18 @@ def build_index(
     return manifest
 
 
-def read_docs(index_dir: str, columns: list[str] | None = None):
+def read_docs(index_dir: str, columns: list[str] | None = None,
+              live_only: bool = False):
     """The index's docs table as a Dataset (identity, sha256, doc_len).
 
     Backed by the staging parquet with column pruning — the list columns
     (terms/tfs) are never read unless asked for.  A merged index (no staging
-    of its own) lists its inputs' staging dirs under ``docs_sources``."""
+    of its own) lists its inputs' staging dirs under ``docs_sources``.
+
+    ``live_only=True`` filters out tombstoned docs (delete.delete_docs) with
+    a vectorized sorted-membership test per batch — the docs-side mirror of
+    the query-side mask; a compacted index has no tombstones and streams
+    through unchanged."""
     if columns is None:
         columns = ["doc_id", "repo", "path", "commit", "lang",
                    "content_sha256", "doc_len"]
@@ -607,5 +613,20 @@ def read_docs(index_dir: str, columns: list[str] | None = None):
             for f in sorted(os.listdir(d))
             if f.endswith(".parquet")
         ]
-        return ray.data.read_parquet(files, columns=columns)
-    return ray.data.read_parquet(staging, columns=columns)
+        ds = ray.data.read_parquet(files, columns=columns)
+    else:
+        ds = ray.data.read_parquet(staging, columns=columns)
+    if live_only:
+        from .delete import read_tombstones
+
+        tomb = read_tombstones(index_dir)
+        if len(tomb):
+            def _drop_dead(t: pa.Table, tomb=tomb) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(tomb, ids)
+                dead = (pos < len(tomb)) & (
+                    tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+                return t.filter(pa.array(~dead)) if dead.any() else t
+
+            ds = ds.map_batches(_drop_dead, batch_format="pyarrow")
+    return ds

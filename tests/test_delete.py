@@ -290,3 +290,15 @@ def test_compaction_resume_invalidated_by_new_deletes(ray_session):
         np.asarray(sorted(set(int(x) for x in dead)), dtype=np.int64).tofile(
             os.path.join(base, "tombstones.bin"))
         shutil.rmtree(cdir, ignore_errors=True)
+
+
+def test_read_docs_live_only(ray_session):
+    from splade_ray.build import read_docs
+
+    base, _live, dead = _setup()
+    all_rows = read_docs(base, columns=["doc_id"]).count()
+    live_rows = read_docs(base, columns=["doc_id"],
+                          live_only=True).take_all()
+    assert all_rows - len(live_rows) == len(dead)
+    assert not (set(int(x) for x in dead)
+                & {r["doc_id"] for r in live_rows})
