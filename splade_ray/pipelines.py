@@ -798,8 +798,19 @@ def scorer_eval(sf_dir: str) -> pa.Table:
     """Retrieval-quality harness (reference eval.py:238-247): per-query
     integer agreement of each scorer against the BM25 ground truth
     (eval.scorer_agreement) — bmw exercises the rank-identity contract,
-    idf_coord is a genuinely different ranking."""
+    idf_coord and the learned-sparse encoder are genuinely different
+    rankings (lexical-relational and hash-projection-neural)."""
     from .eval import scorer_agreement
+    from .ids import doc_id63_column
+    from .ops.sparse import sparse_topk
+
+    def _docs63(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": doc_id63_column(t["repo"], t["path"], t["commit"]),
+                "text": t["content"],
+            }
+        )
 
     gt = bm25_topk(sf_dir, scorer="taat")
     return scorer_agreement(
@@ -807,6 +818,10 @@ def scorer_eval(sf_dir: str) -> pa.Table:
         {
             "bmw": bm25_topk(sf_dir, scorer="bmw"),
             "idf_coord": idf_coord_topk(sf_dir),
+            "sparse": sparse_topk(
+                corpus_ds(sf_dir).map_batches(
+                    _docs63, batch_format="pyarrow"),
+                DOC_QUERIES, k=TOP_K),
         },
     )
 

@@ -548,7 +548,10 @@ def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     if absent).  Integers only, so the driver hash is immune to float
     summation order; aggregate recall@k / MRR derive as n_overlap/k and
     1/top1_rank.  Scorers: ``bmw`` (rank-identity contract: same ranked
-    CTE) and ``idf_coord`` (genuinely different ranking)."""
+    CTE), ``idf_coord`` and ``sparse`` (the hash-projection learned-sparse
+    encoder over the SAME 63-bit doc-id space) — the latter two genuinely
+    different rankings."""
+    from .ops.contract import _sparse_proj_sql
 
     def legs(name: str) -> str:
         return f"""
@@ -565,22 +568,51 @@ t1_{name} AS (
   WHERE g.rnk = 1
 )"""
 
+    sparse_ctes = f"""
+sdproj AS ({_sparse_proj_sql('postings')}),
+sdenc AS (
+  SELECT doc_id, dim, CAST(sum(sat * w) AS BIGINT) AS weight
+  FROM sdproj GROUP BY doc_id, dim
+),
+sqpost AS (SELECT query_id, term, qtf AS tf FROM qterms),
+sqproj AS ({_sparse_proj_sql('sqpost')}),
+sqenc AS (
+  SELECT query_id, dim, CAST(sum(sat * w) AS BIGINT) AS weight
+  FROM sqproj GROUP BY query_id, dim
+),
+sp_scores AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(sum(q.weight * d.weight) AS BIGINT) AS score
+  FROM sqenc q JOIN sdenc d USING (dim)
+  GROUP BY q.query_id, d.doc_id
+),
+sp_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM sp_scores WHERE score > 0
+)"""
     return (
         _with(
             CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
             *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            sparse_ctes,
             f"""
 gt AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
 s_bmw AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
-s_coord AS (SELECT query_id, doc_id, rnk FROM coord_ranked WHERE rnk <= {k})"""
-            + "," + legs("bmw") + "," + legs("coord"),
+s_coord AS (SELECT query_id, doc_id, rnk FROM coord_ranked WHERE rnk <= {k}),
+s_sparse AS (SELECT query_id, doc_id, rnk FROM sp_ranked WHERE rnk <= {k})"""
+            + "," + legs("bmw") + "," + legs("coord") + "," + legs("sparse"),
         )
         + """
 SELECT 'bmw' AS scorer, o.query_id, o.n_overlap, t.top1_rank
 FROM ov_bmw o JOIN t1_bmw t ON t.query_id = o.query_id
 UNION ALL
 SELECT 'idf_coord' AS scorer, o.query_id, o.n_overlap, t.top1_rank
-FROM ov_coord o JOIN t1_coord t ON t.query_id = o.query_id"""
+FROM ov_coord o JOIN t1_coord t ON t.query_id = o.query_id
+UNION ALL
+SELECT 'sparse' AS scorer, o.query_id, o.n_overlap, t.top1_rank
+FROM ov_sparse o JOIN t1_sparse t ON t.query_id = o.query_id"""
     )
 
 
