@@ -6,6 +6,7 @@
     python -m splade_ray.cli merge  --index A --index B --out DIR
     python -m splade_ray.cli delete --index DIR --ids 1,2,3 | --ids-file F
     python -m splade_ray.cli compact --index DIR --out DIR2
+    python -m splade_ray.cli quality --data SF_DIR
 
 Reference analogues: ``ingest.py`` (build), ``main.py`` chat loop (query),
 ``eval.py`` batch retrieval (eval, minus the LLM/RAGAS layers, which are out
@@ -145,6 +146,17 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Scorer-agreement quality report over an sf-style data dir."""
+    from .eval import summarize
+    from .pipelines import TOP_K, scorer_eval
+
+    _ensure_ray()
+    ag = scorer_eval(args.data)
+    print(summarize(ag, TOP_K).to_pandas().to_string(index=False))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .delete import compact_index
 
@@ -205,6 +217,11 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    qy = sub.add_parser("quality")
+    qy.add_argument("--data", required=True,
+                    help="sf-style dir with documents.parquet")
+    qy.set_defaults(fn=cmd_quality)
 
     args = p.parse_args(argv)
     try:
