@@ -340,7 +340,11 @@ def build_index(
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)
-        for f in ("STAGING.json", "MANIFEST.json"):
+        # tombstones belong to the PREVIOUS corpus: doc ids are content-
+        # independent (repo,path,commit), so a surviving tombstones.bin
+        # would silently hide live docs of the rebuilt index
+        for f in ("STAGING.json", "MANIFEST.json", "tombstones.bin",
+                  "docs_excluded.bin", "docmap.bin", "doclens.bin"):
             p = os.path.join(index_dir, f)
             if os.path.exists(p):
                 os.remove(p)
@@ -356,7 +360,8 @@ def build_index(
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)
-        for fn in ("docmap.bin", "doclens.bin", "MANIFEST.json"):
+        for fn in ("docmap.bin", "doclens.bin", "MANIFEST.json",
+                   "tombstones.bin", "docs_excluded.bin"):
             p = os.path.join(index_dir, fn)
             if os.path.exists(p):
                 os.remove(p)
@@ -616,17 +621,21 @@ def read_docs(index_dir: str, columns: list[str] | None = None,
         ds = ray.data.read_parquet(files, columns=columns)
     else:
         ds = ray.data.read_parquet(staging, columns=columns)
+    from .delete import read_excluded, read_tombstones
+
+    # compaction-excluded docs are gone from the index (no ordinal, no
+    # postings) but still present in the backing staging parquet: filter
+    # them UNCONDITIONALLY; live_only additionally hides tombstoned docs
+    drop = read_excluded(index_dir)
     if live_only:
-        from .delete import read_tombstones
+        drop = np.union1d(drop, read_tombstones(index_dir))
+    if len(drop):
+        def _drop_dead(t: pa.Table, drop=drop) -> pa.Table:
+            from .docmap import sorted_member
 
-        tomb = read_tombstones(index_dir)
-        if len(tomb):
-            def _drop_dead(t: pa.Table, tomb=tomb) -> pa.Table:
-                ids = t["doc_id"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(tomb, ids)
-                dead = (pos < len(tomb)) & (
-                    tomb[np.minimum(pos, len(tomb) - 1)] == ids)
-                return t.filter(pa.array(~dead)) if dead.any() else t
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dead, _ = sorted_member(drop, ids)
+            return t.filter(pa.array(~dead)) if dead.any() else t
 
-            ds = ds.map_batches(_drop_dead, batch_format="pyarrow")
+        ds = ds.map_batches(_drop_dead, batch_format="pyarrow")
     return ds

@@ -79,9 +79,13 @@ def _compact_utf8(texts) -> pa.Array:
 
 
 def _raw(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(row byte offsets int64[n+1], data bytes uint8) of a utf8 array."""
+    """(row byte offsets int64[n+1], data bytes uint8) of a utf8 /
+    large_utf8 array — the offsets buffer is int32 or int64 depending on
+    the type; reading the wrong width silently corrupts every row."""
+    off_dtype = (np.int64 if pa.types.is_large_string(texts.type)
+                 else np.int32)
     bufs = texts.buffers()
-    row_off = np.frombuffer(bufs[1], dtype=np.int32,
+    row_off = np.frombuffer(bufs[1], dtype=off_dtype,
                             count=len(texts) + 1).astype(np.int64)
     nbytes = int(row_off[-1])
     data = (np.frombuffer(bufs[2], dtype=np.uint8, count=nbytes)
@@ -130,6 +134,8 @@ def _gather_slices(row_off: np.ndarray, data: np.ndarray, rows: np.ndarray,
             o, l, s = out_off[i], lens[i], src[i]
             values[o : o + l] = data[s : s + l]
     # py_buffer wraps the ndarrays zero-copy (Arrow holds the reference)
+    if total >= 2**31:  # int32 output offsets would silently wrap
+        raise ValueError("chunk batch exceeds 2 GiB of text; lower batch_size")
     return pa.Array.from_buffers(
         pa.utf8(), n,
         [None, pa.py_buffer(out_off.astype(np.int32)),

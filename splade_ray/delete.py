@@ -43,7 +43,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .docmap import RANGES_NAME, SHARD_DIR, open_doc_arrays
+from .docmap import (RANGES_NAME, SHARD_DIR, open_doc_arrays,
+                     sorted_member)
 from .segments import SegmentBuilder, SegmentReader, validate_segment
 
 TOMBSTONES = "tombstones.bin"
@@ -87,6 +88,34 @@ def tombstone_ordinals(index_dir: str, docs=None) -> np.ndarray:
     return docs.ords_of_ids(ids)
 
 
+EXCLUDED = "docs_excluded.bin"
+
+
+def read_excluded(index_dir: str) -> np.ndarray:
+    """Sorted real doc ids REMOVED from this index by compaction (the docs
+    table behind ``docs_sources`` still contains them; read_docs filters
+    them out).  Distinct from tombstones: excluded docs have no ordinal or
+    postings at all."""
+    path = os.path.join(index_dir, EXCLUDED)
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.fromfile(path, dtype=np.int64)
+
+
+def write_excluded(index_dir: str, ids: np.ndarray) -> None:
+    """Write (or remove, when empty) the excluded-docs sidecar atomically —
+    an empty set must DELETE a stale file left by a previous use of the
+    directory, not silently keep it."""
+    path = os.path.join(index_dir, EXCLUDED)
+    if not len(ids):
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    tmp = path + ".tmp"
+    np.unique(np.asarray(ids, dtype=np.int64)).tofile(tmp)
+    os.replace(tmp, path)
+
+
 def tombstones_fingerprint(index_dir: str) -> str | None:
     """sha256 of the tombstone set (None if empty) — lets downstream
     artifacts (a compacted dir) detect a stale source."""
@@ -125,13 +154,9 @@ def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
         d = reader.dict
         for i in range(d.num_rows):
             ids, tfs = reader.postings_at(i)
-            if len(tomb):
-                pos = np.searchsorted(tomb, ids, side="left")
-                dead = (pos < len(tomb)) & (
-                    tomb[np.minimum(pos, len(tomb) - 1)] == ids
-                )
-            else:  # compacting a tombstone-free index is a plain re-encode
-                dead = np.zeros(len(ids), dtype=bool)
+            # empty tomb => all-False mask: compacting a tombstone-free
+            # index is a plain re-encode
+            dead, _ = sorted_member(tomb, ids)
             if dead.all() and len(ids):
                 continue
             live, tfs_l = ids[~dead], tfs[~dead]
@@ -359,6 +384,15 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                                 [os.path.join(os.path.abspath(index_dir),
                                               "staging")]),
     }
+    # the compacted index has NO tombstones (remove any stale file from a
+    # reused out_dir), but its docs table (docs_sources -> base staging)
+    # still contains the removed docs: record them in the excluded sidecar
+    # so read_docs filters them; chains of compactions accumulate the union
+    stale_t = os.path.join(out_dir, TOMBSTONES)
+    if os.path.exists(stale_t):
+        os.remove(stale_t)
+    dead_ids = docs.gather_ids(tomb) if len(tomb) else np.empty(0, np.int64)
+    write_excluded(out_dir, np.union1d(read_excluded(index_dir), dead_ids))
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

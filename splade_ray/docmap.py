@@ -31,6 +31,21 @@ RANGES_NAME = "ranges.json"
 SHARD_DIR = "docmap"
 
 
+def sorted_member(sorted_arr: np.ndarray,
+                  values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(membership mask, insertion positions) of ``values`` against a
+    SORTED array — the one searchsorted-membership idiom shared by the
+    query-side tombstone mask, read_docs filtering, compaction and the
+    ordinal lookups (one clamp to get right instead of five copies)."""
+    pos = np.searchsorted(sorted_arr, values)
+    if not len(sorted_arr) or not len(values):
+        return np.zeros(len(values), dtype=bool), pos
+    ok = (pos < len(sorted_arr)) & (
+        sorted_arr[np.minimum(pos, len(sorted_arr) - 1)] == values
+    )
+    return ok, pos
+
+
 # ----------------------------------------------------------------- readers --
 
 class FlatDocArrays:
@@ -54,9 +69,7 @@ class FlatDocArrays:
         dropped).  Ordinals ARE ranks in the sorted id space, so this is one
         searchsorted against the memmap — no materialization."""
         ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
-        m = np.asarray(self._map)
-        pos = np.searchsorted(m, ids)
-        ok = (pos < len(m)) & (m[np.minimum(pos, len(m) - 1)] == ids)
+        ok, pos = sorted_member(np.asarray(self._map), ids)
         return pos[ok].astype(np.int64)
 
     def docmap_array(self) -> np.ndarray:
@@ -128,9 +141,7 @@ class ShardedDocArrays:
             if si < 0:
                 continue
             sub = ids[which == si]
-            m = np.asarray(self._shard_map(int(si)))
-            pos = np.searchsorted(m, sub)
-            ok = (pos < len(m)) & (m[np.minimum(pos, len(m) - 1)] == sub)
+            ok, pos = sorted_member(np.asarray(self._shard_map(int(si))), sub)
             out.append(pos[ok] + self._starts[si])
         if not out:
             return np.empty(0, dtype=np.int64)

@@ -86,7 +86,8 @@ def _binary_np(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(col) == 0 or bufs[1] is None:
         z = np.empty(0, dtype=np.int64)
         return np.empty(0, dtype=np.uint8), z, z
-    off = np.frombuffer(bufs[1], dtype=np.int32)[
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
     data = (np.frombuffer(bufs[2], dtype=np.uint8)

@@ -718,11 +718,14 @@ DEAD_MOD = 7
 DEAD_RESIDUE = 3
 
 
-def _dead_doc_ids(sf_dir: str) -> np.ndarray:
-    """63-bit ids of the contract's tombstoned docs.  The filtered id list
-    flows back to the driver because delete_docs takes ids — bounded at
-    contract scale; at 10^12 docs the same filter would append straight to
-    sharded tombstone files (delete.py module docstring)."""
+def _dead_doc_ids(index_dir: str) -> np.ndarray:
+    """63-bit ids of the contract's tombstoned docs, from the BUILT index's
+    staging parquet (a pruned 2-column read — no re-tokenization of the
+    corpus).  The filtered id list flows back to the driver because
+    delete_docs takes ids — bounded at contract scale; at 10^12 docs the
+    same filter would append straight to sharded tombstone files
+    (delete.py module docstring)."""
+    from .build import read_docs
 
     def _flag(t: pa.Table) -> pa.Table:
         raw = pc.cast(t["path"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -731,8 +734,7 @@ def _dead_doc_ids(sf_dir: str) -> np.ndarray:
         ).select(["doc_id"])
 
     rows = (
-        _staged(sf_dir, with_sha=False)
-        .select_columns(["doc_id", "path"])
+        read_docs(index_dir, columns=["doc_id", "path"])
         .map_batches(_flag, batch_format="pyarrow")
         .take_all()
     )
@@ -748,7 +750,7 @@ def _deleted_index(sf_dir: str) -> str:
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     idx = os.path.join("/tmp/splade_ray_contract_del", key, "base")
     build_index(corpus_ds(sf_dir), idx, lang_tagged=False, n_shards=8)
-    delete_docs(idx, _dead_doc_ids(sf_dir))
+    delete_docs(idx, _dead_doc_ids(idx))
     return idx
 
 

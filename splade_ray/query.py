@@ -269,11 +269,12 @@ class QueryEngine:
         """Drop tombstoned ordinals (sorted-membership searchsorted); called
         inside each scorer before any top-k cut or theta update so a dead
         doc can never displace or prune a live one."""
+        from .docmap import sorted_member
+
         tomb = self.tomb
         if not len(tomb) or not len(ids):
             return ids, units
-        pos = np.searchsorted(tomb, ids)
-        dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+        dead, _ = sorted_member(tomb, ids)
         if dead.any():
             return ids[~dead], units[~dead]
         return ids, units

@@ -453,6 +453,23 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+# Shared pieces of the positional-phrase oracles: the token-position CTE,
+# the phrase_ok verify join, and SQL string quoting.
+TOKPOS_CTE = """
+tokpos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         generate_subscripts(tokens, 1) AS pos
+  FROM docs
+)"""
+
+PHRASE_VERIFY_JOIN = ("JOIN phrase_ok v ON v.query_id = q.query_id"
+                      " AND v.doc_id = p.doc_id")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def phrase_topk_tokens_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
     """Token-level phrase oracle (pipelines.phrase_topk match='tokens'):
     the phrase's analyzed tokens must appear at CONSECUTIVE positions in the
@@ -461,9 +478,7 @@ def phrase_topk_tokens_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
     construction (both sides run the analyzer)."""
     from .analyzer import tokens_py
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
+    q = _sql_quote
     legs = []
     for qid, ph in phrases:
         toks = tokens_py(ph)
@@ -479,19 +494,11 @@ def phrase_topk_tokens_sql(phrases: list[tuple[int, str]], k: int = 10) -> str:
             f"\n  WHERE x0.term = {q(toks[0])} GROUP BY x0.doc_id"
         )
     phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
-    tokpos = """
-tokpos AS (
-  SELECT doc_id, unnest(tokens) AS term,
-         generate_subscripts(tokens, 1) AS pos
-  FROM docs
-)"""
-    verify = ("JOIN phrase_ok v ON v.query_id = q.query_id"
-              " AND v.doc_id = p.doc_id")
     return (
         _with(
             CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
-            *_query_ctes(phrases), tokpos, phrase_ok,
-            _bm25_ranked_cte(verify_join=verify),
+            *_query_ctes(phrases), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
         )
         + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
@@ -505,9 +512,7 @@ def phrase_near_topk_sql(near: list[tuple[int, str, str, int]],
     """Ordered-proximity oracle (pipelines.phrase_near_topk): second term
     within ``slop`` positions after the first, qualifying docs BM25-ranked
     on both terms."""
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
+    q = _sql_quote
     legs = []
     for qid, a, b, slop in near:
         legs.append(
@@ -518,20 +523,12 @@ def phrase_near_topk_sql(near: list[tuple[int, str, str, int]],
             f"\n  WHERE x0.term = {q(a)} GROUP BY x0.doc_id"
         )
     phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
-    tokpos = """
-tokpos AS (
-  SELECT doc_id, unnest(tokens) AS term,
-         generate_subscripts(tokens, 1) AS pos
-  FROM docs
-)"""
-    verify = ("JOIN phrase_ok v ON v.query_id = q.query_id"
-              " AND v.doc_id = p.doc_id")
     lits = [(qid, f"{a} {b}") for qid, a, b, _ in near]
     return (
         _with(
             CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
-            *_query_ctes(lits), tokpos, phrase_ok,
-            _bm25_ranked_cte(verify_join=verify),
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
         )
         + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,

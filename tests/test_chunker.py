@@ -163,3 +163,21 @@ def test_recursive_chunks_match_sql_oracle():
         for j, c in enumerate(_recursive_chunks(text))
     ]
     assert got == want
+
+
+def test_chunkers_handle_large_string_columns():
+    """large_utf8 columns carry int64 offsets — reading them as int32 would
+    silently corrupt every chunk; both chunkers must match the utf8 output."""
+    import pyarrow as pa
+
+    from splade_ray.chunk import chunk_fixed_batch, chunk_recursive_batch
+
+    texts = ["alpha beta " * 300, "x" * 2500 + "\n\n" + "y" * 800, "short"]
+    ids = pa.array([1, 2, 3], type=pa.int64())
+    small = pa.table({"doc_id": ids, "text": pa.array(texts, type=pa.string())})
+    big = pa.table({"doc_id": ids,
+                    "text": pa.array(texts, type=pa.large_string())})
+    for fn in (chunk_fixed_batch, chunk_recursive_batch):
+        a = fn(small).to_pylist()
+        b = fn(big).to_pylist()
+        assert a == b, fn.__name__

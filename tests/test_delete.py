@@ -302,3 +302,42 @@ def test_read_docs_live_only(ray_session):
     assert all_rows - len(live_rows) == len(dead)
     assert not (set(int(x) for x in dead)
                 & {r["doc_id"] for r in live_rows})
+
+
+def test_rebuild_clears_tombstones(ray_session):
+    """overwrite=True (and stale-staging rebuilds) must drop tombstones:
+    doc ids are content-independent, so a surviving tombstones.bin would
+    silently hide live docs of the NEW index."""
+    tbl = generate_corpus(120, seed=66)
+    idx = os.path.join(ROOT, "rebuild")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(tbl), idx, **KW)
+    from splade_ray.build import read_docs
+
+    ids = np.sort(np.asarray([r["doc_id"] for r in
+                              read_docs(idx, columns=["doc_id"]).take_all()]))
+    delete_docs(idx, ids[:10])
+    assert len(read_tombstones(idx)) == 10
+    build_index(rd.from_arrow(tbl), idx, overwrite=True, **KW)
+    assert len(read_tombstones(idx)) == 0
+    e = QueryEngine(idx, k=10)
+    assert len(e.tomb) == 0
+
+
+def test_compacted_read_docs_excludes_dead(ray_session):
+    """read_docs on a compacted index must NOT serve the compacted-away
+    docs even though docs_sources points at the base staging."""
+    from splade_ray.build import read_docs
+    from splade_ray.delete import read_excluded
+
+    base, _live, dead = _setup()
+    cdir = os.path.join(ROOT, "compacted")
+    if not os.path.isdir(cdir):
+        compact_index(base, cdir)
+    n_live = read_docs(cdir, columns=["doc_id"]).count()
+    with open(os.path.join(cdir, "MANIFEST.json")) as f:
+        assert n_live == json.load(f)["n_docs"]
+    assert set(read_excluded(cdir).tolist()) == set(int(x) for x in dead)
+    served = {r["doc_id"] for r in
+              read_docs(cdir, columns=["doc_id"]).take_all()}
+    assert not (served & set(int(x) for x in dead))

@@ -77,6 +77,13 @@ def test_add_generation_inherits_base_settings(ray_session):
 
     tbl = generate_corpus(500, seed=21)
     a = os.path.join(ROOT, "a")
+    full_dir = os.path.join(ROOT, "full")
+    # self-sufficient: (re)build the base and full indexes if an earlier
+    # test in this module did not (standalone / reordered runs)
+    kw = dict(lang_tagged=True, n_shards=6, hot_df_min=40, hot_df_frac=0.05,
+              sample_mod=2)
+    build_index(rd.from_arrow(tbl.slice(0, 300)), a, **kw)
+    build_index(rd.from_arrow(tbl), full_dir, **kw)
     out = os.path.join(ROOT, "added")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out + ".gen", ignore_errors=True)
@@ -85,10 +92,8 @@ def test_add_generation_inherits_base_settings(ray_session):
     os.makedirs(new_dir)
     pq.write_table(tbl.slice(300), os.path.join(new_dir, "part.parquet"))
 
-    import ray.data as rd
-
     m = add_generation(a, rd.read_parquet(new_dir), out)
-    full_dir = full = os.path.join(ROOT, "full")
+    full = full_dir
     e_full = QueryEngine(full, k=10, scorer="taat")
     e_add = QueryEngine(out, k=10, scorer="taat")
     import json as _json

@@ -345,3 +345,19 @@ def test_multimodal_vectorized_matches_per_row_reference():
 
         want_frames = {f: body[f * w:(f + 1) * w] for f in range(0, h, 3)}
         assert fr_rows[mid] == want_frames
+
+
+def test_multimodal_handles_large_binary_columns():
+    mm = multimodal
+    media = mm.synth_media_table(12, seed=3)
+    big = pa.table({
+        "media_id": media["media_id"],
+        "kind": media["kind"],
+        "payload": media["payload"].combine_chunks().cast(pa.large_binary()),
+    })
+    a = mm.MediaFeatures(decode="fake")(media).to_pylist()
+    b = mm.MediaFeatures(decode="fake")(big).to_pylist()
+    assert a == b
+    ra = mm.MediaResize(out_w=6, out_h=6)(media).to_pylist()
+    rb = mm.MediaResize(out_w=6, out_h=6)(big).to_pylist()
+    assert ra == rb
