@@ -78,12 +78,13 @@ def main() -> None:
     # identical job across scaling levels: the shard count must NOT follow
     # num_cpus or the two levels build different indexes
     n_shards = int(os.environ.get("GRAFT_BENCH_SHARDS", max(16, NUM_CPUS * 2)))
-    # best-of-2 full builds: the sandbox sees bursty co-tenant noise windows
+    # best-of-3 full builds: the sandbox sees bursty co-tenant noise windows
     # (observed 2-8x wall-time inflation hitting one stage while adjacent
-    # stages run clean), so a single sample is not a measurement.  The
-    # scaling harness already runs best-of-3 per level for the same reason.
+    # stages run clean; see BASELINE.md round-3 noise note), so a single
+    # sample is not a measurement.  The scaling harness already runs
+    # best-of-3 per level for the same reason.
     build_runs = []
-    for _ in range(2 if not os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1):
+    for _ in range(3 if not os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(
