@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": p.phrase_topk,
         "phrase_topk_tokens": lambda sf: p.phrase_topk(sf, match="tokens"),
         "phrase_near_topk": p.phrase_near_topk,
+        "phrase_near_unordered": lambda sf: p.phrase_near_topk(
+            sf, ordered=False),
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -87,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_tokens": sql.phrase_topk_tokens_sql(
             p.PHRASE_QUERIES, TOP_K),
         "phrase_near_topk": sql.phrase_near_topk_sql(p.NEAR_QUERIES, TOP_K),
+        "phrase_near_unordered": sql.phrase_near_topk_sql(
+            p.NEAR_QUERIES, TOP_K, ordered=False),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -596,12 +596,14 @@ NEAR_QUERIES: list[tuple[int, str, str, int]] = [
 ]
 
 
-def phrase_near_topk(sf_dir: str, top_k: int = TOP_K):
-    """Ordered proximity search (NEAR/slop): doc qualifies when the second
-    term occurs within ``slop`` positions AFTER the first; qualifying docs
-    are BM25-ranked on both terms.  The window test is one searchsorted over
+def phrase_near_topk(sf_dir: str, top_k: int = TOP_K, ordered: bool = True):
+    """Proximity search (NEAR/slop): doc qualifies when the second term
+    occurs within ``slop`` positions of the first — AFTER it when
+    ``ordered`` (the default), on either side when not; qualifying docs are
+    BM25-ranked on both terms.  The window test is one searchsorted over
     (row, position)-encoded keys per query — no per-doc Python, no
-    positional index.  Oracle: sql.phrase_near_topk_sql."""
+    positional index.  Oracles: sql.phrase_near_topk_sql (ordered) /
+    sql.phrase_near_unordered_sql."""
     lits = [(qid, f"{a} {b}") for qid, a, b, _ in NEAR_QUERIES]
 
     def make_flags(content, flat, parents, n_rows):
@@ -620,8 +622,11 @@ def phrase_near_topk(sf_dir: str, top_k: int = TOP_K):
             kb = keys[pc.equal(flat, b).to_numpy(zero_copy_only=False)]
             if not len(ka) or not len(kb):
                 continue
-            lo = np.searchsorted(kb, ka + 1, side="left")
+            win_lo = ka + 1 if ordered else ka - slop
+            lo = np.searchsorted(kb, win_lo, side="left")
             hi = np.searchsorted(kb, ka + slop, side="right")
+            # a != b terms, so kb never equals ka: the [ka-slop, ka+slop]
+            # window needs no self-position exclusion
             hit_a = ka[lo < hi]
             if len(hit_a):
                 flags[i, (hit_a >> 32)] = True

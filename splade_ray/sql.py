@@ -508,17 +508,23 @@ FROM ranked WHERE rnk <= {k}"""
 
 
 def phrase_near_topk_sql(near: list[tuple[int, str, str, int]],
-                         k: int = 10) -> str:
-    """Ordered-proximity oracle (pipelines.phrase_near_topk): second term
-    within ``slop`` positions after the first, qualifying docs BM25-ranked
-    on both terms."""
+                         k: int = 10, ordered: bool = True) -> str:
+    """Proximity oracle (pipelines.phrase_near_topk): second term within
+    ``slop`` positions after the first (``ordered``) or on either side,
+    qualifying docs BM25-ranked on both terms.  Terms in a pair must
+    differ (the unordered window has no self-position exclusion)."""
     q = _sql_quote
     legs = []
     for qid, a, b, slop in near:
+        if a == b:
+            raise ValueError("proximity pair terms must differ")
+        window = (f"x1.pos > x0.pos AND x1.pos <= x0.pos + {slop}" if ordered
+                  else f"x1.pos >= x0.pos - {slop}"
+                       f" AND x1.pos <= x0.pos + {slop}")
         legs.append(
             f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0"
             f"\n  JOIN tokpos x1 ON x1.doc_id = x0.doc_id"
-            f" AND x1.pos > x0.pos AND x1.pos <= x0.pos + {slop}"
+            f" AND {window}"
             f" AND x1.term = {q(b)}"
             f"\n  WHERE x0.term = {q(a)} GROUP BY x0.doc_id"
         )

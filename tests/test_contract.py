@@ -25,7 +25,8 @@ FAST_KEYS = [
     "events_asof_join",
     # round 3
     "sparse_encode", "sparse_topk",
-    "phrase_topk", "phrase_topk_tokens", "phrase_near_topk", "scorer_eval",
+    "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
+    "phrase_near_unordered", "scorer_eval",
     "bm25_topk_deleted",
     "bm25_topk_compacted",
 ]
