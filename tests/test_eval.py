@@ -134,3 +134,23 @@ def test_phrase_near_topk_window_invariant(ray_session):
             ts[i] == a and b in ts[i + 1: i + 1 + slop]
             for i in range(len(ts))
         ), (qid, doc)
+
+
+def test_unordered_near_is_superset_of_ordered(ray_session):
+    """Every doc qualifying under ordered NEAR also qualifies unordered, so
+    each ordered hit appears in the unordered CANDIDATE set (rank may
+    differ only because more docs qualify)."""
+    from splade_ray.pipelines import phrase_near_topk
+
+    sf = "/root/testdata/sf0.001"
+    o = phrase_near_topk(sf, top_k=1000).to_pandas()
+    u = phrase_near_topk(sf, top_k=1000, ordered=False).to_pandas()
+    for qid in set(o.query_id):
+        o_docs = set(o[o.query_id == qid].doc_id)
+        u_docs = set(u[u.query_id == qid].doc_id)
+        assert o_docs <= u_docs, qid
+        # scores agree on the shared docs (same BM25 terms)
+        om = o[o.query_id == qid].set_index("doc_id").score
+        um = u[u.query_id == qid].set_index("doc_id").score
+        for d in o_docs:
+            assert om[d] == um[d]
