@@ -608,6 +608,16 @@ def read_docs(index_dir: str, columns: list[str] | None = None,
     if columns is None:
         columns = ["doc_id", "repo", "path", "commit", "lang",
                    "content_sha256", "doc_len"]
+    from .delete import read_excluded, read_tombstones
+
+    drop = read_excluded(index_dir)
+    if live_only:
+        drop = np.union1d(drop, read_tombstones(index_dir))
+    # the drop filter reads t["doc_id"]: when the caller pruned it away,
+    # read it internally and project it back out after the filter
+    strip_doc_id = len(drop) > 0 and "doc_id" not in columns
+    if strip_doc_id:
+        columns = ["doc_id"] + list(columns)
     staging = os.path.join(index_dir, "staging")
     if not os.path.isdir(staging):
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
@@ -621,21 +631,19 @@ def read_docs(index_dir: str, columns: list[str] | None = None,
         ds = ray.data.read_parquet(files, columns=columns)
     else:
         ds = ray.data.read_parquet(staging, columns=columns)
-    from .delete import read_excluded, read_tombstones
-
     # compaction-excluded docs are gone from the index (no ordinal, no
     # postings) but still present in the backing staging parquet: filter
     # them UNCONDITIONALLY; live_only additionally hides tombstoned docs
-    drop = read_excluded(index_dir)
-    if live_only:
-        drop = np.union1d(drop, read_tombstones(index_dir))
     if len(drop):
-        def _drop_dead(t: pa.Table, drop=drop) -> pa.Table:
+        def _drop_dead(t: pa.Table, drop=drop,
+                       strip=strip_doc_id) -> pa.Table:
             from .docmap import sorted_member
 
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             dead, _ = sorted_member(drop, ids)
-            return t.filter(pa.array(~dead)) if dead.any() else t
+            if dead.any():
+                t = t.filter(pa.array(~dead))
+            return t.drop_columns(["doc_id"]) if strip else t
 
         ds = ds.map_batches(_drop_dead, batch_format="pyarrow")
     return ds

@@ -133,9 +133,9 @@ def _gather_slices(row_off: np.ndarray, data: np.ndarray, rows: np.ndarray,
         for i in range(n):
             o, l, s = out_off[i], lens[i], src[i]
             values[o : o + l] = data[s : s + l]
-    # py_buffer wraps the ndarrays zero-copy (Arrow holds the reference)
-    if total >= 2**31:  # int32 output offsets would silently wrap
-        raise ValueError("chunk batch exceeds 2 GiB of text; lower batch_size")
+    # py_buffer wraps the ndarrays zero-copy (Arrow holds the reference);
+    # the int32-offset overflow guard already ran up top, BEFORE the output
+    # buffer was allocated/filled (an oversized batch fails fast and cheap)
     return pa.Array.from_buffers(
         pa.utf8(), n,
         [None, pa.py_buffer(out_off.astype(np.int32)),

@@ -60,20 +60,48 @@ def read_tombstones(index_dir: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.int64)
 
 
+class _index_lock:
+    """flock-guarded critical section for index-dir read-modify-write
+    updates (tombstones): the tmp+rename write is atomic against torn
+    reads, but two CONCURRENT delete calls would otherwise both read the
+    old set and the last rename silently drop the other's ids."""
+
+    def __init__(self, index_dir: str, name: str = "update.lock"):
+        self._path = os.path.join(index_dir, name)
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "a")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Mark ``doc_ids`` (real 63-bit ids) deleted; returns the total
     tombstone count after the merge.  Ids not present in the index are
     ignored (delete of a missing doc is a no-op, matching SQL DELETE).
+    Concurrent delete calls on one host serialize on an flock'd lock file
+    (the read-union-write is a lost-update hazard otherwise); multi-writer
+    across HOSTS still needs an external coordinator, as the module
+    docstring's scale notes say.
     """
     ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
     docs = open_doc_arrays(index_dir)
     # keep only ids that exist: absent ids would silently skew counts
     ords = docs.ords_of_ids(ids)
     present = docs.gather_ids(ords) if len(ords) else np.empty(0, np.int64)
-    merged = np.union1d(read_tombstones(index_dir), present)
-    tmp = os.path.join(index_dir, TOMBSTONES + ".tmp")
-    merged.astype(np.int64).tofile(tmp)
-    os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
+    with _index_lock(index_dir):
+        merged = np.union1d(read_tombstones(index_dir), present)
+        tmp = os.path.join(index_dir, TOMBSTONES + ".tmp")
+        merged.astype(np.int64).tofile(tmp)
+        os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
     return int(len(merged))
 
 

@@ -34,10 +34,20 @@ EVAL_SCHEMA = pa.schema(
 )
 
 
+_RESULT_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("rank", pa.int64()), ("doc_id", pa.int64())]
+)
+
+
 def _as_table(res) -> pa.Table:
     if isinstance(res, pa.Table):
         return res
-    return pa.Table.from_pylist(res.take_all(), schema=None)
+    rows = res.take_all()
+    if not rows:
+        # an empty Dataset has no schema to infer: pin the result columns so
+        # downstream t["query_id"] lookups see empty columns, not a KeyError
+        return _RESULT_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=None)
 
 
 def scorer_agreement(ground_truth, scorers: "dict[str, object]") -> pa.Table:

@@ -79,7 +79,8 @@ def add_generation(base_index: str, corpus_ds, out_dir: str,
     with open(os.path.join(base_index, "MANIFEST.json")) as f:
         base_man = json.load(f)
     kw = {"lang_tagged": base_man["lang_tagged"],
-          "n_shards": base_man["n_shards"]}
+          "n_shards": base_man["n_shards"],
+          "salt_bits": base_man["salt_bits"]}
     kw.update(build_overrides)
     gen_dir = out_dir.rstrip("/") + ".gen"
     build_index(corpus_ds, gen_dir, **kw)
@@ -98,6 +99,11 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             raise ValueError("all inputs must share n_shards")
         if m["lang_tagged"] != base["lang_tagged"]:
             raise ValueError("all inputs must share lang_tagged")
+        if m["salt_bits"] != base["salt_bits"]:
+            # queries tolerate mixed salts, but the merged manifest records
+            # ONE salt_bits — refuse rather than record a wrong value that
+            # downstream tooling would treat as authoritative
+            raise ValueError("all inputs must share salt_bits")
         if not m.get("doc_ordinals"):
             raise ValueError("all inputs must be doc-ordinal indexes")
 
