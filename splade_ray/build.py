@@ -269,14 +269,23 @@ def _corpus_fingerprint(corpus) -> str | None:
     input-file list PLUS each file's (size, mtime_ns) — still metadata-only
     (no data pass), but rewriting a file's contents in place (same names)
     now invalidates stale staging instead of silently resuming from it.
-    ``None`` when the Dataset has no file provenance (e.g. from_arrow) —
-    then resume validation falls back to trusting STAGING.json."""
+    ``None`` when the Dataset has no file provenance (e.g. from_arrow, or a
+    map_batches lineage that hides it) — then resume validation falls back
+    to trusting STAGING.json and the fast full-resume path is disabled;
+    such callers should pass ``corpus_fp=fingerprint_files(...)`` to
+    build_index instead."""
     try:
         files = corpus.input_files()
     except Exception:
         return None
     if not files:
         return None
+    return fingerprint_files(files)
+
+
+def fingerprint_files(files: list[str]) -> str:
+    """The (name, size, mtime_ns) fingerprint over an explicit file list —
+    for callers whose corpus Dataset has no recoverable file provenance."""
     parts = []
     for f in sorted(files):
         try:
@@ -308,6 +317,37 @@ def _staging_valid(index_dir: str, corpus_fp: str | None = None) -> bool:
         return False
 
 
+def _finished_manifest(index_dir: str, corpus_fp: str, *, lang_tagged: bool,
+                       n_shards: int, salt_bits: int) -> dict | None:
+    """The index's manifest iff it is a COMPLETE build of exactly this
+    (corpus, settings) — staging, forward arrays and every listed segment
+    validate — else None.  Tombstones are untouched either way (same
+    semantics as the slow resume path)."""
+    from .docmap import doc_arrays_valid
+
+    mpath = os.path.join(index_dir, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            man = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if not (man.get("corpus_fp") == corpus_fp
+            and man.get("lang_tagged") == lang_tagged
+            and man.get("n_shards") == n_shards
+            and man.get("salt_bits") == salt_bits
+            and man.get("doc_ordinals")
+            and _staging_valid(index_dir, corpus_fp)
+            and doc_arrays_valid(index_dir, man.get("n_docs", -1))):
+        return None
+    seg_root = os.path.join(index_dir, "segments")
+    for s in man.get("segments", []):
+        if validate_segment(os.path.join(seg_root, s["segment_id"])) is None:
+            return None
+    return man
+
+
 def build_index(
     corpus: "ray.data.Dataset",
     index_dir: str,
@@ -321,6 +361,7 @@ def build_index(
     overwrite: bool = False,
     shuffle_concurrency: int | None = None,
     ordinal_driver_threshold: int = 5_000_000,
+    corpus_fp: str | None = None,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final manifest.
 
@@ -351,7 +392,19 @@ def build_index(
 
     staging_dir = os.path.join(index_dir, "staging")
     t0 = _t()
-    corpus_fp = _corpus_fingerprint(corpus)
+    if corpus_fp is None:
+        corpus_fp = _corpus_fingerprint(corpus)
+
+    # FAST full-resume: a finished index (manifest bound to this corpus
+    # fingerprint + settings, staging/docmap/segments all valid) returns
+    # immediately.  Without this, every re-entrant build pays ~3 Dataset
+    # pipelines of re-validation (stats, hot-detect, shuffle-skip) — fixed
+    # seconds that dominate warm serving paths like the phrase candidates.
+    if not overwrite and corpus_fp is not None:
+        man = _finished_manifest(index_dir, corpus_fp, lang_tagged=lang_tagged,
+                                 n_shards=n_shards, salt_bits=salt_bits)
+        if man is not None:
+            return man
     if not _staging_valid(index_dir, corpus_fp):
         # stale/absent staging: every derived artifact (segments, docmap,
         # manifest) came from that staging — drop them too, or a fingerprint
