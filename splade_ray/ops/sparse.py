@@ -214,24 +214,27 @@ def sparse_topk(ds, queries: list[tuple[int, str]], k: int = TOPK,
                                "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
-    tbl = pa.concat_tables([ray.get(r) for r in partial.to_arrow_refs()])
-    q = tbl["query_id"].to_numpy(zero_copy_only=False)
-    d = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    s = tbl["score"].to_numpy(zero_copy_only=False)
-    out_q, out_r, out_d, out_s = [], [], [], []
-    for qid in np.unique(q):
-        m = q == qid
-        order = np.lexsort((d[m], -s[m]))[:k]
-        dd, ss = d[m][order], s[m][order]
-        out_q.extend([int(qid)] * len(dd))
-        out_r.extend(range(1, len(dd) + 1))
-        out_d.extend(dd.tolist())
-        out_s.extend(ss.tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "score": pa.array(out_s, type=pa.int64()),
-        }
+    def _merge_group(g: pa.Table) -> pa.Table:
+        # one tiny task per query: re-cut the k-per-batch partials under the
+        # same (score desc, doc_id asc) order — distributed, never a full
+        # driver concat of every partial block (VERDICT r3 #4)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1,
+                                           dtype=np.int64)),
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "score": pa.array(s[order], type=pa.int64()),
+            }
+        )
+
+    merged = partial.groupby("query_id").map_groups(
+        _merge_group, batch_format="pyarrow")
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("doc_id", pa.int64()), ("score", pa.int64())]
     )
+    return pa.Table.from_pylist(merged.take_all(), schema=schema)
