@@ -377,7 +377,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     if overwrite:
-        for sub in ("staging", "segments", "docs", "docmap"):
+        for sub in ("staging", "segments", "docs", "docmap", "tombstones.d"):
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -409,7 +409,7 @@ def build_index(
         # stale/absent staging: every derived artifact (segments, docmap,
         # manifest) came from that staging — drop them too, or a fingerprint
         # mismatch would rebuild staging yet keep serving stale segments
-        for sub in ("staging", "segments", "docmap"):
+        for sub in ("staging", "segments", "docmap", "tombstones.d"):
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
                 shutil.rmtree(p)

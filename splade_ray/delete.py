@@ -25,13 +25,18 @@ delete/update is first-class and scale-safe, Lucene-style:
 
 Scale notes (10^12 docs): the ordinal REMAP is ``o - count(tombstones <=
 o)`` — one searchsorted against the sorted tombstone-ordinal array, so
-per-task memory is O(|deleted|), never O(corpus).  The tombstone array
-itself is the only piece proportional to the delete set; beyond ~10^9
-deletes it would shard by ordinal range exactly like docmap/ — the
-mask/remap searchsorted then touches only the shards a posting block
-overlaps.  Docmap compaction reuses the sharded layout: one task per
-docmap shard, driver prefix-sums the survivor counts (same protocol as
-docmap.write_sharded).
+per-task memory is O(|deleted|), never O(corpus).  The tombstone array is
+the only piece proportional to the delete set; beyond ~10^9 deletes it
+SHARDS BY ORDINAL RANGE exactly like docmap/ — implemented here as the
+``tombstones.d/`` layout (``shard_tombstones`` converts, ``delete_docs``
+appends in place): fixed-width ordinal ranges, one sorted-ordinal file per
+occupied range plus a tiny ranges.json.  A range-restricted query engine
+(query.run_queries_sharded) then loads ONLY the tombstone shards
+overlapping its ordinal slice (``tombstone_ordinals(..., ord_range=...)``)
+— its resident dead-set is ~|deleted|/n_ranges, never the whole delete
+set.  Docmap compaction reuses the sharded layout the same way: one task
+per docmap shard, driver prefix-sums the survivor counts (same protocol
+as docmap.write_sharded).
 """
 
 from __future__ import annotations
@@ -52,8 +57,115 @@ TOMBSTONES = "tombstones.bin"
 
 # ---------------------------------------------------------------- tombstones --
 
+TOMB_DIR = "tombstones.d"  # sharded-by-ordinal-range layout (>= ~1e9 deletes)
+TOMB_SHARD_SIZE = 1 << 20  # default ordinals per shard file
+
+
+def _tomb_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, TOMB_DIR, RANGES_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _read_sharded_ords(index_dir: str, man: dict,
+                       lo: int | None = None,
+                       hi: int | None = None) -> np.ndarray:
+    """Dead ORDINALS from the sharded layout, reading ONLY the shard files
+    whose fixed-width range overlaps [lo, hi) — the block-overlap-scoped
+    lookup a range-restricted engine needs."""
+    size = int(man["shard_size"])
+    parts = []
+    for s in man["shards"]:  # ascending start order (written sorted)
+        start = int(s["start"])
+        if hi is not None and start >= hi:
+            break
+        if lo is not None and start + size <= lo:
+            continue
+        parts.append(np.fromfile(
+            os.path.join(index_dir, TOMB_DIR, s["file"]), dtype=np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    out = np.concatenate(parts)  # disjoint ascending ranges -> sorted
+    if lo is not None:
+        out = out[np.searchsorted(out, lo, side="left"):]
+    if hi is not None:
+        out = out[: np.searchsorted(out, hi, side="left")]
+    return out
+
+
+def _write_tomb_shards(index_dir: str, ords: np.ndarray,
+                       shard_size: int) -> int:
+    """(Re)write the whole sharded layout from a sorted ordinal array;
+    ranges.json lands last (tmp+rename) so a killed write never validates.
+    Returns the shard-file count."""
+    import shutil as _shutil
+
+    root = os.path.join(index_dir, TOMB_DIR)
+    if os.path.isdir(root):
+        _shutil.rmtree(root)
+    os.makedirs(root)
+    shards = []
+    if len(ords):
+        buckets = ords // shard_size
+        starts = np.unique(buckets) * shard_size
+        cut = np.searchsorted(ords, np.r_[starts, starts[-1] + shard_size])
+        for i, start in enumerate(starts):
+            sub = ords[cut[i]:cut[i + 1]]
+            name = f"ts-{int(start):016x}.bin"
+            tmp = os.path.join(root, name + ".tmp")
+            sub.astype(np.int64).tofile(tmp)
+            os.replace(tmp, os.path.join(root, name))
+            shards.append({"start": int(start), "count": int(len(sub)),
+                           "file": name})
+    man = {"shard_size": int(shard_size), "shards": shards}
+    tmp = os.path.join(root, RANGES_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(root, RANGES_NAME))
+    return len(shards)
+
+
+def shard_tombstones(index_dir: str,
+                     shard_size: int = TOMB_SHARD_SIZE) -> int:
+    """Convert the index's tombstones to (or re-shard within) the
+    ordinal-range-sharded layout; removes the flat file.  Idempotent;
+    subsequent delete_docs calls append shard-locally.  Returns the shard
+    count."""
+    with _index_lock(index_dir):
+        docs = open_doc_arrays(index_dir)
+        ords = tombstone_ordinals(index_dir, docs)
+        n = _write_tomb_shards(index_dir, ords, shard_size)
+        flat = os.path.join(index_dir, TOMBSTONES)
+        if os.path.exists(flat):
+            os.remove(flat)
+    return n
+
+
+def remove_tombstone_files(index_dir: str) -> None:
+    """Drop every tombstone artifact (both layouts) — used when an index
+    dir is rebuilt/compacted and stale tombstones must not survive."""
+    import shutil as _shutil
+
+    flat = os.path.join(index_dir, TOMBSTONES)
+    if os.path.exists(flat):
+        os.remove(flat)
+    root = os.path.join(index_dir, TOMB_DIR)
+    if os.path.isdir(root):
+        _shutil.rmtree(root)
+
+
 def read_tombstones(index_dir: str) -> np.ndarray:
-    """Sorted unique REAL doc ids marked deleted (empty array if none)."""
+    """Sorted unique REAL doc ids marked deleted (empty array if none) —
+    either layout (the sharded layout stores ordinals; they translate back
+    through the forward docmap, order-preserving)."""
+    man = _tomb_manifest(index_dir)
+    if man is not None:
+        ords = _read_sharded_ords(index_dir, man)
+        if not len(ords):
+            return np.empty(0, dtype=np.int64)
+        return open_doc_arrays(index_dir).gather_ids(ords)
     path = os.path.join(index_dir, TOMBSTONES)
     if not os.path.exists(path) or os.path.getsize(path) == 0:
         return np.empty(0, dtype=np.int64)
@@ -98,6 +210,33 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     ords = docs.ords_of_ids(ids)
     present = docs.gather_ids(ords) if len(ords) else np.empty(0, np.int64)
     with _index_lock(index_dir):
+        man = _tomb_manifest(index_dir)
+        if man is not None:
+            # sharded layout: union ONLY the shard files the new ordinals
+            # fall into, rewrite those + the tiny ranges.json — O(affected
+            # shards), never a full-delete-set rewrite
+            size = int(man["shard_size"])
+            root = os.path.join(index_dir, TOMB_DIR)
+            shards = {int(s["start"]): s for s in man["shards"]}
+            for start in (np.unique(ords // size) * size).tolist():
+                sub = ords[(ords >= start) & (ords < start + size)]
+                name = f"ts-{int(start):016x}.bin"
+                path = os.path.join(root, name)
+                old = (np.fromfile(path, dtype=np.int64)
+                       if start in shards else np.empty(0, np.int64))
+                new = np.union1d(old, sub)
+                tmp = path + ".tmp"
+                new.astype(np.int64).tofile(tmp)
+                os.replace(tmp, path)
+                shards[start] = {"start": int(start), "count": int(len(new)),
+                                 "file": name}
+            man = {"shard_size": size,
+                   "shards": [shards[s] for s in sorted(shards)]}
+            tmp = os.path.join(root, RANGES_NAME + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(man, f, indent=1)
+            os.replace(tmp, os.path.join(root, RANGES_NAME))
+            return int(sum(s["count"] for s in man["shards"]))
         merged = np.union1d(read_tombstones(index_dir), present)
         tmp = os.path.join(index_dir, TOMBSTONES + ".tmp")
         merged.astype(np.int64).tofile(tmp)
@@ -105,15 +244,28 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return int(len(merged))
 
 
-def tombstone_ordinals(index_dir: str, docs=None) -> np.ndarray:
-    """Tombstoned doc ids translated to sorted ORDINALS (what the scorers
-    and the compactor mask/remap against)."""
+def tombstone_ordinals(index_dir: str, docs=None,
+                       ord_range: "tuple[int, int] | None" = None
+                       ) -> np.ndarray:
+    """Tombstoned doc ORDINALS, sorted (what the scorers and the compactor
+    mask/remap against).  ``ord_range=(lo, hi)`` scopes the result to one
+    ordinal slice — under the sharded layout only the overlapping shard
+    FILES are read, so a range-restricted engine's dead-set residency is
+    ~|deleted|/n_ranges."""
+    man = _tomb_manifest(index_dir)
+    if man is not None:
+        lo, hi = ord_range if ord_range is not None else (None, None)
+        return _read_sharded_ords(index_dir, man, lo, hi)
     ids = read_tombstones(index_dir)
     if not len(ids):
         return np.empty(0, dtype=np.int64)
     if docs is None:
         docs = open_doc_arrays(index_dir)
-    return docs.ords_of_ids(ids)
+    ords = docs.ords_of_ids(ids)
+    if ord_range is not None and len(ords):
+        lo, hi = ord_range
+        ords = ords[(ords >= lo) & (ords < hi)]
+    return ords
 
 
 EXCLUDED = "docs_excluded.bin"
@@ -412,13 +564,12 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                                 [os.path.join(os.path.abspath(index_dir),
                                               "staging")]),
     }
-    # the compacted index has NO tombstones (remove any stale file from a
-    # reused out_dir), but its docs table (docs_sources -> base staging)
-    # still contains the removed docs: record them in the excluded sidecar
-    # so read_docs filters them; chains of compactions accumulate the union
-    stale_t = os.path.join(out_dir, TOMBSTONES)
-    if os.path.exists(stale_t):
-        os.remove(stale_t)
+    # the compacted index has NO tombstones (remove any stale artifacts of
+    # either layout from a reused out_dir), but its docs table
+    # (docs_sources -> base staging) still contains the removed docs:
+    # record them in the excluded sidecar so read_docs filters them;
+    # chains of compactions accumulate the union
+    remove_tombstone_files(out_dir)
     dead_ids = docs.gather_ids(tomb) if len(tomb) else np.empty(0, np.int64)
     write_excluded(out_dir, np.union1d(read_excluded(index_dir), dead_ids))
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:

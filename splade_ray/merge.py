@@ -183,18 +183,18 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     # union REMOVES any stale tombstones.bin left in a reused out_dir.
     # The compaction-excluded sidecars union the same way: the merged docs
     # view (docs_sources) must keep filtering docs a compaction removed.
-    from .delete import read_excluded, read_tombstones, write_excluded
+    from .delete import (read_excluded, read_tombstones,
+                         remove_tombstone_files, write_excluded)
 
     tomb = np.unique(np.concatenate(
         [read_tombstones(d) for d in index_dirs] + [np.empty(0, np.int64)]
     ))
-    tomb_path = os.path.join(out_dir, "tombstones.bin")
+    remove_tombstone_files(out_dir)  # stale artifacts of either layout
     if len(tomb):
+        tomb_path = os.path.join(out_dir, "tombstones.bin")
         tmp_t = tomb_path + ".tmp"
         tomb.astype(np.int64).tofile(tmp_t)
         os.replace(tmp_t, tomb_path)
-    elif os.path.exists(tomb_path):
-        os.remove(tomb_path)
     write_excluded(out_dir, np.unique(np.concatenate(
         [read_excluded(d) for d in index_dirs] + [np.empty(0, np.int64)]
     )))

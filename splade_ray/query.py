@@ -136,10 +136,11 @@ class QueryEngine:
         # semantics).  Range-restricted engines keep only their slice.
         from .delete import tombstone_ordinals
 
-        self.tomb = tombstone_ordinals(index_dir, self.docs)
-        if self.ord_range is not None and len(self.tomb):
-            lo, hi = self.ord_range
-            self.tomb = self.tomb[(self.tomb >= lo) & (self.tomb < hi)]
+        # range scoping happens inside tombstone_ordinals: under the
+        # sharded tombstone layout only the shard files overlapping this
+        # engine's ordinal slice are ever read
+        self.tomb = tombstone_ordinals(index_dir, self.docs,
+                                       ord_range=self.ord_range)
 
     # ------------------------------------------------------------- lookup --
     def _term_refs(self, term: str) -> tuple[list[tuple[int, int, int]], int]:

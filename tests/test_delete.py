@@ -341,3 +341,78 @@ def test_compacted_read_docs_excludes_dead(ray_session):
     served = {r["doc_id"] for r in
               read_docs(cdir, columns=["doc_id"]).take_all()}
     assert not (served & set(int(x) for x in dead))
+
+
+def test_sharded_tombstone_layout(ray_session):
+    """tombstones.d: converting flat -> sharded preserves the ordinal set
+    exactly; delete_docs appends shard-locally; masked queries are
+    identical under either layout; ord_range scoping reads only the
+    overlapping shard files."""
+    from splade_ray.delete import (TOMB_DIR, _tomb_manifest,
+                                   shard_tombstones)
+
+    tbl = generate_corpus(300, seed=44)
+    idx = os.path.join(ROOT, "sharded_tomb")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(tbl), idx, **KW)
+    from splade_ray.build import read_docs
+
+    ids = np.sort(np.asarray(
+        [r["doc_id"] for r in read_docs(idx, columns=["doc_id"]).take_all()],
+        dtype=np.int64))
+    delete_docs(idx, ids[::7])
+    flat_ords = tombstone_ordinals(idx)
+    flat_ids = read_tombstones(idx)
+    q = "def import data"
+    flat_res = _as_l(QueryEngine(idx, k=10).search_one(q, None))
+
+    # tiny shard_size so the set spans MANY shard files
+    n_shards = shard_tombstones(idx, shard_size=16)
+    assert n_shards > 3
+    assert not os.path.exists(os.path.join(idx, "tombstones.bin"))
+    man = _tomb_manifest(idx)
+    assert sum(s["count"] for s in man["shards"]) == len(flat_ords)
+    assert tombstone_ordinals(idx).tolist() == flat_ords.tolist()
+    assert read_tombstones(idx).tolist() == flat_ids.tolist()
+    assert _as_l(QueryEngine(idx, k=10).search_one(q, None)) == flat_res
+
+    # ord_range scoping == plain slice of the full ordinal set
+    n_docs = json.load(open(os.path.join(idx, "MANIFEST.json")))["n_docs"]
+    lo, hi = n_docs // 3, (2 * n_docs) // 3
+    scoped = tombstone_ordinals(idx, ord_range=(lo, hi))
+    want = flat_ords[(flat_ords >= lo) & (flat_ords < hi)]
+    assert scoped.tolist() == want.tolist()
+    # and a range-restricted engine sees exactly that slice
+    eng = QueryEngine(idx, k=10, ord_range=(lo, hi))
+    assert eng.tomb.tolist() == want.tolist()
+
+    # append more deletes INTO the sharded layout: shard-local union
+    more = ids[3::11]
+    total = delete_docs(idx, more)
+    want_all = np.union1d(flat_ords, tombstone_ordinals(idx, ord_range=None))
+    assert total == len(np.union1d(
+        flat_ids, np.asarray(sorted(set(more.tolist()) & set(ids.tolist())))))
+    # masked result equals a flat-layout twin with the same delete set
+    twin = os.path.join(ROOT, "sharded_tomb_twin")
+    shutil.rmtree(twin, ignore_errors=True)
+    build_index(rd.from_arrow(tbl), twin, **KW)
+    delete_docs(twin, ids[::7])
+    delete_docs(twin, more)
+    assert read_tombstones(idx).tolist() == read_tombstones(twin).tolist()
+    for scorer in ("taat", "bmw"):
+        a = _as_l(QueryEngine(idx, k=10, scorer=scorer).search_one(q, None))
+        b = _as_l(QueryEngine(twin, k=10, scorer=scorer).search_one(q, None))
+        assert a == b, scorer
+
+    # compaction works identically from the sharded layout
+    cdir = os.path.join(ROOT, "sharded_tomb_compacted")
+    shutil.rmtree(cdir, ignore_errors=True)
+    compact_index(idx, cdir)
+    ctwin = os.path.join(ROOT, "sharded_tomb_twin_compacted")
+    shutil.rmtree(ctwin, ignore_errors=True)
+    compact_index(twin, ctwin)
+    for scorer in ("taat",):
+        a = _as_l(QueryEngine(cdir, k=10, scorer=scorer).search_one(q, None))
+        b = _as_l(QueryEngine(ctwin, k=10, scorer=scorer).search_one(q, None))
+        assert a == b
+    assert not os.path.isdir(os.path.join(cdir, TOMB_DIR))
