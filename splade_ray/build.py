@@ -361,6 +361,7 @@ def build_index(
     overwrite: bool = False,
     shuffle_concurrency: int | None = None,
     ordinal_driver_threshold: int = 5_000_000,
+    ordinal_driver_bytes_budget: int = 256 * 2**20,
     corpus_fp: str | None = None,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final manifest.
@@ -514,24 +515,48 @@ def build_index(
         ):
             total_len += r["total_len"]
             langset.update(lg for lg in r["langs"].split(",") if lg)
-    elif n_docs <= ordinal_driver_threshold:
-        # ONE fused pass: stats + ordinal material (bounded: 12 bytes/doc)
-        id_chunks, dl_chunks = [], []
+    elif (n_docs <= ordinal_driver_threshold
+          and 12 * n_docs <= ordinal_driver_bytes_budget):
+        # ONE fused pass: stats + ordinal material (estimated 12 bytes/doc;
+        # the running nbytes check below catches wide-dtype drift or a
+        # mis-set threshold and falls back to the distributed sort rather
+        # than blowing the driver heap)
+        id_chunks, dl_chunks, acc_bytes = [], [], 0
+        fits = True
         for batch in ray.data.read_parquet(
             staging_dir, columns=["doc_id", "doc_len", "lang"]
         ).iter_batches(batch_size=262144, batch_format="pyarrow"):
             _absorb_stats(batch)
-            id_chunks.append(batch["doc_id"].to_numpy(zero_copy_only=False))
-            dl_chunks.append(batch["doc_len"].to_numpy(zero_copy_only=False))
-        all_ids = np.concatenate(id_chunks)
-        order = np.argsort(all_ids, kind="stable")
-        sorted_ids = all_ids[order]
-        if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
-            raise ValueError(dup_msg)
-        sorted_ids.tofile(tmp_map)
-        np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
-        os.replace(tmp_map, docmap_path)
-        os.replace(tmp_dl, doclens_path)
+            ic = batch["doc_id"].to_numpy(zero_copy_only=False)
+            dc = batch["doc_len"].to_numpy(zero_copy_only=False)
+            acc_bytes += ic.nbytes + dc.nbytes
+            if acc_bytes > 2 * ordinal_driver_bytes_budget:
+                fits = False
+                break
+            id_chunks.append(ic)
+            dl_chunks.append(dc)
+        if fits:
+            all_ids = np.concatenate(id_chunks)
+            order = np.argsort(all_ids, kind="stable")
+            sorted_ids = all_ids[order]
+            if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+                raise ValueError(dup_msg)
+            sorted_ids.tofile(tmp_map)
+            np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
+            os.replace(tmp_map, docmap_path)
+            os.replace(tmp_dl, doclens_path)
+        else:
+            # stats were partially absorbed: reset; the distributed path
+            # recomputes them from its own pass (write_sharded summary rows)
+            id_chunks = dl_chunks = None
+            total_len = 0
+            langset.clear()
+            sorted_ds = ray.data.read_parquet(
+                staging_dir, columns=["doc_id", "doc_len", "lang"]
+            ).sort("doc_id")
+            stats = write_sharded(sorted_ds, index_dir, n_docs)
+            total_len += stats["total_len"]
+            langset |= stats["langs"]
     else:
         # distributed range-partition sort; the sort's output tasks write
         # the per-range shard layout themselves and return one summary row

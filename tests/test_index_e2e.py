@@ -223,3 +223,24 @@ def test_distributed_ordinal_path_parity(corpus_table, oracle, ray_session):
         got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
         assert got == oracle.search(query, lang or None, k=10)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ordinal_bytes_budget_forces_distributed(corpus_table, ray_session):
+    """A bytes budget the corpus can't fit under (even though the row-count
+    threshold allows the driver path) must route to the distributed-sort
+    ordinal pass — same manifest stats, sharded docmap layout."""
+    from splade_ray.docmap import ShardedDocArrays, open_doc_arrays
+
+    base = "/tmp/splade_ray_ordbudget"
+    shutil.rmtree(base, ignore_errors=True)
+    ds = rd.from_arrow(corpus_table).repartition(4)
+    m_drv = build_index(ds, os.path.join(base, "drv"), lang_tagged=True,
+                        n_shards=4)
+    m_b = build_index(ds, os.path.join(base, "b"), lang_tagged=True,
+                      n_shards=4, ordinal_driver_bytes_budget=0)
+    assert isinstance(open_doc_arrays(os.path.join(base, "b")),
+                      ShardedDocArrays)
+    assert m_b["n_postings"] == m_drv["n_postings"]
+    assert abs(m_b["avgdl"] - m_drv["avgdl"]) < 1e-12
+    assert m_b["langs"] == m_drv["langs"]
+    shutil.rmtree(base, ignore_errors=True)
