@@ -100,7 +100,11 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, TOP_K,
             live_where=f"(doc_id % {p.DEAD_MOD}) <> {p.DEAD_RESIDUE}",
         ),
-        "scorer_eval": sql.scorer_eval_sql(DOC_QUERIES, TOP_K),
+        "scorer_eval": sql.scorer_eval_sql(
+            DOC_QUERIES, TOP_K,
+            dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"
+                       f" = {p.DEAD_RESIDUE}"),
+        ),
     }
     try:
         from splade_ray.ops import contract as ops_contract

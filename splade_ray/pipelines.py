@@ -924,6 +924,11 @@ def scorer_eval(sf_dir: str) -> pa.Table:
                 corpus_ds(sf_dir).map_batches(
                     _docs63, batch_format="pyarrow"),
                 DOC_QUERIES, k=TOP_K),
+            # serving + update paths under the same quality guard: the
+            # doc-partitioned fan-out (rank-identity contract) and the
+            # tombstone-masked index (genuinely different: dead docs gone)
+            "sharded": bm25_topk_sharded(sf_dir),
+            "masked": bm25_topk_deleted(sf_dir),
         },
     )
 

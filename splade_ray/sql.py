@@ -164,7 +164,8 @@ qterms AS (
 
 
 def _bm25_ranked_cte(dead_pred: str | None = None,
-                     verify_join: str | None = None) -> str:
+                     verify_join: str | None = None,
+                     prefix: str = "") -> str:
     """CTE chain ``contribs -> scores -> ranked`` (full BM25, quantized).
 
     ``dead_pred`` (a predicate over the docs alias ``d``) is the
@@ -174,7 +175,10 @@ def _bm25_ranked_cte(dead_pred: str | None = None,
 
     ``verify_join`` (an extra JOIN clause over aliases q/p/d) restricts
     contributions to (query, doc) pairs that pass a verification CTE —
-    the phrase-search candidate+verify shape."""
+    the phrase-search candidate+verify shape.
+
+    ``prefix`` renames the three CTEs (``{prefix}ranked`` etc.) so one
+    query can hold several ranked chains (scorer_eval's masked leg)."""
     contrib = (
         f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
         f" * ((({_f(K1)} + 1e0) * p.tf)"
@@ -183,8 +187,9 @@ def _bm25_ranked_cte(dead_pred: str | None = None,
     )
     mask = f"\n  WHERE NOT ({dead_pred})" if dead_pred else ""
     vjoin = f"\n  {verify_join}" if verify_join else ""
+    p = prefix
     return f"""
-contribs AS (
+{p}contribs AS (
   SELECT q.query_id, p.doc_id, {contrib} AS units
   FROM qterms q
   JOIN postings p ON p.term = q.term
@@ -192,15 +197,15 @@ contribs AS (
   JOIN docs d ON d.doc_id = p.doc_id
   CROSS JOIN stats s{vjoin}{mask}
 ),
-scores AS (
+{p}scores AS (
   SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
-  FROM contribs GROUP BY query_id, doc_id
+  FROM {p}contribs GROUP BY query_id, doc_id
 ),
-ranked AS (
+{p}ranked AS (
   SELECT query_id, doc_id, units,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY units DESC, doc_id ASC) AS rnk
-  FROM scores WHERE units > 0
+  FROM {p}scores WHERE units > 0
 )"""
 
 
@@ -543,7 +548,8 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
-def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10,
+                    dead_pred: str = "FALSE") -> str:
     """Retrieval-quality harness oracle (reference eval.py:238-247 computes
     retrieval metrics over a query set): per-query INTEGER agreement of each
     scorer against the BM25 ground truth — ``n_overlap`` (|top-k ∩ gt
@@ -553,7 +559,9 @@ def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     1/top1_rank.  Scorers: ``bmw`` (rank-identity contract: same ranked
     CTE), ``idf_coord`` and ``sparse`` (the hash-projection learned-sparse
     encoder over the SAME 63-bit doc-id space) — the latter two genuinely
-    different rankings."""
+    different rankings; ``sharded`` (the doc-partitioned fan-out, also
+    rank-identical) and ``masked`` (the tombstoned index, ``dead_pred``
+    over docs alias ``d``) guard the serving and update paths' quality."""
     from .ops.contract import _sparse_proj_sql
 
     def legs(name: str) -> str:
@@ -599,13 +607,17 @@ sp_ranked AS (
         _with(
             CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
             *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            _bm25_ranked_cte(dead_pred=dead_pred, prefix="m_"),
             sparse_ctes,
             f"""
 gt AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
 s_bmw AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
+s_sharded AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}),
+s_masked AS (SELECT query_id, doc_id, rnk FROM m_ranked WHERE rnk <= {k}),
 s_coord AS (SELECT query_id, doc_id, rnk FROM coord_ranked WHERE rnk <= {k}),
 s_sparse AS (SELECT query_id, doc_id, rnk FROM sp_ranked WHERE rnk <= {k})"""
-            + "," + legs("bmw") + "," + legs("coord") + "," + legs("sparse"),
+            + "," + legs("bmw") + "," + legs("coord") + "," + legs("sparse")
+            + "," + legs("sharded") + "," + legs("masked"),
         )
         + """
 SELECT 'bmw' AS scorer, o.query_id, o.n_overlap, t.top1_rank
@@ -615,7 +627,13 @@ SELECT 'idf_coord' AS scorer, o.query_id, o.n_overlap, t.top1_rank
 FROM ov_coord o JOIN t1_coord t ON t.query_id = o.query_id
 UNION ALL
 SELECT 'sparse' AS scorer, o.query_id, o.n_overlap, t.top1_rank
-FROM ov_sparse o JOIN t1_sparse t ON t.query_id = o.query_id"""
+FROM ov_sparse o JOIN t1_sparse t ON t.query_id = o.query_id
+UNION ALL
+SELECT 'sharded' AS scorer, o.query_id, o.n_overlap, t.top1_rank
+FROM ov_sharded o JOIN t1_sharded t ON t.query_id = o.query_id
+UNION ALL
+SELECT 'masked' AS scorer, o.query_id, o.n_overlap, t.top1_rank
+FROM ov_masked o JOIN t1_masked t ON t.query_id = o.query_id"""
     )
 
 
