@@ -62,11 +62,43 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def _pil_image_module():
+    """PIL.Image if importable, else None — probed once per actor in the
+    stage __init__ (never per batch/row)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
+
+
 def _decode_payload(buf: bytes, mode: str) -> tuple[int, int, bytes]:
+    """One payload -> (width, height, raster bytes).
+
+    ``mode="pil"`` decodes real image formats through PIL when the library
+    is present (grayscale raster, so the output contract matches the SRIM
+    body layout exactly) — the production swap-in, behind the same
+    interface, lighting up without code changes in a container that ships
+    PIL.  ``mode="strict"`` keeps the loudly-marked stub for containers
+    without any codec.  ``mode="fake"`` parses the deterministic SRIM
+    header (tests)."""
+    if mode == "pil":
+        Image = _pil_image_module()
+        if Image is None:
+            raise NotImplementedError(
+                "decode='pil' requires PIL, which is not installed in this "
+                "container; use decode='fake' for the deterministic test "
+                "decoder"
+            )
+        import io
+
+        img = Image.open(io.BytesIO(buf)).convert("L")
+        return img.width, img.height, img.tobytes()
     if mode == "strict":
         raise NotImplementedError(
             "real image decode requires PIL/libvips (not in this container); "
-            "use decode='fake' for the deterministic test decoder"
+            "use decode='fake' for the deterministic test decoder, or "
+            "decode='pil' where PIL is installed"
         )
     magic, w, h = HEADER.unpack_from(buf)
     if magic != MAGIC:
@@ -145,20 +177,41 @@ class MediaFeatures:
     def __init__(self, decode: str = "fake", feature_dim: int = 8):
         self.decode = decode
         self.dim = feature_dim
+        if decode == "pil":
+            # probe the real codec ONCE per actor (the ST2 init slot where
+            # model/codec state belongs); fails fast and loud if absent
+            if _pil_image_module() is None:
+                raise NotImplementedError(
+                    "decode='pil' requires PIL in the worker environment")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.decode == "strict":
             _decode_payload(b"", "strict")  # raises the stub error
         data, starts, ends = _binary_np(t["payload"])
-        w, h = _parse_headers(data, starts, ends)
-        # batch-wide mean via one prefix sum over the flat byte buffer:
-        # body sum per row = csum[end] - csum[body_start]
-        csum = np.zeros(len(data) + 1, dtype=np.int64)
-        np.cumsum(data, dtype=np.int64, out=csum[1:])
-        body_starts = starts + HEADER.size
-        n_body = ends - body_starts
-        body_sum = csum[ends] - csum[body_starts]
-        mean = np.where(n_body > 0, body_sum / np.maximum(n_body, 1), 0.0)
+        if self.decode == "pil":
+            # real codec path: decode is inherently per-payload (compressed
+            # formats), reading memoryview slices of the flat buffer
+            mv = memoryview(data)
+            n = len(starts)
+            w = np.empty(n, dtype=np.int64)
+            h = np.empty(n, dtype=np.int64)
+            mean = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                wi, hi, body = _decode_payload(
+                    bytes(mv[starts[i]:ends[i]]), "pil")
+                w[i], h[i] = wi, hi
+                arr = np.frombuffer(body, dtype=np.uint8)
+                mean[i] = float(arr.mean()) if len(arr) else 0.0
+        else:
+            w, h = _parse_headers(data, starts, ends)
+            # batch-wide mean via one prefix sum over the flat byte buffer:
+            # body sum per row = csum[end] - csum[body_start]
+            csum = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=csum[1:])
+            body_starts = starts + HEADER.size
+            n_body = ends - body_starts
+            body_sum = csum[ends] - csum[body_starts]
+            mean = np.where(n_body > 0, body_sum / np.maximum(n_body, 1), 0.0)
         # per-row sha256 stays a loop (hashing is inherently per-payload and
         # C-speed) but reads memoryview slices of the flat buffer — no
         # Python bytes materialization of the payload column

@@ -361,3 +361,30 @@ def test_multimodal_handles_large_binary_columns():
     ra = mm.MediaResize(out_w=6, out_h=6)(media).to_pylist()
     rb = mm.MediaResize(out_w=6, out_h=6)(big).to_pylist()
     assert ra == rb
+
+
+def test_multimodal_pil_branch_requires_pil():
+    """decode='pil' is the production swap-in behind the same interface:
+    absent PIL it must fail fast and loud at actor init / decode."""
+    if multimodal._pil_image_module() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.MediaFeatures(decode="pil")
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_payload(b"x", "pil")
+    else:  # containers that DO ship PIL run the real-codec parity check
+        import io
+
+        Image = multimodal._pil_image_module()
+        img = Image.frombytes("L", (6, 4), bytes(range(24)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        w, h, body = multimodal._decode_payload(buf.getvalue(), "pil")
+        assert (w, h) == (6, 4)
+        assert body == bytes(range(24))
+        feats = multimodal.MediaFeatures(decode="pil")(pa.table({
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([buf.getvalue()], type=pa.binary()),
+        }))
+        assert feats["width"].to_pylist() == [6]
+        assert feats["height"].to_pylist() == [4]
