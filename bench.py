@@ -83,7 +83,7 @@ def main() -> None:
     # stages run clean; see BASELINE.md round-3 noise note), so a single
     # sample is not a measurement.  The scaling harness already runs
     # best-of-3 per level for the same reason.
-    build_runs = []
+    build_runs, stage_runs = [], []
     for _ in range(3 if not os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
@@ -92,11 +92,17 @@ def main() -> None:
             n_shards=n_shards,
         )
         build_runs.append(time.perf_counter() - t0)
-    build_sec = min(build_runs)
+        stage_runs.append(dict(manifest.get("timings", {})))
+    best_i = build_runs.index(min(build_runs))
+    build_sec = build_runs[best_i]
     timings["build_index_sec"] = round(build_sec, 3)
     timings["build_runs_sec"] = [round(x, 3) for x in build_runs]
     timings["build_files_per_sec"] = round(n_files / build_sec, 1)
     timings["build_n_postings"] = manifest["n_postings"]
+    # per-stage wall of the best run (MANIFEST.json["timings"]): the shuffle
+    # stage is the one that scales with nodes on a real cluster, so the
+    # scaling harness derives a shuffle-only efficiency from these
+    timings["build_stage_sec"] = stage_runs[best_i]
 
     if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
         # scaling mode: only the headline build matters; skipping the query/
@@ -197,6 +203,16 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.phrase_topk(SF_DIR, match="tokens").count()
     timings["phrase_topk_tokens_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.phrase_near_topk(SF_DIR).count()
+    timings["phrase_near_topk_sec"] = round(time.perf_counter() - t0, 3)
+    # VERDICT r3 #1 done-criterion: index-assisted phrase within ~10x of the
+    # BM25 index path (both walls include the same warm _contract_index
+    # resume + Ray pipeline startup; r3's scan shape was ~1000x the warm
+    # engine).  bm25_topk_documents_sec is the like-for-like denominator.
+    timings["phrase_vs_bm25_ratio"] = round(
+        timings["phrase_topk_tokens_sec"] / timings["bm25_topk_documents_sec"],
+        2)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is
@@ -212,9 +228,15 @@ def main() -> None:
                       ("minhash_bands", ops_dedup.minhash_bands_batch)):
         for mode in ("sha", "mixer"):
             fn(doc_tbl, hash_mode=mode)  # warm
-            t0 = time.perf_counter()
-            fn(doc_tbl, hash_mode=mode)
-            timings[f"{label}_{mode}_sec"] = round(time.perf_counter() - t0, 4)
+            # best-of-3: round 3's recorded fingerprints_mixer_speedup of 0.9
+            # was a single-sample noise burst (re-measured 6.1x; minhash in
+            # the same run showed 28x, so the shared mix64 was never suspect)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(doc_tbl, hash_mode=mode)
+                runs.append(time.perf_counter() - t0)
+            timings[f"{label}_{mode}_sec"] = round(min(runs), 4)
         timings[f"{label}_mixer_speedup"] = round(
             timings[f"{label}_sha_sec"] / timings[f"{label}_mixer_sec"], 1)
 
@@ -266,6 +288,14 @@ def scaling() -> None:
     t_lo = r_lo["queries"]["build_index_sec"]
     t_hi = r_hi["queries"]["build_index_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # shuffle-stage-only efficiency (VERDICT r3): the posting exchange is the
+    # stage that actually scales with NODES on a real cluster (staging/stats
+    # are embarrassingly parallel reads; the driver-side manifest write is
+    # constant) — report it from the best run's MANIFEST timings at both
+    # widths so the whole-build number can be decomposed
+    sh_lo = r_lo["queries"].get("build_stage_sec", {}).get("shuffle_build_sec")
+    sh_hi = r_hi["queries"].get("build_stage_sec", {}).get("shuffle_build_sec")
+    sh_eff = round((sh_lo / sh_hi) / (hi / lo), 3) if sh_lo and sh_hi else None
     for _ in range(2):
         runs_8.append(run(8))
         runs_32.append(run(32))
@@ -279,6 +309,11 @@ def scaling() -> None:
         "files_per_sec_4": r_lo["queries"]["build_files_per_sec"],
         "files_per_sec_16": r_hi["queries"]["build_files_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "shuffle_sec_4": sh_lo,
+        "shuffle_sec_16": sh_hi,
+        "shuffle_scaling_efficiency": sh_eff,
+        "stage_sec_4": r_lo["queries"].get("build_stage_sec"),
+        "stage_sec_16": r_hi["queries"].get("build_stage_sec"),
         "sec_8": t8,
         "sec_32": t32,
         "scaling_efficiency_8_32": round((t8 / t32) / 4, 3),
