@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_near_topk": p.phrase_near_topk,
         "phrase_near_unordered": lambda sf: p.phrase_near_topk(
             sf, ordered=False),
+        # positional-sidecar serving path (build_index(positions=True)):
+        # same semantics + oracles as the candidate+verify pair above, but
+        # verified and scored ENTIRELY from the index — no content fetch
+        "phrase_topk_positional": p.phrase_topk_positional,
+        "phrase_near_positional": p.phrase_near_positional,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -91,6 +96,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_near_topk": sql.phrase_near_topk_sql(p.NEAR_QUERIES, TOP_K),
         "phrase_near_unordered": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K, ordered=False),
+        "phrase_topk_positional": sql.phrase_topk_tokens_sql(
+            p.PHRASE_QUERIES, TOP_K),
+        "phrase_near_positional": sql.phrase_near_topk_sql(
+            p.NEAR_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

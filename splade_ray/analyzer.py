@@ -279,6 +279,43 @@ def doc_token_stats_from_flat(
     return terms, tfs, doc_len
 
 
+def doc_token_positions_from_flat(
+    flat: pa.Array, parents: np.ndarray, n_rows: int
+) -> tuple[pa.ListArray, pa.ListArray, np.ndarray, pa.ListArray]:
+    """doc_token_stats_from_flat PLUS per-doc token positions.
+
+    Returns (terms, tfs, doc_len, positions): ``positions`` is a
+    list<int32> per doc of length doc_len holding the WITHIN-DOC 0-based
+    token positions, grouped by term in the terms list's (lexicographic)
+    order with ascending positions inside each term's group — i.e. the
+    per-(doc, term) position list is the slice of ``positions`` whose
+    length is that term's tf.  This is the numbering the token-phrase /
+    NEAR verify kernels use (pipelines._token_phrase_flags)."""
+    terms, tfs, doc_len = doc_token_stats_from_flat(flat, parents, n_rows)
+    if len(flat) == 0:
+        empty_pos = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_rows + 1, dtype=np.int32)),
+            pa.array([], type=pa.int32()))
+        return terms, tfs, doc_len, empty_pos
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    lex = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[lex] = np.arange(len(vocab))
+    row_start = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(doc_len[:-1], out=row_start[1:])
+    pos_in_row = np.arange(len(parents), dtype=np.int64) - row_start[parents]
+    # stable sort by (parent, lex term) keeps each group's positions ascending
+    keys = parents * len(vocab) + rank[codes]
+    order = np.argsort(keys, kind="stable")
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(doc_len, out=offsets[1:])
+    positions = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(pos_in_row[order].astype(np.int32)))
+    return terms, tfs, doc_len, positions
+
+
 def analyze_query(query: str, lang: str | None = None, all_langs: list[str] | None = None) -> dict[str, int]:
     """Query-side analysis -> {term: qtf}.
 

@@ -59,13 +59,18 @@ STAGING_SCHEMA_COLS = [
 
 
 def prepare_batch(t: pa.Table, *, lang_tagged: bool,
-                  with_sha: bool = True) -> pa.Table:
+                  with_sha: bool = True, positions: bool = False) -> pa.Table:
     """Corpus batch -> staging batch. Drops empty/whitespace-only content.
 
     ``with_sha=False`` skips the per-row content sha256 (the input_hint
     invariant column): postings/stats consumers that never read it save the
     single most expensive per-row hash in the stage.  The BUILD path always
-    keeps it (the invariant is asserted through the whole pipeline)."""
+    keeps it (the invariant is asserted through the whole pipeline).
+
+    ``positions=True`` adds a per-doc ``positions`` list<int32> column
+    (within-doc token positions grouped by term in the terms list's order;
+    per-(doc, term) slice lengths = tfs) — the staging source of the
+    positional posting sidecar."""
     content = t["content"]
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
@@ -74,7 +79,17 @@ def prepare_batch(t: pa.Table, *, lang_tagged: bool,
     t = t.filter(keep)
     content = t["content"]
     langs = t["lang"] if lang_tagged else None
-    terms, tfs, doc_len = doc_token_stats(content, langs)
+    pos_col = None
+    if positions:
+        from .analyzer import doc_token_positions_from_flat, tokenize_flat
+
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        flat, parents = tokenize_flat(pc.fill_null(content, ""), langs)
+        terms, tfs, doc_len, pos_col = doc_token_positions_from_flat(
+            flat, parents, t.num_rows)
+    else:
+        terms, tfs, doc_len = doc_token_stats(content, langs)
     cols = {
         "doc_id": doc_id63_column(t["repo"], t["path"], t["commit"]),
         "repo": t["repo"],
@@ -85,9 +100,11 @@ def prepare_batch(t: pa.Table, *, lang_tagged: bool,
         "terms": terms,
         "tfs": tfs,
     }
+    if pos_col is not None:
+        cols["positions"] = pos_col
     if with_sha:
         cols["content_sha256"] = sha256_hex_column(content)
-        order = STAGING_SCHEMA_COLS
+        order = STAGING_SCHEMA_COLS + (["positions"] if positions else [])
         return pa.table({c: cols[c] for c in order})
     return pa.table(cols)
 
@@ -176,15 +193,28 @@ def explode_postings_batch(
         hot_index[hot_codes] = np.arange(len(hot_codes))
         shard[hot_rows] = lut[hot_index[codes[hot_rows]], salt[hot_rows]]
 
-    out = pa.table(
-        {
-            "term": flat_terms,
-            "salt": pa.array(salt),
-            "doc_id": pa.array(doc_ids),
-            "tf": pa.array(flat_tfs.astype(np.int32)),
-            "shard": pa.array(shard),
-        }
-    )
+    cols = {
+        "term": flat_terms,
+        "salt": pa.array(salt),
+        "doc_id": pa.array(doc_ids),
+        "tf": pa.array(flat_tfs.astype(np.int32)),
+        "shard": pa.array(shard),
+    }
+    if "positions" in t.schema.names:
+        # per-(doc, term) position slice: the staging positions column is
+        # already grouped by term in the terms list's order, so the exploded
+        # row i's positions are the flat values with per-row counts = tf
+        pos = t["positions"]
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        pos_offsets = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
+        np.cumsum(flat_tfs.astype(np.int64), out=pos_offsets[1:])
+        flat_vals = pos.flatten()
+        if pos_offsets[-1] != len(flat_vals):
+            raise ValueError("positions column inconsistent with tfs")
+        cols["pos"] = pa.LargeListArray.from_arrays(
+            pa.array(pos_offsets), flat_vals)
+    out = pa.table(cols)
     if skip_shards:
         out = out.filter(
             pa.array(~np.isin(shard, np.fromiter(skip_shards, dtype=np.int32)))
@@ -215,6 +245,15 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
     salts = group["salt"].to_numpy(zero_copy_only=False)
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     tfs = group["tf"].to_numpy(zero_copy_only=False)
+    with_pos = "pos" in group.schema.names
+    flat_pos = tfs_orig = None
+    if with_pos:
+        pos_col = group["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        flat_pos = pos_col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tfs_orig = tfs  # pre-reorder layout: position slices index by it
     # group runs by (term, salt), doc_id-sorted WITHIN runs — an integer
     # lexsort over LEXICOGRAPHIC code ranks (one tiny Arrow sort of the
     # vocab maps first-appearance codes to lex ranks; a whole-table string
@@ -235,7 +274,8 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
     starts = np.nonzero(change)[0]
     ends = np.append(starts[1:], n)
 
-    builder = SegmentBuilder(f"seg-{shard:05d}", shard)
+    builder = SegmentBuilder(f"seg-{shard:05d}", shard,
+                             with_positions=with_pos)
     builder.set_lineage(n_input_postings=n)
     for lo, hi in zip(starts, ends):
         ids = doc_ids[lo:hi]
@@ -251,8 +291,15 @@ def build_segment_group(group: pa.Table, *, index_dir: str, avgdl: float,
                     )
                 keep[1:] = ~dup
         kept = ids[keep]
+        positions = None
+        if with_pos:
+            # gather the run's per-posting position slices in sorted-kept
+            # order (variable-length slice gather, all vectorized)
+            from .codecs import take_slices
+
+            positions = take_slices(flat_pos, tfs_orig, order[lo:hi][keep])
         builder.add(vocab[codes[lo]], int(salts[lo]), kept, tf[keep],
-                    doclens[kept], avgdl)
+                    doclens[kept], avgdl, positions=positions)
     manifest = builder.write(os.path.join(index_dir, "segments", f"seg-{shard:05d}"))
     return pa.table(
         {
@@ -297,7 +344,8 @@ def fingerprint_files(files: list[str]) -> str:
     return digest[:16]
 
 
-def _staging_valid(index_dir: str, corpus_fp: str | None = None) -> bool:
+def _staging_valid(index_dir: str, corpus_fp: str | None = None,
+                   positions: bool | None = None) -> bool:
     p = os.path.join(index_dir, "STAGING.json")
     if not os.path.exists(p):
         return False
@@ -306,6 +354,8 @@ def _staging_valid(index_dir: str, corpus_fp: str | None = None) -> bool:
             meta = json.load(f)
         if not (os.path.isdir(os.path.join(index_dir, "staging")) and meta.get("ok")):
             return False
+        if positions is not None and bool(meta.get("positions")) != positions:
+            return False  # positional staging carries an extra column
         # checkpoints are bound to the corpus they were staged from: a
         # changed input-file list invalidates staging (and everything
         # derived from it) instead of silently serving stale docs
@@ -318,7 +368,8 @@ def _staging_valid(index_dir: str, corpus_fp: str | None = None) -> bool:
 
 
 def _finished_manifest(index_dir: str, corpus_fp: str, *, lang_tagged: bool,
-                       n_shards: int, salt_bits: int) -> dict | None:
+                       n_shards: int, salt_bits: int,
+                       positions: bool = False) -> dict | None:
     """The index's manifest iff it is a COMPLETE build of exactly this
     (corpus, settings) — staging, forward arrays and every listed segment
     validate — else None.  Tombstones are untouched either way (same
@@ -337,8 +388,9 @@ def _finished_manifest(index_dir: str, corpus_fp: str, *, lang_tagged: bool,
             and man.get("lang_tagged") == lang_tagged
             and man.get("n_shards") == n_shards
             and man.get("salt_bits") == salt_bits
+            and bool(man.get("positions")) == positions
             and man.get("doc_ordinals")
-            and _staging_valid(index_dir, corpus_fp)
+            and _staging_valid(index_dir, corpus_fp, positions)
             and doc_arrays_valid(index_dir, man.get("n_docs", -1))):
         return None
     seg_root = os.path.join(index_dir, "segments")
@@ -363,6 +415,7 @@ def build_index(
     ordinal_driver_threshold: int = 5_000_000,
     ordinal_driver_bytes_budget: int = 256 * 2**20,
     corpus_fp: str | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final manifest.
 
@@ -370,6 +423,12 @@ def build_index(
     each shard must fit one worker's heap). ``salt_bits`` gives 2^bits salt
     buckets for hot terms. The corpus Dataset is consumed streaming; nothing
     is materialized except small aggregates.
+
+    ``positions=True`` builds the positional sidecar (within-doc token
+    positions per posting, codecs.encode_positions): phrase / NEAR queries
+    then answer ENTIRELY from the index (phrase.positional_topk) — no
+    candidate content fetch.  Costs ~1 extra byte per token in staging,
+    the shuffle, and the segments; off by default.
     """
     import time as _time
 
@@ -403,10 +462,11 @@ def build_index(
     # seconds that dominate warm serving paths like the phrase candidates.
     if not overwrite and corpus_fp is not None:
         man = _finished_manifest(index_dir, corpus_fp, lang_tagged=lang_tagged,
-                                 n_shards=n_shards, salt_bits=salt_bits)
+                                 n_shards=n_shards, salt_bits=salt_bits,
+                                 positions=positions)
         if man is not None:
             return man
-    if not _staging_valid(index_dir, corpus_fp):
+    if not _staging_valid(index_dir, corpus_fp, positions):
         # stale/absent staging: every derived artifact (segments, docmap,
         # manifest) came from that staging — drop them too, or a fingerprint
         # mismatch would rebuild staging yet keep serving stale segments
@@ -422,14 +482,15 @@ def build_index(
         n_input = corpus.count()
         staged_ds = corpus.map_batches(
             prepare_batch, batch_format="pyarrow",
-            fn_kwargs={"lang_tagged": lang_tagged},
+            fn_kwargs={"lang_tagged": lang_tagged, "positions": positions},
         )
         staged_ds.write_parquet(staging_dir)
         if not os.path.isdir(staging_dir):  # zero indexable rows -> no files
             raise ValueError("no indexable documents (all rows empty?)")
         with open(os.path.join(index_dir, "STAGING.json"), "w") as f:
             json.dump({"ok": True, "n_input_rows": n_input,
-                       "lang_tagged": lang_tagged, "corpus_fp": corpus_fp}, f)
+                       "lang_tagged": lang_tagged, "corpus_fp": corpus_fp,
+                       "positions": positions}, f)
     with open(os.path.join(index_dir, "STAGING.json")) as f:
         staging_meta = json.load(f)
     if staging_meta.get("lang_tagged") != lang_tagged:
@@ -617,8 +678,11 @@ def build_index(
     _prev_push = getattr(_ctx, "use_push_based_shuffle", False)
     _ctx.use_push_based_shuffle = True
     if todo:
+        shuffle_cols = ["doc_id", "terms", "tfs"]
+        if positions:
+            shuffle_cols.append("positions")
         postings = ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "terms", "tfs"]
+            staging_dir, columns=shuffle_cols
         ).map_batches(
             explode_postings_batch, batch_format="pyarrow",
             fn_kwargs={
@@ -657,6 +721,7 @@ def build_index(
         "n_shards": n_shards,
         "salt_bits": salt_bits,
         "doc_ordinals": True,  # postings store dense ranks; see docmap.bin
+        "positions": bool(positions),
         "hot_terms": sorted(hot_terms),
         "hot_df_threshold": hot_threshold,
         "n_postings": int(sum(m["n_postings"] for m in done.values())),

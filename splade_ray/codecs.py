@@ -266,6 +266,118 @@ def decode_postings_many(
     return doc_ids, tfs.astype(np.int32)
 
 
+# ----------------------------------------------------------- positions ---
+#
+# Positional sidecar (opt-in, build_index(positions=True)): per posting, the
+# WITHIN-DOC token positions of the term (0-based index into the analyzed
+# token stream — the exact numbering pipelines._token_phrase_flags and the
+# NEAR window kernel use), delta-encoded ([pos0, pos1-pos0, ...], varbyte)
+# and stored in per-BLOCK regions aligned 1:1 with the posting blocks, so a
+# range-restricted decode (block-max skipping, sharded engines) can decode
+# positions for exactly the posting blocks it decodes.  Counts per posting
+# are NOT stored — they are the tfs the posting decode already yields.
+# Reference analogue: Milvus has no positional store at all (phrase queries
+# are impossible there); Lucene's .prx file plays this role.
+
+def encode_positions(
+    tfs: np.ndarray, flat_pos: np.ndarray, block_count: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one term's per-posting position lists -> (blob, block_pos_nbytes).
+
+    ``flat_pos``: positions of all postings concatenated in posting order,
+    strictly ascending within each posting; ``tfs`` gives the per-posting
+    counts; ``block_count`` is the posting-block layout (PostingMeta) the
+    regions must align with."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total != len(flat_pos):
+        raise ValueError(f"positions/tf mismatch: {len(flat_pos)} vs {total}")
+    pos = np.ascontiguousarray(flat_pos, dtype=np.uint64)
+    # per-posting delta chains in one vectorized pass: subtract the previous
+    # position everywhere, then overwrite each posting's first slot with its
+    # absolute position
+    deltas = np.empty(total, dtype=np.uint64)
+    if total:
+        deltas[0] = pos[0]
+        np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+        starts = np.zeros(len(tfs), dtype=np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        deltas[starts] = pos[starts]
+    # ONE global varbyte pass; per-block region sizes come from the per-value
+    # byte counts (same formula vb_encode uses), segment-summed per block —
+    # no per-block encode calls (a hot term has df/128 blocks)
+    blob = vb_encode(deltas)
+    nb = np.ones(total, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (deltas >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    # block i's region covers the positions of its postings: cumulative
+    # position count at each block end -> cumulative byte count -> diff
+    bc = np.asarray(block_count, dtype=np.int64)
+    post_ends = np.cumsum(bc)  # posting index one past each block
+    tf_csum = np.concatenate([[0], np.cumsum(tfs)])
+    nb_csum = np.concatenate([[0], np.cumsum(nb)])
+    block_pos_nbytes = np.diff(
+        np.concatenate([[0], nb_csum[tf_csum[post_ends]]])
+    ).astype(np.int32)
+    assert int(block_pos_nbytes.sum()) == len(blob)
+    return blob, block_pos_nbytes
+
+
+def decode_positions_range(
+    blob: np.ndarray, block_pos_nbytes: np.ndarray, tfs: np.ndarray,
+    b_lo: int, b_hi: int,
+) -> np.ndarray:
+    """Decode position lists for posting blocks [b_lo, b_hi) -> flat int64
+    positions (per-posting counts = ``tfs``, the tfs decoded from the SAME
+    block range).  Each block's region is self-contained (first delta of a
+    posting is absolute), so any contiguous range decodes alone."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    off = int(block_pos_nbytes[:b_lo].sum())
+    nbytes = int(block_pos_nbytes[b_lo:b_hi].sum())
+    region = np.ascontiguousarray(blob[off : off + nbytes])
+    if nbytes == total:  # every delta one byte — the bytes ARE the deltas
+        deltas = region.astype(np.uint64)
+    else:
+        deltas = vb_decode_all(region)
+        if len(deltas) != total:
+            raise ValueError(
+                f"corrupt position region: {len(deltas)} ints, expected {total}"
+            )
+    # undo per-posting delta chains: global cumsum minus the running total
+    # accumulated before each posting start (decode_postings_many's trick)
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    base = np.zeros(len(tfs), dtype=np.uint64)
+    base[1:] = csum[starts[1:] - 1]
+    return (csum - np.repeat(base, tfs)).astype(np.int64)
+
+
+def take_slices(flat: np.ndarray, counts: np.ndarray,
+                sel: np.ndarray) -> np.ndarray:
+    """Gather variable-length slices: ``flat`` holds len(counts) concatenated
+    slices (slice i has ``counts[i]`` elements); return the concatenation of
+    the slices indexed by ``sel``, in ``sel`` order — fully vectorized (the
+    reorder/filter primitive for per-posting position lists)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=starts[1:])
+    lens = counts[sel]
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    out_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = (np.repeat(starts[sel], lens)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(out_starts, lens))
+    return flat[idx]
+
+
 def decode_block(
     blob: np.ndarray, meta: PostingMeta, i: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -321,11 +321,14 @@ def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
     tomb = ray.get(tomb_ref)  # sorted dead ordinals, O(|deleted|)
     src_docs = open_doc_arrays(src_index)
     out = {"shard": [], "n_terms": [], "n_postings": []}
+    from .codecs import take_slices
+
     for row in t.to_pylist():
         shard = int(row["shard"])
         seg_id = row["segment_id"]
         reader = SegmentReader(os.path.join(src_root, seg_id))
-        builder = SegmentBuilder(seg_id, shard)
+        builder = SegmentBuilder(seg_id, shard,
+                                 with_positions=reader.has_positions)
         # tombstones_fp binds the output segment to THIS delete set: a
         # resumed compaction skips a segment only if it was compacted
         # against the same tombstones (compact_index's todo filter)
@@ -341,8 +344,15 @@ def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
                 continue
             live, tfs_l = ids[~dead], tfs[~dead]
             new_ids = live - np.searchsorted(tomb, live, side="left")
+            positions = None
+            if reader.has_positions:
+                # within-doc positions survive deletion untouched; only the
+                # dead postings' slices drop
+                positions = take_slices(reader.positions_at(i, tfs), tfs,
+                                        np.flatnonzero(~dead))
             builder.add(d["term"][i].as_py(), d["salt"][i].as_py(),
-                        new_ids, tfs_l, src_docs.gather_lens(live), avgdl)
+                        new_ids, tfs_l, src_docs.gather_lens(live), avgdl,
+                        positions=positions)
         m = builder.write(os.path.join(out_root, seg_id))
         out["shard"].append(shard)
         out["n_terms"].append(m["n_terms"])
@@ -554,6 +564,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         "n_shards": man["n_shards"],
         "salt_bits": man["salt_bits"],
         "doc_ordinals": True,
+        "positions": bool(man.get("positions")),
         "hot_terms": man.get("hot_terms", []),
         "n_postings": int(n_postings),
         "segments": seg_rows,

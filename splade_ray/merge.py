@@ -80,7 +80,8 @@ def add_generation(base_index: str, corpus_ds, out_dir: str,
         base_man = json.load(f)
     kw = {"lang_tagged": base_man["lang_tagged"],
           "n_shards": base_man["n_shards"],
-          "salt_bits": base_man["salt_bits"]}
+          "salt_bits": base_man["salt_bits"],
+          "positions": bool(base_man.get("positions"))}
     kw.update(build_overrides)
     gen_dir = out_dir.rstrip("/") + ".gen"
     build_index(corpus_ds, gen_dir, **kw)
@@ -106,6 +107,13 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             raise ValueError("all inputs must share salt_bits")
         if not m.get("doc_ordinals"):
             raise ValueError("all inputs must be doc-ordinal indexes")
+        if bool(m.get("positions")) != bool(base.get("positions")):
+            # fail fast driver-side; merge_segments would refuse the same
+            # mix per-shard, but only after the distributed merge launches
+            raise ValueError(
+                "cannot merge positional and non-positional indexes; "
+                "rebuild the non-positional inputs with positions=True"
+            )
 
     n_docs = sum(m["n_docs"] for m in manifests)
     total_len = sum(m["total_doc_len"] for m in manifests)
@@ -211,6 +219,9 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
         "n_shards": n_shards,
         "salt_bits": base["salt_bits"],
         "doc_ordinals": True,
+        # merge_segments refuses mixed positional/non-positional inputs, so
+        # all-or-nothing here is exact
+        "positions": all(bool(m.get("positions")) for m in manifests),
         "hot_terms": sorted({t for m in manifests for t in m["hot_terms"]}),
         "n_postings": n_postings,
         "segments": seg_rows,

@@ -121,6 +121,143 @@ def _range_candidates_batch(t: pa.Table, *, index_dir: str,
     return pa.table({"ord": pa.array(merged, type=pa.int64())})
 
 
+# ------------------------------------------------------ positional serving --
+#
+# With a positional index (build_index(positions=True)) phrase / NEAR verify
+# ENTIRELY from the posting sidecar — no candidate content fetch, no
+# re-tokenize (the final step of VERDICT r3 #1's ladder: full-scan ->
+# candidate+verify -> index-native).  Verification is one numpy pass over
+# packed (ordinal << 32 | position) keys, which are globally sorted because
+# postings are ordinal-sorted and positions ascend within a posting:
+#
+#   * phrase [t1..tk]:  S = K(t1); S = intersect(S + 1, K(tj)) for j = 2..k
+#     — S always holds the key of the (j-1)-th matched token, so S + 1 is
+#     "same doc, next position"; repeated tokens fall out naturally.
+#   * NEAR(a, b, slop): for each key ka the window [ka+1, ka+slop] (ordered)
+#     / [ka-slop, ka+slop] (unordered) against sorted K(b) — two
+#     searchsorted calls, no per-doc work.  Windows can never leak across
+#     docs: ordinals differ by >= 1 in the high 32 bits >> any slop.
+#
+# Scoring then reuses the gathered (ids, tfs): BM25 units for the query's
+# terms over verified docs only — identical quantization to the engine and
+# the SQL oracle (round(qtf*idf*sat*SCORE_SCALE)).
+
+
+def _packed_keys(ids: np.ndarray, tfs: np.ndarray,
+                 pos: np.ndarray) -> np.ndarray:
+    """(ordinal << 32 | within-doc position), sorted by construction."""
+    return (np.repeat(ids.astype(np.int64), tfs) << 32) | pos
+
+
+def positional_units_batch(t: pa.Table, *, index_dir: str,
+                           specs: list[dict],
+                           weights: dict[int, list[tuple[str, float]]]
+                           ) -> pa.Table:
+    """One task per ordinal range: verify each spec from the positional
+    sidecar, score verified docs, return (query_id, doc_id, units) rows.
+    ``specs``: {"qid", "kind": "phrase", "tokens"} or {"qid", "kind":
+    "near", "a", "b", "slop", "ordered" (a != b)}.  ``weights``: per qid the
+    (term, qtf*idf) rows (df from the whole index, computed once driver-side
+    via index_stats)."""
+    from .build import SCORE_SCALE
+    from .codecs import tf_saturation
+    from .query import QueryEngine
+
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_u: list[np.ndarray] = []
+    for row in t.to_pylist():
+        lo, hi = int(row["lo"]), int(row["hi"])
+        eng = QueryEngine(index_dir, ord_range=(lo, hi))
+        gathered: dict[str, tuple] = {}
+
+        def _g(term: str) -> tuple:
+            hit = gathered.get(term)
+            if hit is None:
+                ids, tfs, pos = eng._gather_range_pos(term)
+                hit = (ids, tfs, pos, _packed_keys(ids, tfs, pos))
+                gathered[term] = hit
+            return hit
+
+        for spec in specs:
+            qid = spec["qid"]
+            if spec["kind"] == "phrase":
+                toks = spec["tokens"]
+                if not toks:
+                    continue
+                s = _g(toks[0])[3]
+                for tok in toks[1:]:
+                    if not len(s):
+                        break
+                    s = np.intersect1d(s + 1, _g(tok)[3],
+                                       assume_unique=True)
+                verified = np.unique(s >> 32) if len(s) else s[:0]
+            else:  # near
+                ka = _g(spec["a"])[3]
+                kb = _g(spec["b"])[3]
+                if not len(ka) or not len(kb):
+                    continue
+                slop = int(spec["slop"])
+                win_lo = ka + 1 if spec["ordered"] else ka - slop
+                lo_i = np.searchsorted(kb, win_lo, side="left")
+                hi_i = np.searchsorted(kb, ka + slop, side="right")
+                hit = ka[lo_i < hi_i]
+                verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+            if not len(verified):
+                continue
+            if len(eng.tomb):
+                dead, _ = sorted_member(eng.tomb, verified)
+                verified = verified[~dead]
+                if not len(verified):
+                    continue
+            for term, w in weights.get(qid, ()):
+                ids, tfs, _pos, _k = _g(term)
+                m, _ = sorted_member(verified, ids)
+                if not m.any():
+                    continue
+                sids, stfs = ids[m], tfs[m]
+                sat = tf_saturation(stfs, eng.docs.gather_lens(sids),
+                                    eng.avgdl)
+                out_q.append(np.full(len(sids), qid, dtype=np.int64))
+                out_d.append(eng.docs.gather_ids(sids))
+                out_u.append(np.round(w * sat * SCORE_SCALE).astype(np.int64))
+    if not out_q:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "units": pa.array([], type=pa.int64())})
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        "doc_id": pa.array(np.concatenate(out_d)),
+        "units": pa.array(np.concatenate(out_u)),
+    })
+
+
+def positional_units(index_dir: str, specs: list[dict],
+                     weights: dict[int, list[tuple[str, float]]],
+                     n_ranges: int | None = None):
+    """(query_id, doc_id, units) Dataset from the positional index: same
+    contiguous-ordinal-range fan-out as candidate_ordinals (each task decodes
+    only its range's posting/position blocks), BM25 units complete per
+    (query, doc) because every posting of an in-range doc lands in-range."""
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    if not man.get("positions"):
+        raise ValueError("positional_units requires build_index(positions=True)")
+    n_docs = man["n_docs"]
+    if n_ranges is None:
+        n_ranges = max(1, min(16, (n_docs + 249_999) // 250_000))
+    n_ranges = max(1, min(n_ranges, n_docs))
+    bounds = [(i * n_docs) // n_ranges for i in range(n_ranges + 1)]
+    items = [{"lo": bounds[i], "hi": bounds[i + 1]}
+             for i in range(n_ranges) if bounds[i] < bounds[i + 1]]
+    return rd.from_items(items).map_batches(
+        positional_units_batch, batch_format="pyarrow", batch_size=1,
+        fn_kwargs={"index_dir": index_dir, "specs": specs,
+                   "weights": weights})
+
+
 def candidate_ordinals(index_dir: str, *, any_terms: list[str] | None = None,
                        groups: list[list[str]] | None = None,
                        n_ranges: int | None = None) -> np.ndarray:

@@ -678,6 +678,79 @@ def phrase_topk(sf_dir: str, top_k: int = TOP_K, match: str = "substring"):
                                require_all_terms=(match == "tokens"))
 
 
+def _contract_index_pos(sf_dir: str) -> str:
+    """Shared POSITIONAL contract index (build_index(positions=True)) —
+    cached separately from _contract_index: positional staging carries an
+    extra column, and the non-positional entries must not pay for it."""
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp/splade_ray_contract_pos", key)
+    from .build import fingerprint_files
+
+    fp = fingerprint_files([os.path.join(sf_dir, "documents.parquet")])
+    build_index(corpus_ds(sf_dir), idx, lang_tagged=False, n_shards=8,
+                corpus_fp=fp, positions=True)
+    return idx
+
+
+def _positional_ranked(sf_dir: str, specs: list[dict],
+                       qterms: list[tuple[int, str, int]], top_k: int):
+    """Shared tail of the positional phrase/NEAR pipelines: idf weights from
+    the index stats, verified+scored units from the positional sidecar
+    (phrase.positional_units — NO content fetch), ranked per query."""
+    import math
+
+    from .phrase import index_stats, positional_units
+
+    idx = _contract_index_pos(sf_dir)
+    qt_all = sorted({t for _, t, _ in qterms})
+    n_docs, _avgdl, dfs = index_stats(idx, qt_all)
+    weights: dict[int, list[tuple[str, float]]] = {}
+    for qid, t, qtf in qterms:
+        df = dfs.get(t)
+        if df is None:
+            continue
+        w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        weights.setdefault(qid, []).append((t, qtf * w))
+    summed = (
+        positional_units(idx, specs, weights)
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("units", alias_name="units"))
+    )
+    return summed.groupby("query_id").map_groups(
+        _rank_units_group(top_k), batch_format="pyarrow")
+
+
+def phrase_topk_positional(sf_dir: str, top_k: int = TOP_K):
+    """Token-phrase search answered ENTIRELY from the positional index:
+    candidates, verification (consecutive within-doc token positions) and
+    BM25 scoring all come from the posting + position sidecar — no content
+    fetch, no re-tokenize.  Result-identical to phrase_topk(match="tokens")
+    and to the same SQL oracle (sql.phrase_topk_tokens_sql)."""
+    from .analyzer import tokens_py
+
+    specs = [{"qid": qid, "kind": "phrase", "tokens": tokens_py(ph)}
+             for qid, ph in PHRASE_QUERIES]
+    qterms: list[tuple[int, str, int]] = []
+    for qid, ph in PHRASE_QUERIES:
+        tf: dict[str, int] = {}
+        for tok in tokens_py(ph):
+            tf[tok] = tf.get(tok, 0) + 1
+        qterms.extend((qid, t, n) for t, n in tf.items())
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
+def phrase_near_positional(sf_dir: str, top_k: int = TOP_K,
+                           ordered: bool = True):
+    """NEAR/slop proximity answered entirely from the positional index
+    (same window semantics as phrase_near_topk; oracle
+    sql.phrase_near_topk_sql / sql.phrase_near_unordered_sql)."""
+    specs = [{"qid": qid, "kind": "near", "a": a, "b": b, "slop": slop,
+              "ordered": ordered}
+             for qid, a, b, slop in NEAR_QUERIES]
+    qterms = [(qid, t, 1) for qid, a, b, _ in NEAR_QUERIES for t in (a, b)]
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 # Proximity queries: (qid, first-term, second-term, slop) — second term must
 # appear AFTER the first within ``slop`` token positions (slop 1 = adjacent).
 NEAR_QUERIES: list[tuple[int, str, str, int]] = [

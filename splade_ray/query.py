@@ -234,6 +234,57 @@ class QueryEngine:
             ids, tfs = ids[order], tfs[order]
         return ids, tfs
 
+    def _gather_range_pos(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Range-restricted POSITIONAL postings: (ids, tfs, flat within-doc
+        positions with per-posting counts = tfs), decoding only the posting
+        blocks (and their aligned position regions) overlapping the engine's
+        ordinal range.  Requires an index built with positions=True."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                "index was built without positions=True; "
+                "phrase/NEAR need the positional sidecar (build_index)"
+            )
+        from .codecs import take_slices
+
+        lo, hi = self.ord_range or (0, self.n_docs)
+        parts_i: list[np.ndarray] = []
+        parts_t: list[np.ndarray] = []
+        parts_p: list[np.ndarray] = []
+        for _salt, si, ri in self._term_refs(term)[0]:
+            seg = self.segments[si]
+            meta = seg.meta_at(ri)
+            bl = meta.block_last_docid
+            b_lo = int(np.searchsorted(bl, lo, side="left"))
+            b_hi = min(int(np.searchsorted(bl, hi - 1, side="left")) + 1, len(bl))
+            if b_lo >= b_hi:
+                continue
+            off = int(seg._offsets[ri])
+            ids, tfs = decode_block_range(
+                seg.blob[off : off + meta.nbytes], meta, b_lo, b_hi
+            )
+            pos = seg.positions_range(ri, tfs, b_lo, b_hi)
+            m = (ids >= lo) & (ids < hi)
+            if not bool(m.all()):
+                pos = take_slices(pos, tfs, np.flatnonzero(m))
+                ids, tfs = ids[m], tfs[m]
+            if len(ids):
+                parts_i.append(ids)
+                parts_t.append(tfs)
+                parts_p.append(pos)
+        if not parts_i:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32),
+                    np.empty(0, dtype=np.int64))
+        ids = np.concatenate(parts_i)
+        tfs = np.concatenate(parts_t)
+        pos = np.concatenate(parts_p)
+        if len(parts_i) > 1 and not bool((ids[1:] >= ids[:-1]).all()):
+            order = np.argsort(ids, kind="stable")
+            pos = take_slices(pos, tfs, order)
+            ids, tfs = ids[order], tfs[order]
+        return ids, tfs, pos
+
     def _query_terms(self, query: str, lang: str | None) -> dict[str, int]:
         return analyze_query(
             query,

@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codecs import PostingMeta, decode_postings, encode_postings
+from .codecs import (PostingMeta, decode_positions_range, decode_postings,
+                     encode_positions, encode_postings)
 
 # v3: ordinal postings, doc_len in the forward doclens.bin array
 # v4: dictionary rows sorted lexicographically by (term, salt) — readers
@@ -57,22 +58,38 @@ DICT_SCHEMA = pa.schema(
 class SegmentBuilder:
     """Accumulates encoded posting lists, then writes one segment atomically."""
 
-    def __init__(self, segment_id: str, shard: int):
+    def __init__(self, segment_id: str, shard: int,
+                 with_positions: bool = False):
         self.segment_id = segment_id
         self.shard = shard
+        self.with_positions = with_positions
         self._terms: list[str] = []
         self._salts: list[int] = []
         self._metas: list[PostingMeta] = []
         self._blobs: list[np.ndarray] = []
+        self._pos_blobs: list[np.ndarray] = []
+        self._pos_block_nbytes: list[np.ndarray] = []
         self._lineage: dict = {}
 
     def add(self, term: str, salt: int, doc_ids: np.ndarray, tfs: np.ndarray,
-            dls: np.ndarray, avgdl: float) -> None:
+            dls: np.ndarray, avgdl: float,
+            positions: np.ndarray | None = None) -> None:
+        """``positions`` (required iff the builder was created
+        ``with_positions``): within-doc token positions of every posting,
+        flattened in posting order (per-posting counts = ``tfs``)."""
+        if (positions is None) == self.with_positions:
+            raise ValueError(
+                "positions must be passed iff SegmentBuilder(with_positions=True)"
+            )
         blob, meta = encode_postings(doc_ids, tfs, dls, avgdl)
         self._terms.append(term)
         self._salts.append(salt)
         self._metas.append(meta)
         self._blobs.append(blob)
+        if self.with_positions:
+            pblob, pnb = encode_positions(tfs, positions, meta.block_count)
+            self._pos_blobs.append(pblob)
+            self._pos_block_nbytes.append(pnb)
 
     def set_lineage(self, **kv) -> None:
         self._lineage.update(kv)
@@ -109,6 +126,24 @@ class SegmentBuilder:
                                             type=pa.list_(pa.float32())),
             }
         )
+        if self.with_positions:
+            pos_blob = (np.concatenate(self._pos_blobs) if self._pos_blobs
+                        else np.empty(0, dtype=np.uint8))
+            pos_offsets = np.zeros(len(self._pos_blobs), dtype=np.int64)
+            if len(self._pos_blobs) > 1:
+                np.cumsum([len(b) for b in self._pos_blobs[:-1]],
+                          out=pos_offsets[1:])
+            with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+                f.write(pos_blob.tobytes())
+            table = table.append_column(
+                "pos_offset", pa.array(pos_offsets))
+            table = table.append_column(
+                "pos_nbytes",
+                pa.array([len(b) for b in self._pos_blobs], type=pa.int64()))
+            table = table.append_column(
+                "block_pos_nbytes",
+                pa.array([x.tolist() for x in self._pos_block_nbytes],
+                         type=pa.list_(pa.int32())))
         pq.write_table(table, os.path.join(tmp, "dict.parquet"))
         manifest = {
             "format_version": FORMAT_VERSION,
@@ -120,6 +155,10 @@ class SegmentBuilder:
             "postings_sha256": hashlib.sha256(blob.tobytes()).hexdigest(),
             "lineage": self._lineage,
         }
+        if self.with_positions:
+            manifest["positions"] = True
+            manifest["positions_sha256"] = hashlib.sha256(
+                pos_blob.tobytes()).hexdigest()
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         if os.path.exists(out_dir):
@@ -144,6 +183,14 @@ def validate_segment(seg_dir: str) -> dict | None:
             sha = hashlib.sha256(f.read()).hexdigest()
         if sha != manifest.get("postings_sha256"):
             return None
+        if manifest.get("positions"):
+            ppath = os.path.join(seg_dir, "positions.bin")
+            if not os.path.exists(ppath):
+                return None
+            with open(ppath, "rb") as f:
+                psha = hashlib.sha256(f.read()).hexdigest()
+            if psha != manifest.get("positions_sha256"):
+                return None
         return manifest
     except (json.JSONDecodeError, OSError):
         return None
@@ -160,7 +207,9 @@ class SegmentReader:
     def __init__(self, seg_dir: str):
         self.dir = seg_dir
         with open(os.path.join(seg_dir, "manifest.json")) as f:
-            fv = json.load(f).get("format_version")
+            _man = json.load(f)
+        fv = _man.get("format_version")
+        self.has_positions = bool(_man.get("positions"))
         if fv != FORMAT_VERSION:
             # a pre-v3 segment would misdecode silently (postings carried
             # doc_len then); cheap manifest check instead of a silent wrong read
@@ -180,6 +229,15 @@ class SegmentReader:
         self._terms = self.dict["term"].combine_chunks()
         self._meta_cache: dict[int, PostingMeta] = {}
         self._offsets = self.dict["offset"].to_numpy(zero_copy_only=False)
+        self.pos_blob = None
+        if self.has_positions:
+            ppath = os.path.join(seg_dir, "positions.bin")
+            self.pos_blob = (
+                np.memmap(ppath, dtype=np.uint8, mode="r")
+                if os.path.getsize(ppath) else np.empty(0, dtype=np.uint8))
+            self._pos_offsets = self.dict["pos_offset"].to_numpy(
+                zero_copy_only=False)
+            self._pos_bnb_cache: dict[int, np.ndarray] = {}
 
     def term_rows(self, term: str) -> range:
         """Dict-row range for ``term`` (one row per salt), via binary search
@@ -224,6 +282,32 @@ class SegmentReader:
         off = int(self._offsets[i])
         return decode_postings(self.blob[off : off + meta.nbytes], meta)
 
+    def pos_block_nbytes_at(self, i: int) -> np.ndarray:
+        cached = self._pos_bnb_cache.get(i)
+        if cached is None:
+            cached = np.asarray(self.dict["block_pos_nbytes"][i].as_py(),
+                                dtype=np.int32)
+            self._pos_bnb_cache[i] = cached
+        return cached
+
+    def positions_range(self, i: int, tfs: np.ndarray,
+                        b_lo: int, b_hi: int) -> np.ndarray:
+        """Flat within-doc positions for posting blocks [b_lo, b_hi) of dict
+        row ``i``; ``tfs`` are the tfs decoded from the SAME block range
+        (they carry the per-posting counts)."""
+        if not self.has_positions:
+            raise ValueError(f"segment {self.dir} has no positional sidecar")
+        bnb = self.pos_block_nbytes_at(i)
+        off = int(self._pos_offsets[i])
+        nbytes = int(self.dict["pos_nbytes"][i].as_py())
+        return decode_positions_range(
+            self.pos_blob[off : off + nbytes], bnb, tfs, b_lo, b_hi)
+
+    def positions_at(self, i: int, tfs: np.ndarray) -> np.ndarray:
+        """Whole-list flat positions for dict row ``i`` (counts = ``tfs``)."""
+        meta = self.meta_at(i)
+        return self.positions_range(i, tfs, 0, len(meta.block_count))
+
 
 def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
                    shard: int, avgdl: float, doclens: np.ndarray,
@@ -247,11 +331,17 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
     without re-sorting.
     """
     readers = [SegmentReader(d) for d in seg_dirs]
+    with_pos = bool(readers) and all(r.has_positions for r in readers)
+    if not with_pos and any(r.has_positions for r in readers):
+        raise ValueError(
+            "cannot merge positional and non-positional segments; "
+            "rebuild the non-positional inputs with positions=True"
+        )
     keys: set[tuple[str, int]] = set()
     for r in readers:
         for t, s in zip(r.dict["term"].to_pylist(), r.dict["salt"].to_pylist()):
             keys.add((t, s))
-    builder = SegmentBuilder(segment_id, shard)
+    builder = SegmentBuilder(segment_id, shard, with_positions=with_pos)
     builder.set_lineage(merged_from=[os.path.basename(d) for d in seg_dirs])
     for term, salt in sorted(keys):
         parts = []
@@ -259,22 +349,33 @@ def merge_segments(seg_dirs: list[str], out_dir: str, segment_id: str,
             for i in r.term_rows(term):
                 if r.dict["salt"][i].as_py() == salt:
                     ids, tfs_p = r.postings_at(i)
+                    pos_p = r.positions_at(i, tfs_p) if with_pos else None
                     if id_maps is not None:
                         ids = np.searchsorted(new_map, id_maps[ri][ids])
-                    parts.append((ids, tfs_p))
+                    parts.append((ids, tfs_p, pos_p))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         order = np.argsort(ids, kind="stable")
-        ids, tfs = ids[order], tfs[order]
-        keep = np.ones(len(ids), dtype=bool)
-        if len(ids) > 1:
-            dup = ids[1:] == ids[:-1]
-            if dup.any() and (tfs[1:][dup] != tfs[:-1][dup]).any():
+        ids_o, tfs_o = ids[order], tfs[order]
+        keep = np.ones(len(ids_o), dtype=bool)
+        if len(ids_o) > 1:
+            dup = ids_o[1:] == ids_o[:-1]
+            if dup.any() and (tfs_o[1:][dup] != tfs_o[:-1][dup]).any():
                 raise ValueError(
                     f"doc_id collision with conflicting tf for term {term!r}"
                 )
             keep[1:] = ~dup
-        kept_ids = ids[keep]
-        builder.add(term, salt, kept_ids, tfs[keep],
-                    np.asarray(doclens)[kept_ids], avgdl)
+        kept_ids = ids_o[keep]
+        positions = None
+        if with_pos:
+            # reorder + dedup the variable-length position slices alongside
+            # their postings (vectorized slice gather; duplicate postings are
+            # the same deterministic doc, so the first copy's positions win)
+            from .codecs import take_slices
+
+            flat_pos = np.concatenate([p[2] for p in parts])
+            positions = take_slices(flat_pos, tfs, order[keep])
+        builder.add(term, salt, kept_ids, tfs_o[keep],
+                    np.asarray(doclens)[kept_ids], avgdl,
+                    positions=positions)
     return builder.write(out_dir)
