@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verified and scored ENTIRELY from the index — no content fetch
         "phrase_topk_positional": p.phrase_topk_positional,
         "phrase_near_positional": p.phrase_near_positional,
+        "phrase_near_positional_unordered": lambda sf: p.phrase_near_positional(
+            sf, ordered=False),
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
             p.PHRASE_QUERIES, TOP_K),
         "phrase_near_positional": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K),
+        "phrase_near_positional_unordered": sql.phrase_near_topk_sql(
+            p.NEAR_QUERIES, TOP_K, ordered=False),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -213,6 +213,19 @@ def main() -> None:
     timings["phrase_vs_bm25_ratio"] = round(
         timings["phrase_topk_tokens_sec"] / timings["bm25_topk_documents_sec"],
         2)
+    # positional serving path (build_index(positions=True)): phrase verified
+    # + scored ENTIRELY from the posting sidecar — no candidate content
+    # fetch.  First call may build the positional contract index (cached
+    # under /tmp across runs); the warm second call is the serving number.
+    t0 = time.perf_counter()
+    pipelines.phrase_topk_positional(SF_DIR).count()
+    timings["phrase_positional_first_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.phrase_topk_positional(SF_DIR).count()
+    timings["phrase_positional_sec"] = round(time.perf_counter() - t0, 3)
+    timings["phrase_positional_vs_bm25_ratio"] = round(
+        timings["phrase_positional_sec"] / timings["bm25_topk_documents_sec"],
+        2)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

@@ -1,7 +1,8 @@
 """Command-line entry points — the reference's runnable scripts, re-expressed.
 
-    python -m splade_ray.cli build  --corpus DIR --index DIR [--lang-tagged]
+    python -m splade_ray.cli build  --corpus DIR --index DIR [--lang-tagged] [--positions]
     python -m splade_ray.cli query  --index DIR "free text query" [--lang py]
+    python -m splade_ray.cli phrase --index DIR "exact phrase" | --near A B --slop N
     python -m splade_ray.cli eval   --index DIR --queries Q.csv --out R.csv
     python -m splade_ray.cli merge  --index A --index B --out DIR
     python -m splade_ray.cli delete --index DIR --ids 1,2,3 | --ids-file F
@@ -49,7 +50,7 @@ def cmd_build(args) -> int:
     manifest = build_index(
         rd.read_parquet(args.corpus), args.index,
         lang_tagged=args.lang_tagged, n_shards=args.n_shards,
-        overwrite=args.overwrite,
+        overwrite=args.overwrite, positions=args.positions,
     )
     print(f"built {manifest['n_docs']} docs, {manifest['n_postings']} postings,"
           f" {len(manifest['segments'])} segments -> {args.index}")
@@ -67,6 +68,50 @@ def cmd_query(args) -> int:
         print("no results")
         return 0
     for rank, (d, u) in enumerate(zip(ids, units), start=1):
+        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}")
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    """Phrase / NEAR search served entirely from a positional index
+    (``build --positions``): exact consecutive-token phrases, or
+    ``--near A B --slop N`` proximity, ranked by BM25 over the matched
+    docs.  No content fetch — everything comes from the posting sidecar."""
+    import math
+
+    from .analyzer import tokens_py
+    from .build import SCORE_SCALE
+    from .phrase import index_stats, positional_units
+
+    _ensure_ray()
+    if args.near:
+        a, b = args.near
+        spec = {"qid": 0, "kind": "near", "a": a, "b": b,
+                "slop": args.slop, "ordered": not args.unordered}
+        terms = [a, b]
+    else:
+        toks = tokens_py(args.text)
+        if not toks:
+            print("no results (empty phrase)")
+            return 0
+        spec = {"qid": 0, "kind": "phrase", "tokens": toks}
+        terms = toks
+    qtf: dict[str, int] = {}
+    for t in terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    n_docs, _avgdl, dfs = index_stats(args.index, sorted(qtf))
+    weights = {0: [
+        (t, c * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for t, c in qtf.items() if t in dfs]}
+    res = (positional_units(args.index, [spec], weights)
+           .groupby(["query_id", "doc_id"]).sum("units").to_pandas())
+    if res.empty:
+        print("no results")
+        return 0
+    res = res.sort_values(["sum(units)", "doc_id"],
+                          ascending=[False, True]).head(args.k)
+    for rank, (d, u) in enumerate(zip(res["doc_id"], res["sum(units)"]),
+                                  start=1):
         print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}")
     return 0
 
@@ -177,6 +222,9 @@ def main(argv=None) -> int:
     b.add_argument("--lang-tagged", action="store_true")
     b.add_argument("--n-shards", type=int, default=32)
     b.add_argument("--overwrite", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store per-posting token positions (enables the "
+                        "index-native `phrase` command)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
@@ -186,6 +234,20 @@ def main(argv=None) -> int:
     q.add_argument("--lang", default="")
     q.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
     q.set_defaults(fn=cmd_query)
+
+    ph = sub.add_parser("phrase")
+    ph.add_argument("text", nargs="?", default="",
+                    help="exact phrase (token-consecutive)")
+    ph.add_argument("--index", required=True,
+                    help="index built with --positions")
+    ph.add_argument("--k", type=int, default=10)
+    ph.add_argument("--near", nargs=2, metavar=("A", "B"),
+                    help="proximity instead of phrase: terms A and B "
+                         "within --slop tokens")
+    ph.add_argument("--slop", type=int, default=8)
+    ph.add_argument("--unordered", action="store_true",
+                    help="NEAR in either order (default: A before B)")
+    ph.set_defaults(fn=cmd_phrase)
 
     e = sub.add_parser("eval")
     e.add_argument("--index", required=True)

@@ -143,6 +143,20 @@ def _range_candidates_batch(t: pa.Table, *, index_dir: str,
 # the SQL oracle (round(qtf*idf*sat*SCORE_SCALE)).
 
 
+def _ordinal_ranges(n_docs: int, n_ranges: int | None) -> list[dict]:
+    """Contiguous ordinal ranges for the fan-out tasks.  Default: one task
+    per ~250k docs, capped at 128 (a task's fixed cost is one lazy
+    QueryEngine init; its variable cost is the query terms' posting blocks
+    overlapping the range, so more ranges = finer parallelism on a big
+    cluster — callers pass n_ranges explicitly to go wider)."""
+    if n_ranges is None:
+        n_ranges = max(1, min(128, (n_docs + 249_999) // 250_000))
+    n_ranges = max(1, min(n_ranges, n_docs))
+    bounds = [(i * n_docs) // n_ranges for i in range(n_ranges + 1)]
+    return [{"lo": bounds[i], "hi": bounds[i + 1]}
+            for i in range(n_ranges) if bounds[i] < bounds[i + 1]]
+
+
 def _packed_keys(ids: np.ndarray, tfs: np.ndarray,
                  pos: np.ndarray) -> np.ndarray:
     """(ordinal << 32 | within-doc position), sorted by construction."""
@@ -245,13 +259,7 @@ def positional_units(index_dir: str, specs: list[dict],
         man = json.load(f)
     if not man.get("positions"):
         raise ValueError("positional_units requires build_index(positions=True)")
-    n_docs = man["n_docs"]
-    if n_ranges is None:
-        n_ranges = max(1, min(16, (n_docs + 249_999) // 250_000))
-    n_ranges = max(1, min(n_ranges, n_docs))
-    bounds = [(i * n_docs) // n_ranges for i in range(n_ranges + 1)]
-    items = [{"lo": bounds[i], "hi": bounds[i + 1]}
-             for i in range(n_ranges) if bounds[i] < bounds[i + 1]]
+    items = _ordinal_ranges(man["n_docs"], n_ranges)
     return rd.from_items(items).map_batches(
         positional_units_batch, batch_format="pyarrow", batch_size=1,
         fn_kwargs={"index_dir": index_dir, "specs": specs,
@@ -265,20 +273,14 @@ def candidate_ordinals(index_dir: str, *, any_terms: list[str] | None = None,
 
     Exactly one of ``any_terms`` (union semantics) / ``groups``
     (per-group intersection, unioned) must be given.  The fan-out uses
-    ``n_ranges`` contiguous ordinal ranges (default: enough that each task
-    covers <= ~250k docs, capped at 16 — one task per range)."""
+    ``n_ranges`` contiguous ordinal ranges (see _ordinal_ranges)."""
     if (any_terms is None) == (groups is None):
         raise ValueError("pass exactly one of any_terms / groups")
     import ray.data as rd
 
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
-    if n_ranges is None:
-        n_ranges = max(1, min(16, (n_docs + 249_999) // 250_000))
-    n_ranges = max(1, min(n_ranges, n_docs))
-    bounds = [(i * n_docs) // n_ranges for i in range(n_ranges + 1)]
-    items = [{"lo": bounds[i], "hi": bounds[i + 1]}
-             for i in range(n_ranges) if bounds[i] < bounds[i + 1]]
+    items = _ordinal_ranges(n_docs, n_ranges)
     rows = (
         rd.from_items(items)
         .map_batches(_range_candidates_batch, batch_format="pyarrow",

@@ -120,6 +120,42 @@ def test_cli_build_query_eval(tmp_path):
     assert len(lines) > 1
 
 
+def test_cli_positional_build_and_phrase(tmp_path):
+    """`build --positions` + the `phrase` command (phrase and NEAR modes),
+    end-to-end in subprocesses."""
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.corpus import corpus_parquet, generate_corpus
+
+    corpus = corpus_parquet(400, seed=17)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "build", "--corpus", corpus,
+         "--index", idx, "--n-shards", "4", "--positions"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0 and "built" in r.stdout, r.stdout + r.stderr
+    # a phrase guaranteed present: first two tokens of some doc
+    tbl = generate_corpus(400, seed=17)
+    toks = next(t for t in (tokens_py(x) for x in tbl["content"].to_pylist()
+                            if x and x.strip()) if len(t) >= 2)
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "phrase",
+         " ".join(toks[:2]), "--index", idx],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert len(r.stdout.strip().splitlines()) > 0
+    assert "no results" not in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "phrase", "--index", idx,
+         "--near", toks[0], toks[1], "--slop", "5", "--unordered"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert len(r.stdout.strip().splitlines()) > 0
+
+
 @pytest.mark.timeout(300)
 def test_changed_corpus_invalidates_checkpoints(ray_session):
     """Checkpoint binding (corpus_fp): re-running build_index into the same
