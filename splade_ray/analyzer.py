@@ -290,29 +290,55 @@ def doc_token_positions_from_flat(
     order with ascending positions inside each term's group — i.e. the
     per-(doc, term) position list is the slice of ``positions`` whose
     length is that term's tf.  This is the numbering the token-phrase /
-    NEAR verify kernels use (pipelines._token_phrase_flags)."""
-    terms, tfs, doc_len = doc_token_stats_from_flat(flat, parents, n_rows)
+    NEAR verify kernels use (pipelines._token_phrase_flags).
+
+    One pass: the dictionary encode, vocab lex-sort, and the single stable
+    (parent, term)-key sort below yield BOTH the stats (run-change points
+    replace doc_token_stats_from_flat's np.unique) and the position
+    permutation — nothing is computed twice (this runs per staging batch
+    over the whole corpus when positions=True)."""
+    doc_len = np.bincount(parents, minlength=n_rows).astype(np.int32)
     if len(flat) == 0:
-        empty_pos = pa.ListArray.from_arrays(
-            pa.array(np.zeros(n_rows + 1, dtype=np.int32)),
-            pa.array([], type=pa.int32()))
-        return terms, tfs, doc_len, empty_pos
+        zero32 = pa.array(np.zeros(n_rows + 1, dtype=np.int32))
+        return (
+            pa.ListArray.from_arrays(zero32, pa.array([], type=pa.string())),
+            pa.ListArray.from_arrays(zero32, pa.array([], type=pa.int32())),
+            doc_len,
+            pa.ListArray.from_arrays(zero32, pa.array([], type=pa.int32())),
+        )
     enc = pc.dictionary_encode(flat)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary
     lex = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False)
     rank = np.empty(len(vocab), dtype=np.int64)
     rank[lex] = np.arange(len(vocab))
+    # ONE stable sort by (parent, lex term): runs give the per-(doc, term)
+    # stats, the permutation groups positions by term with ascending
+    # positions inside each group
+    keys = parents * len(vocab) + rank[codes]
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    change = np.empty(len(sk), dtype=bool)
+    change[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    uniq = sk[starts]
+    counts = np.diff(np.append(starts, len(sk)))
+    pair_parent = uniq // len(vocab)
+    pair_rank = uniq % len(vocab)
+    offsets = np.searchsorted(pair_parent, np.arange(n_rows + 1)) \
+        .astype(np.int32)
+    terms = pa.ListArray.from_arrays(
+        pa.array(offsets), vocab.take(pa.array(lex[pair_rank])))
+    tfs = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(counts.astype(np.int32)))
     row_start = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(doc_len[:-1], out=row_start[1:])
     pos_in_row = np.arange(len(parents), dtype=np.int64) - row_start[parents]
-    # stable sort by (parent, lex term) keeps each group's positions ascending
-    keys = parents * len(vocab) + rank[codes]
-    order = np.argsort(keys, kind="stable")
-    offsets = np.zeros(n_rows + 1, dtype=np.int32)
-    np.cumsum(doc_len, out=offsets[1:])
+    pos_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(doc_len, out=pos_offsets[1:])
     positions = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(pos_in_row[order].astype(np.int32)))
+        pa.array(pos_offsets), pa.array(pos_in_row[order].astype(np.int32)))
     return terms, tfs, doc_len, positions
 
 

@@ -395,7 +395,11 @@ def _finished_manifest(index_dir: str, corpus_fp: str, *, lang_tagged: bool,
         return None
     seg_root = os.path.join(index_dir, "segments")
     for s in man.get("segments", []):
-        if validate_segment(os.path.join(seg_root, s["segment_id"])) is None:
+        # quick (size-only) validation: the fast path runs on EVERY warm
+        # serving call — re-hashing the whole index per call would be
+        # O(index bytes); the slow-resume paths keep the full sha check
+        if validate_segment(os.path.join(seg_root, s["segment_id"]),
+                            quick=True) is None:
             return None
     return man
 

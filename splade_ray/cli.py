@@ -86,6 +86,11 @@ def cmd_phrase(args) -> int:
     _ensure_ray()
     if args.near:
         a, b = args.near
+        if a == b:
+            # the window kernel (and the SQL oracle) require distinct terms:
+            # with a == b every occurrence self-matches in unordered mode
+            print("error: --near terms must differ", file=sys.stderr)
+            return 2
         spec = {"qid": 0, "kind": "near", "a": a, "b": b,
                 "slop": args.slop, "ordered": not args.unordered}
         terms = [a, b]

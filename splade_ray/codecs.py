@@ -319,7 +319,13 @@ def encode_positions(
     block_pos_nbytes = np.diff(
         np.concatenate([[0], nb_csum[tf_csum[post_ends]]])
     ).astype(np.int32)
-    assert int(block_pos_nbytes.sum()) == len(blob)
+    if int(block_pos_nbytes.sum()) != len(blob):
+        # not an assert: this invariant guards the on-disk sidecar layout
+        # and must hold under python -O too
+        raise ValueError(
+            f"position region sizes ({int(block_pos_nbytes.sum())}) disagree "
+            f"with encoded blob ({len(blob)} bytes)"
+        )
     return blob, block_pos_nbytes
 
 

@@ -136,8 +136,18 @@ def shard_tombstones(index_dir: str,
     with _index_lock(index_dir):
         docs = open_doc_arrays(index_dir)
         ords = tombstone_ordinals(index_dir, docs)
-        n = _write_tomb_shards(index_dir, ords, shard_size)
         flat = os.path.join(index_dir, TOMBSTONES)
+        # crash safety for RE-sharding: _write_tomb_shards rmtree's the old
+        # tombstones.d before the new ranges.json lands, so a kill in that
+        # window would otherwise leave NO readable layout.  Persist the set
+        # as the flat id file first — readers prefer the sharded manifest,
+        # so the flat copy is dead weight until a crash makes it the
+        # fallback; it is removed once the new layout is complete.
+        if len(ords):
+            tmp = flat + ".tmp"
+            docs.gather_ids(ords).astype(np.int64).tofile(tmp)
+            os.replace(tmp, flat)
+        n = _write_tomb_shards(index_dir, ords, shard_size)
         if os.path.exists(flat):
             os.remove(flat)
     return n

@@ -72,18 +72,20 @@ def _pil_image_module():
     return Image
 
 
-def _decode_payload(buf: bytes, mode: str) -> tuple[int, int, bytes]:
+def _decode_payload(buf: bytes, mode: str,
+                    pil=None) -> tuple[int, int, bytes]:
     """One payload -> (width, height, raster bytes).
 
     ``mode="pil"`` decodes real image formats through PIL when the library
     is present (grayscale raster, so the output contract matches the SRIM
     body layout exactly) — the production swap-in, behind the same
     interface, lighting up without code changes in a container that ships
-    PIL.  ``mode="strict"`` keeps the loudly-marked stub for containers
-    without any codec.  ``mode="fake"`` parses the deterministic SRIM
-    header (tests)."""
+    PIL.  Per-row callers pass the actor's probed module via ``pil`` so the
+    probe stays once-per-actor.  ``mode="strict"`` keeps the loudly-marked
+    stub for containers without any codec.  ``mode="fake"`` parses the
+    deterministic SRIM header (tests)."""
     if mode == "pil":
-        Image = _pil_image_module()
+        Image = pil if pil is not None else _pil_image_module()
         if Image is None:
             raise NotImplementedError(
                 "decode='pil' requires PIL, which is not installed in this "
@@ -177,10 +179,12 @@ class MediaFeatures:
     def __init__(self, decode: str = "fake", feature_dim: int = 8):
         self.decode = decode
         self.dim = feature_dim
+        self._pil = None
         if decode == "pil":
             # probe the real codec ONCE per actor (the ST2 init slot where
             # model/codec state belongs); fails fast and loud if absent
-            if _pil_image_module() is None:
+            self._pil = _pil_image_module()
+            if self._pil is None:
                 raise NotImplementedError(
                     "decode='pil' requires PIL in the worker environment")
 
@@ -198,7 +202,7 @@ class MediaFeatures:
             mean = np.empty(n, dtype=np.float64)
             for i in range(n):
                 wi, hi, body = _decode_payload(
-                    bytes(mv[starts[i]:ends[i]]), "pil")
+                    bytes(mv[starts[i]:ends[i]]), "pil", pil=self._pil)
                 w[i], h[i] = wi, hi
                 arr = np.frombuffer(body, dtype=np.uint8)
                 mean[i] = float(arr.mean()) if len(arr) else 0.0

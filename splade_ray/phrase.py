@@ -207,6 +207,11 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                                        assume_unique=True)
                 verified = np.unique(s >> 32) if len(s) else s[:0]
             else:  # near
+                if spec["a"] == spec["b"]:
+                    raise ValueError(
+                        "NEAR terms must differ (with a == b every "
+                        "occurrence self-matches in the unordered window)"
+                    )
                 ka = _g(spec["a"])[3]
                 kb = _g(spec["b"])[3]
                 if not len(ka) or not len(kb):

@@ -153,12 +153,14 @@ class SegmentBuilder:
             "n_postings": int(sum(m.df for m in self._metas)),
             "sum_tf": int(sum(m.cf for m in self._metas)),
             "postings_sha256": hashlib.sha256(blob.tobytes()).hexdigest(),
+            "postings_nbytes": int(blob.nbytes),  # validate_segment quick mode
             "lineage": self._lineage,
         }
         if self.with_positions:
             manifest["positions"] = True
             manifest["positions_sha256"] = hashlib.sha256(
                 pos_blob.tobytes()).hexdigest()
+            manifest["positions_nbytes"] = int(pos_blob.nbytes)
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         if os.path.exists(out_dir):
@@ -167,8 +169,15 @@ class SegmentBuilder:
         return manifest
 
 
-def validate_segment(seg_dir: str) -> dict | None:
-    """Return the manifest if the segment is complete and checksum-valid."""
+def validate_segment(seg_dir: str, quick: bool = False) -> dict | None:
+    """Return the manifest if the segment is complete and checksum-valid.
+
+    ``quick=True`` checks recorded byte SIZES instead of re-hashing the
+    blobs — O(#files) stat calls instead of O(index bytes) of I/O, which is
+    what the warm fast-resume path (build_index re-entry per serving call)
+    needs; size mismatch catches the realistic failure (truncated/partial
+    write).  Resume-after-corruption paths keep the full sha.  Segments
+    written before the size fields existed fall back to the full check."""
     mpath = os.path.join(seg_dir, "manifest.json")
     bpath = os.path.join(seg_dir, "postings.bin")
     dpath = os.path.join(seg_dir, "dict.parquet")
@@ -179,6 +188,15 @@ def validate_segment(seg_dir: str) -> dict | None:
             manifest = json.load(f)
         if manifest.get("format_version") != FORMAT_VERSION:
             return None  # stale format (e.g. pre-ordinal postings): rebuild
+        if quick and "postings_nbytes" in manifest:
+            if os.path.getsize(bpath) != manifest["postings_nbytes"]:
+                return None
+            if manifest.get("positions"):
+                ppath = os.path.join(seg_dir, "positions.bin")
+                if (not os.path.exists(ppath) or os.path.getsize(ppath)
+                        != manifest.get("positions_nbytes")):
+                    return None
+            return manifest
         with open(bpath, "rb") as f:
             sha = hashlib.sha256(f.read()).hexdigest()
         if sha != manifest.get("postings_sha256"):

@@ -416,3 +416,27 @@ def test_sharded_tombstone_layout(ray_session):
         b = _as_l(QueryEngine(ctwin, k=10, scorer=scorer).search_one(q, None))
         assert a == b
     assert not os.path.isdir(os.path.join(cdir, TOMB_DIR))
+
+
+def test_reshard_tombstones_preserves_set(ray_session):
+    """Re-sharding an ALREADY-sharded layout (new shard_size) preserves the
+    delete set exactly and leaves no flat remnant (the flat safety copy
+    written for crash-tolerance is removed once the new layout lands)."""
+    from splade_ray.delete import shard_tombstones
+
+    tbl = generate_corpus(200, seed=45)
+    idx = os.path.join(ROOT, "reshard_tomb")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(tbl), idx, **KW)
+    from splade_ray.build import read_docs
+
+    ids = np.sort(np.asarray(
+        [r["doc_id"] for r in read_docs(idx, columns=["doc_id"]).take_all()],
+        dtype=np.int64))
+    delete_docs(idx, ids[::5])
+    want = read_tombstones(idx).tolist()
+    shard_tombstones(idx, shard_size=16)
+    assert read_tombstones(idx).tolist() == want
+    shard_tombstones(idx, shard_size=64)  # re-shard within the sharded layout
+    assert read_tombstones(idx).tolist() == want
+    assert not os.path.exists(os.path.join(idx, "tombstones.bin"))

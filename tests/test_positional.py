@@ -421,3 +421,14 @@ def test_positions_flag_invalidates_resume(ray_session, tmp_path):
     m3 = build_index(rd.read_parquet(str(src)), idx, lang_tagged=False,
                      n_shards=2)
     assert not m3.get("positions")
+
+
+def test_near_identical_terms_rejected(built):
+    """NEAR with a == b would self-match every occurrence in unordered
+    mode; the kernel refuses (the CLI rejects it earlier with an error)."""
+    import ray.exceptions
+
+    specs = [{"qid": 1, "kind": "near", "a": "def", "b": "def",
+              "slop": 3, "ordered": False}]
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        positional_units(IDX, specs, {1: [("def", 1.0)]}).take_all()

@@ -154,3 +154,35 @@ def test_pre_v3_index_refused(tmp_path, ray_session):
         json.dump(sm, f)
     with pytest.raises(ValueError, match="format_version"):
         SegmentReader(seg)
+
+
+def test_quick_validation_checks_sizes_not_hashes(tmp_path):
+    """quick=True catches truncation via recorded byte sizes (no re-hash);
+    a bit-flip that preserves size passes quick but fails the full check —
+    the documented trade: the fast-resume path guards against partial
+    writes, resume-after-corruption keeps the sha."""
+    seg = _mk_segment(tmp_path, "q", 0, {("t", 0): ([1, 2, 3], [1, 2, 1]),
+                                         ("u", 0): ([5], [4])})
+    assert validate_segment(seg, quick=True) is not None
+    bpath = os.path.join(seg, "postings.bin")
+    blob = open(bpath, "rb").read()
+    # truncation: quick mode must refuse
+    with open(bpath, "wb") as f:
+        f.write(blob[:-1])
+    assert validate_segment(seg, quick=True) is None
+    assert validate_segment(seg) is None
+    # same-size corruption: quick passes (by design), full sha refuses
+    with open(bpath, "wb") as f:
+        f.write(bytes([blob[0] ^ 0xFF]) + blob[1:])
+    assert validate_segment(seg, quick=True) is not None
+    assert validate_segment(seg) is None
+    # restore -> both pass again
+    with open(bpath, "wb") as f:
+        f.write(blob)
+    assert validate_segment(seg) is not None
+    # a legacy manifest without the size fields falls back to the full sha
+    mpath = os.path.join(seg, "manifest.json")
+    m = json.load(open(mpath))
+    del m["postings_nbytes"]
+    json.dump(m, open(mpath, "w"))
+    assert validate_segment(seg, quick=True) is not None
