@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_near_positional": p.phrase_near_positional,
         "phrase_near_positional_unordered": lambda sf: p.phrase_near_positional(
             sf, ordered=False),
+        # dictionary-rewrite queries through the same index (Lucene
+        # PrefixQuery / BooleanQuery class, no Milvus analogue)
+        "prefix_topk": p.prefix_topk,
+        "bool_topk": p.bool_topk,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -104,6 +108,8 @@ def oracle_sql() -> dict[str, str]:
             p.NEAR_QUERIES, TOP_K),
         "phrase_near_positional_unordered": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K, ordered=False),
+        "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
+        "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

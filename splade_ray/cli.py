@@ -63,7 +63,15 @@ def cmd_query(args) -> int:
 
     _ensure_ray()
     engine = QueryEngine(args.index, k=args.k, scorer=args.scorer)
-    ids, units = engine.search_one(args.text, args.lang or None)
+    lang = args.lang or None
+    if args.prefix:
+        ids, units = engine.search_prefix(args.text, lang)
+    elif args.must or args.must_not:
+        should = [args.text] if args.text else []
+        ids, units = engine.search_bool(args.must or [], should,
+                                        args.must_not or [], lang)
+    else:
+        ids, units = engine.search_one(args.text, lang)
     if len(ids) == 0:
         print("no results")
         return 0
@@ -238,6 +246,13 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--lang", default="")
     q.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
+    q.add_argument("--prefix", action="store_true",
+                   help="treat TEXT as a term prefix (PrefixQuery)")
+    q.add_argument("--must", action="append", default=[],
+                   help="boolean mode: required token (repeatable); "
+                        "TEXT becomes the should-clause")
+    q.add_argument("--must-not", action="append", default=[], dest="must_not",
+                   help="boolean mode: excluded token (repeatable)")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")

@@ -57,13 +57,10 @@ class OracleIndex:
         df = len(self.postings.get(term, {}))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def search(self, query: str, lang: str | None = None, k: int = 10):
-        """Top-k [(doc_id, score_float)], integer-quantized, doc_id tie-break."""
-        qterms = analyze_query(
-            query,
-            lang if (self.lang_tagged and lang) else None,
-            self.langs if self.lang_tagged else None,
-        )
+    def _rank_qterms(self, qterms: dict[str, int], k: int,
+                     allowed: set[int] | None = None,
+                     banned: set[int] | None = None):
+        """Accumulate quantized units over a {term: qtf} bag, filter, rank."""
         acc: dict[int, int] = {}
         for term, qtf in qterms.items():
             plist = self.postings.get(term)
@@ -78,7 +75,69 @@ class OracleIndex:
                 sat = (self.k1 + 1) * tf / denom
                 acc[did] = acc.get(did, 0) + round(qtf * w * sat * SCORE_SCALE)
         ranked = sorted(
-            ((u, did) for did, u in acc.items() if u > 0),
+            ((u, did) for did, u in acc.items()
+             if u > 0
+             and (allowed is None or did in allowed)
+             and (banned is None or did not in banned)),
             key=lambda x: (-x[0], x[1]),
         )[:k]
         return [(did, u / SCORE_SCALE) for u, did in ranked]
+
+    def search(self, query: str, lang: str | None = None, k: int = 10):
+        """Top-k [(doc_id, score_float)], integer-quantized, doc_id tie-break."""
+        qterms = analyze_query(
+            query,
+            lang if (self.lang_tagged and lang) else None,
+            self.langs if self.lang_tagged else None,
+        )
+        return self._rank_qterms(qterms, k)
+
+    # ------------------------------------------------- prefix / boolean ---
+    def _variants(self, tok: str, lang: str | None) -> list[str]:
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            return [f"{lg}:{tok}" for lg in langs]
+        return [tok]
+
+    def search_prefix(self, prefix: str, lang: str | None = None,
+                      k: int = 10):
+        """QueryEngine.search_prefix ground truth: linear dictionary scan."""
+        toks = tokens_py(prefix)
+        if not toks:
+            return []
+        qterms = {
+            t: 1
+            for key in self._variants(toks[0], lang)
+            for t in self.postings
+            if t.startswith(key)
+        }
+        return self._rank_qterms(qterms, k)
+
+    def search_bool(self, must=(), should=(), must_not=(),
+                    lang: str | None = None, k: int = 10):
+        """QueryEngine.search_bool ground truth: python-set filters."""
+        def _toks(items):
+            out = []
+            for s in items:
+                out.extend(tokens_py(s))
+            return list(dict.fromkeys(out))
+
+        def _doc_set(tok):
+            out: set[int] = set()
+            for v in self._variants(tok, lang):
+                out.update(self.postings.get(v, {}))
+            return out
+
+        m_toks, s_toks, n_toks = _toks(must), _toks(should), _toks(must_not)
+        if not m_toks and not s_toks:
+            return []
+        allowed: set[int] | None = None
+        for tok in m_toks:
+            ids = _doc_set(tok)
+            allowed = ids if allowed is None else (allowed & ids)
+        banned = set()
+        for tok in n_toks:
+            banned |= _doc_set(tok)
+        qterms = {v: 1 for tok in dict.fromkeys(m_toks + s_toks)
+                  for v in self._variants(tok, lang)}
+        return self._rank_qterms(qterms, k, allowed=allowed, banned=banned)

@@ -47,6 +47,44 @@ DOC_QUERIES: list[tuple[int, str]] = [
 ]
 TOP_K = 10
 
+# Prefix queries (Lucene PrefixQuery shape): engine expands each against the
+# index dictionary, the oracle against the df CTE — both from this constant.
+# "Vec" proves analyzer normalization (engine and oracle both normalize
+# through tokens_py); "zzzz" matches nothing.
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "merg"),
+    (1, "wind"),
+    (2, "Vec"),
+    (3, "stream"),
+    (4, "zzzz"),
+    (5, "cust"),
+]
+
+# Boolean queries (qid, must, should, must_not) — analyzer-normalized
+# single tokens; mirrors sql.bool_topk_sql roles exactly.
+BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
+    (0, ["merge"], ["window", "batch"], []),
+    (1, ["spark", "window"], [], []),          # pure conjunction
+    (2, [], ["vector", "join"], ["merge"]),    # disjunction minus a term
+    (3, ["merge"], [], ["merge"]),             # self-contradiction -> empty
+    (4, ["nonexistentzzterm"], ["merge"], []),  # impossible must -> empty
+    (5, ["stream"], ["stream", "filter"], []),  # dup across roles, qtf stays 1
+    (6, [], ["agg"], []),                      # single should
+]
+
+
+def norm_prefixes() -> list[tuple[int, str]]:
+    """PREFIX_QUERIES normalized through the analyzer (first token) — the
+    single source both the engine call and the SQL oracle embed, so the
+    two sides can never disagree on normalization."""
+    from .analyzer import tokens_py
+
+    out = []
+    for qid, p in PREFIX_QUERIES:
+        toks = tokens_py(p)
+        out.append((qid, toks[0] if toks else ""))
+    return [(qid, p) for qid, p in out if p]
+
 
 def corpus_ds(sf_dir: str):
     return rd.read_parquet(
@@ -185,6 +223,46 @@ def bm25_topk(sf_dir: str, scorer: str = "taat"):
     return res.map_batches(
         lambda t: _i64(t, ["rank"]), batch_format="pyarrow"
     )
+
+
+def prefix_topk(sf_dir: str, top_k: int = TOP_K):
+    """Prefix (wildcard-tail) search through the index: each PREFIX_QUERIES
+    entry expands against the sorted term dictionary
+    (SegmentReader.prefix_rows — one contiguous row run per segment) and
+    scores as a qtf=1 BM25 bag over the matched terms
+    (QueryEngine.search_prefix).  Rank-identical to sql.prefix_topk_sql.
+    Reference analogue: none — Milvus sparse search has no term-prefix
+    rewrite; this is native-inverted-index capability (Lucene PrefixQuery)."""
+    idx = _contract_index(sf_dir)
+    prefs = norm_prefixes()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in prefs], type=pa.int64()),
+        "query": pa.array([p for _, p in prefs]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="prefix")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def bool_topk(sf_dir: str, top_k: int = TOP_K):
+    """Boolean search (Lucene BooleanQuery) through the index: BOOL_QUERIES
+    rows carry must/should/must_not token lists; a doc qualifies iff it has
+    ALL must tokens and NO must_not token, scored by summed BM25 units over
+    the distinct must+should tokens (QueryEngine.search_bool).
+    Rank-identical to sql.bool_topk_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, *_ in BOOL_QUERIES], type=pa.int64()),
+        "must": pa.array([m for _, m, _, _ in BOOL_QUERIES],
+                         type=pa.list_(pa.string())),
+        "should": pa.array([s for _, _, s, _ in BOOL_QUERIES],
+                           type=pa.list_(pa.string())),
+        "must_not": pa.array([n for _, _, _, n in BOOL_QUERIES],
+                             type=pa.list_(pa.string())),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="bool")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
 # --------------------------------------------------------- wider coverage --

@@ -39,7 +39,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .analyzer import analyze_query
+from .analyzer import LANG_SEP, analyze_query, tokens_py
 from .build import SCORE_SCALE
 from .codecs import decode_block_range, decode_postings_many, tf_saturation
 from .segments import SegmentReader
@@ -64,7 +64,8 @@ class QueryEngine:
 
     def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
                  cache_postings_budget: int = 32_000_000,
-                 ord_range: "tuple[int, int] | None" = None):
+                 ord_range: "tuple[int, int] | None" = None,
+                 query_kind: str = "text"):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -96,6 +97,9 @@ class QueryEngine:
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
+        if query_kind not in ("text", "prefix", "bool"):
+            raise ValueError(f"unknown query_kind {query_kind!r}")
+        self.query_kind = query_kind  # how __call__ reads the query column
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -291,6 +295,147 @@ class QueryEngine:
             lang if (self.lang_tagged and lang) else None,
             self.langs if self.lang_tagged else None,
         )
+
+    # -------------------------------------------------------------- prefix --
+    def expand_prefix(self, prefix: str, lang: str | None = None,
+                      max_expansion: int = 1024) -> list[str]:
+        """Distinct index terms starting with ``prefix`` (sorted).
+
+        Lucene PrefixQuery's rewrite: the sorted dictionary makes the match
+        set one contiguous row run per segment (SegmentReader.prefix_rows).
+        Lang-tagged indexes scan one run per language (explicit ``lang``
+        scopes it to that language's terms).  ``max_expansion`` is the
+        TooManyClauses guard — a 1-char prefix over a web-scale vocabulary
+        would otherwise expand to millions of scoring terms; erroring loudly
+        is Lucene's (and our) contract, not silent truncation, so results
+        stay oracle-exact whenever the call succeeds."""
+        pre = prefix.strip()
+        if not pre:
+            raise ValueError("empty prefix")
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            keys = [f"{lg}{LANG_SEP}{pre}" for lg in langs]
+        else:
+            keys = [pre]
+        terms: set[str] = set()
+        for key in keys:
+            for seg in self.segments:
+                rows = seg.prefix_rows(key)
+                # salted hot terms repeat over adjacent rows; the set dedups
+                terms.update(seg._terms.slice(rows.start,
+                                              rows.stop - rows.start)
+                             .to_pylist())
+                if len(terms) > max_expansion:
+                    raise ValueError(
+                        f"prefix {prefix!r} expands to more than "
+                        f"{max_expansion} terms; use a longer prefix"
+                    )
+        return sorted(terms)
+
+    def search_prefix(self, prefix: str, lang: str | None = None,
+                      max_expansion: int = 1024):
+        """BM25 top-k where the query is ``prefix*``: every matching
+        dictionary term contributes its own idf-weighted BM25 units with
+        qtf=1 (Lucene's scoring-BooleanQuery rewrite), summed per doc —
+        exactly the semantics the SQL oracle (sql.prefix_topk_sql) replays.
+        The prefix is normalized through the analyzer (first token), so
+        "Spark" and "spark" expand identically."""
+        toks = tokens_py(prefix)
+        if not toks:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qterms = {t: 1 for t in
+                  self.expand_prefix(toks[0], lang, max_expansion)}
+        ids, units = self._score(qterms)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    # ------------------------------------------------------------- boolean --
+    def _variants(self, tok: str, lang: str | None) -> list[str]:
+        """Index keys a raw token matches under (lang expansion rules of
+        analyze_query, applied to a single token)."""
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            return [f"{lg}{LANG_SEP}{tok}" for lg in langs]
+        return [tok]
+
+    def _token_doc_set(self, tok: str, lang: str | None) -> np.ndarray:
+        """Sorted unique doc ordinals containing ``tok`` in any language —
+        the PRESENCE set boolean filters operate on (scoring stays
+        per-variant so per-language idf is preserved)."""
+        arrs = [self._gather(v)[0] for v in self._variants(tok, lang)
+                if self._term_refs(v)[0]]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        if len(arrs) == 1:
+            return arrs[0]
+        return np.unique(np.concatenate(arrs))
+
+    def search_bool(self, must=(), should=(), must_not=(),
+                    lang: str | None = None):
+        """Lucene BooleanQuery: docs containing ALL ``must`` tokens and NO
+        ``must_not`` token, scored by summed BM25 units (qtf=1) over the
+        distinct must+should tokens present (must_not never contributes
+        score).  Multi-word strings contribute each analyzed token.
+
+        Accumulation is the sparse TAAT path WITHOUT the dense top-k
+        pre-cut: the filters must apply to complete per-doc sums before any
+        cut, or a banned doc could set the cut and evict a qualifying one.
+        Filter sets and postings are both doc-sorted, so the must/must_not
+        masks are O(n log m) searchsorted probes, not hash joins."""
+        def _toks(items) -> list[str]:
+            out: list[str] = []
+            for s in items:
+                out.extend(tokens_py(s))
+            return list(dict.fromkeys(out))
+
+        from .docmap import sorted_member
+
+        m_toks, s_toks = _toks(must), _toks(should)
+        n_toks = _toks(must_not)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if not m_toks and not s_toks:
+            return empty
+        allowed: np.ndarray | None = None
+        for tok in m_toks:
+            ids = self._token_doc_set(tok, lang)
+            allowed = ids if allowed is None else np.intersect1d(
+                allowed, ids, assume_unique=True)
+            if not len(allowed):
+                return empty
+        banned = np.unique(np.concatenate(
+            [self._token_doc_set(t, lang) for t in n_toks])) \
+            if n_toks else np.empty(0, dtype=np.int64)
+        qterms: dict[str, int] = {}
+        for tok in dict.fromkeys(m_toks + s_toks):
+            for v in self._variants(tok, lang):
+                qterms[v] = 1
+        all_ids, all_units = [], []
+        for term, qtf in qterms.items():
+            if not self._term_refs(term)[0]:
+                continue
+            t_ids, t_units = self._term_units(term, qtf)
+            all_ids.append(t_ids)
+            all_units.append(t_units)
+        if not all_ids:
+            return empty
+        cat = np.concatenate(all_ids)
+        uniq, inv = np.unique(cat, return_inverse=True)
+        scores = np.bincount(
+            inv, weights=np.concatenate(all_units).astype(np.float64),
+            minlength=len(uniq)).astype(np.int64)
+        ids, units = self._mask_dead(uniq, scores)
+        if allowed is not None and len(ids):
+            member, _ = sorted_member(allowed, ids)
+            ids, units = ids[member], units[member]
+        if len(banned) and len(ids):
+            dead, _ = sorted_member(banned, ids)
+            ids, units = ids[~dead], units[~dead]
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
 
     def _contrib_units(self, qtf: int, w_idf: float, tfs, dls) -> np.ndarray:
         sat = tf_saturation(np.asarray(tfs), np.asarray(dls), self.avgdl)
@@ -608,16 +753,20 @@ class QueryEngine:
         order = np.lexsort((ids, -units))[: self.k]
         return ids[order], units[order]
 
+    def _score(self, qterms: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+        """Dispatch to the configured scorer (shared by text / prefix / bool
+        entry points — all three reduce to a {term: qtf} bag)."""
+        if self.scorer == "taat":
+            return self._score_taat(qterms)
+        if self.scorer == "daat":
+            return self._score_daat(qterms)
+        if self.scorer == "bmw":
+            return self._score_bmw(qterms)
+        raise ValueError(f"unknown scorer {self.scorer!r}")
+
     def search_one(self, query: str, lang: str | None = None):
         qterms = self._query_terms(query, lang)
-        if self.scorer == "taat":
-            ids, units = self._score_taat(qterms)
-        elif self.scorer == "daat":
-            ids, units = self._score_daat(qterms)
-        elif self.scorer == "bmw":
-            ids, units = self._score_bmw(qterms)
-        else:
-            raise ValueError(f"unknown scorer {self.scorer!r}")
+        ids, units = self._score(qterms)
         ids, units = self._topk(ids, units)
         if len(ids):
             ids = self.docs.gather_ids(ids)  # ordinal -> real doc id
@@ -625,15 +774,34 @@ class QueryEngine:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
-        queries = batch["query"].to_pylist()
         langs = (
             batch["lang"].to_pylist()
             if "lang" in batch.schema.names
             else [None] * len(qids)
         )
+        if self.query_kind == "bool":
+            # boolean batches carry list<string> clause columns instead of
+            # a query string: (query_id, must, should, must_not[, lang])
+            def _col(name):
+                if name in batch.schema.names:
+                    return batch[name].to_pylist()
+                return [[] for _ in qids]
+
+            inputs = zip(_col("must"), _col("should"), _col("must_not"))
+
+            def search(spec, lg):
+                m, s, n = spec
+                return self.search_bool(m or [], s or [], n or [], lg)
+        else:
+            inputs = iter(batch["query"].to_pylist())
+
+            def search(q, lg, _f=(self.search_prefix
+                                  if self.query_kind == "prefix"
+                                  else self.search_one)):
+                return _f(q or "", lg)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, q, lg in zip(qids, queries, langs):
-            ids, units = self.search_one(q or "", lg or None)
+        for qid, q, lg in zip(qids, inputs, langs):
+            ids, units = search(q, lg or None)
             for r, (d, u) in enumerate(zip(ids, units), start=1):
                 out_qid.append(qid)
                 out_rank.append(r)
@@ -658,8 +826,12 @@ def run_queries(
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 64,
     ord_range: "tuple[int, int] | None" = None,
+    query_kind: str = "text",
 ):
-    """Queries Dataset -> results Dataset via the QueryEngine actor pool."""
+    """Queries Dataset -> results Dataset via the QueryEngine actor pool.
+
+    ``query_kind="prefix"`` treats each query string as a term prefix
+    (Lucene PrefixQuery semantics; QueryEngine.search_prefix)."""
     # a small query table often arrives as one block, which would starve the
     # pool (1 block -> 1 task); split so every actor gets work
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
@@ -667,7 +839,7 @@ def run_queries(
     return queries_ds.map_batches(
         QueryEngine,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "scorer": scorer,
-                               "ord_range": ord_range},
+                               "ord_range": ord_range, "query_kind": query_kind},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

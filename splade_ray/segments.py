@@ -278,6 +278,34 @@ class SegmentReader:
                 hi = mid
         return range(left, lo)
 
+    def prefix_rows(self, prefix: str) -> range:
+        """Dict-row range of all terms STARTING WITH ``prefix`` (Lucene
+        PrefixQuery's dictionary scan; reference analogue: Milvus has no
+        prefix rewrite — this is native-index territory).  Same O(log n)
+        binary search as term_rows: terms are lex-sorted, so the matching
+        rows are one contiguous run [leftmost term >= prefix, leftmost term
+        whose ``prefix``-length head sorts after ``prefix``).  A row whose
+        term t satisfies t >= prefix AND t[:len(prefix)] <= prefix has
+        t[:len(prefix)] == prefix exactly."""
+        col = self._terms
+        p = len(prefix)
+        lo, hi = 0, len(col)
+        while lo < hi:  # leftmost term >= prefix
+            mid = (lo + hi) // 2
+            if col[mid].as_py() < prefix:
+                lo = mid + 1
+            else:
+                hi = mid
+        left = lo
+        hi = len(col)
+        while lo < hi:  # leftmost term whose head sorts after prefix
+            mid = (lo + hi) // 2
+            if col[mid].as_py()[:p] <= prefix:
+                lo = mid + 1
+            else:
+                hi = mid
+        return range(left, lo)
+
     def meta_at(self, i: int) -> PostingMeta:
         cached = self._meta_cache.get(i)
         if cached is not None:

@@ -163,6 +163,18 @@ qterms AS (
     ]
 
 
+def _bm25_contrib_expr() -> str:
+    """The quantized per-(query-term, doc) BM25 unit expression over aliases
+    q (qterms), p (postings), f (df), d (docs), s (stats) — the single
+    scoring formula every ranked oracle shares."""
+    return (
+        f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
+        f" * ((({_f(K1)} + 1e0) * p.tf)"
+        f" / (p.tf + {_f(K1)} * ((1e0 - {_f(B)}) + ({_f(B)} * d.doc_len) / s.avgdl)))"
+        f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
+    )
+
+
 def _bm25_ranked_cte(dead_pred: str | None = None,
                      verify_join: str | None = None,
                      prefix: str = "") -> str:
@@ -179,12 +191,7 @@ def _bm25_ranked_cte(dead_pred: str | None = None,
 
     ``prefix`` renames the three CTEs (``{prefix}ranked`` etc.) so one
     query can hold several ranked chains (scorer_eval's masked leg)."""
-    contrib = (
-        f"CAST(round((q.qtf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)})))"
-        f" * ((({_f(K1)} + 1e0) * p.tf)"
-        f" / (p.tf + {_f(K1)} * ((1e0 - {_f(B)}) + ({_f(B)} * d.doc_len) / s.avgdl)))"
-        f" * {_f(float(SCORE_SCALE))}) AS BIGINT)"
-    )
+    contrib = _bm25_contrib_expr()
     mask = f"\n  WHERE NOT ({dead_pred})" if dead_pred else ""
     vjoin = f"\n  {verify_join}" if verify_join else ""
     p = prefix
@@ -260,6 +267,110 @@ def idf_coord_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        units / {_f(float(SCORE_SCALE))} AS score
 FROM coord_ranked WHERE rnk <= {k}"""
+    )
+
+
+def prefix_topk_sql(prefixes: list[tuple[int, str]], k: int = 10) -> str:
+    """BM25 top-k where each query is ``prefix*``: the scoring term set is
+    every corpus term starting with the prefix, each with qtf=1 — the SQL
+    replay of QueryEngine.search_prefix (Lucene PrefixQuery under its
+    scoring-BooleanQuery rewrite).  Prefixes must arrive analyzer-normalized
+    (pipelines.prefix_topk normalizes both sides from one constant)."""
+    rows = ",".join(
+        f"({qid}, '" + p.replace("'", "''") + "')" for qid, p in prefixes
+    )
+    lit = f"prefix_lit(query_id, prefix) AS (SELECT * FROM (VALUES {rows}))"
+    qterms = """
+qterms AS (
+  SELECT q.query_id, f.term, CAST(1 AS BIGINT) AS qtf
+  FROM prefix_lit q JOIN df f ON starts_with(f.term, q.prefix)
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            lit, qterms, _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def bool_topk_sql(
+    specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
+) -> str:
+    """Boolean-query BM25 oracle (QueryEngine.search_bool replay).
+
+    ``specs``: (query_id, must, should, must_not) with analyzer-normalized
+    single tokens.  A doc qualifies iff it contains ALL must tokens and NO
+    must_not token; its score is the summed quantized BM25 units of the
+    DISTINCT must+should tokens it contains (must_not never scores)."""
+    rows = []
+    for qid, must, should, must_not in specs:
+        for role, toks in ((0, must), (1, should), (2, must_not)):
+            rows.extend(
+                f"({qid}, '" + t.replace("'", "''") + f"', {role})"
+                for t in dict.fromkeys(toks)
+            )
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
+                " AS rank, CAST(NULL AS BIGINT) AS doc_id,"
+                " CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    lit = (f"bool_lit(query_id, term, role) AS "
+           f"(SELECT * FROM (VALUES {','.join(rows)}))")
+    body = f"""
+qterms AS (
+  SELECT DISTINCT query_id, term, CAST(1 AS BIGINT) AS qtf
+  FROM bool_lit WHERE role < 2
+),
+must_n AS (
+  SELECT query_id, count(DISTINCT term) AS n
+  FROM bool_lit WHERE role = 0 GROUP BY query_id
+),
+cand AS (
+  SELECT b.query_id, p.doc_id
+  FROM bool_lit b JOIN postings p ON p.term = b.term
+  WHERE b.role = 0
+  GROUP BY b.query_id, p.doc_id
+  HAVING count(DISTINCT b.term) =
+         (SELECT n FROM must_n m WHERE m.query_id = b.query_id)
+),
+banned AS (
+  SELECT DISTINCT b.query_id, p.doc_id
+  FROM bool_lit b JOIN postings p ON p.term = b.term
+  WHERE b.role = 2
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id, {_bm25_contrib_expr()} AS units
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN df f ON f.term = q.term
+  JOIN docs d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE (q.query_id NOT IN (SELECT query_id FROM must_n)
+         OR EXISTS (SELECT 1 FROM cand c
+                    WHERE c.query_id = q.query_id AND c.doc_id = p.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM banned x
+                    WHERE x.query_id = q.query_id AND x.doc_id = p.doc_id)
+),
+scores AS (
+  SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM scores WHERE units > 0
+)"""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
+              STATS_CTE, lit, body)
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
     )
 
 

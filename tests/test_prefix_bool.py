@@ -1,0 +1,253 @@
+"""Prefix (dictionary-rewrite) and boolean search parity vs the pure-Python
+oracle — the Lucene PrefixQuery / BooleanQuery class of queries, answered
+through the inverted index (SegmentReader.prefix_rows dictionary scan +
+QueryEngine.search_prefix / search_bool)."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.build import SCORE_SCALE, build_index
+from splade_ray.corpus import generate_corpus
+from splade_ray.oracle import OracleIndex
+from splade_ray.query import QueryEngine, run_queries
+
+N_FILES = 300
+IDX = "/tmp/splade_ray_prefix_idx"
+IDX_TAGGED = "/tmp/splade_ray_prefix_idx_tagged"
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return generate_corpus(N_FILES, seed=23)
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus_table, ray_session):
+    shutil.rmtree(IDX, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), IDX,
+                lang_tagged=False, n_shards=4, hot_df_min=30,
+                hot_df_frac=0.05, sample_mod=2)
+    return IDX
+
+
+@pytest.fixture(scope="module")
+def tagged_dir(corpus_table, ray_session):
+    shutil.rmtree(IDX_TAGGED, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), IDX_TAGGED,
+                lang_tagged=True, n_shards=4)
+    return IDX_TAGGED
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_table):
+    rows = [dict(zip(corpus_table.column_names, vals))
+            for vals in zip(*[c.to_pylist() for c in corpus_table.columns])]
+    return OracleIndex(rows, lang_tagged=False)
+
+
+@pytest.fixture(scope="module")
+def tagged_oracle(corpus_table):
+    rows = [dict(zip(corpus_table.column_names, vals))
+            for vals in zip(*[c.to_pylist() for c in corpus_table.columns])]
+    return OracleIndex(rows, lang_tagged=True)
+
+
+def _some_prefixes(oracle, n=8) -> list[str]:
+    """Deterministic prefixes actually present in the corpus vocabulary,
+    varied lengths, plus guaranteed misses."""
+    vocab = sorted(oracle.postings)
+    step = max(1, len(vocab) // n)
+    pres = [vocab[i][:w] for i, w in
+            zip(range(0, len(vocab), step), [2, 3, 4, 1, 3, 2, 5, 3])]
+    return list(dict.fromkeys(p for p in pres if p)) + ["zzzzzz", "q9q9"]
+
+
+# --------------------------------------------------------- dictionary scan --
+
+def test_prefix_rows_matches_linear_scan(index_dir):
+    eng = QueryEngine(index_dir)
+    for seg in eng.segments:
+        terms = seg._terms.to_pylist()
+        for pre in ["a", "de", "mer", "zz", ""]:
+            rows = seg.prefix_rows(pre)
+            want = [i for i, t in enumerate(terms) if t.startswith(pre)]
+            assert list(rows) == want, pre
+
+
+def test_expand_prefix_matches_vocab(index_dir, oracle):
+    eng = QueryEngine(index_dir)
+    for pre in _some_prefixes(oracle):
+        want = sorted({t for t in oracle.postings if t.startswith(pre)})
+        assert eng.expand_prefix(pre) == want, pre
+
+
+def test_expand_prefix_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir)
+    lang = tagged_oracle.langs[0]
+    # explicit lang: only that language's tagged run
+    got = eng.expand_prefix("de", lang=lang)
+    want = sorted({t for t in tagged_oracle.postings
+                   if t.startswith(f"{lang}:de")})
+    assert got == want
+    # no lang: one run per corpus language
+    got_all = eng.expand_prefix("de")
+    want_all = sorted({t for lg in tagged_oracle.langs
+                       for t in tagged_oracle.postings
+                       if t.startswith(f"{lg}:de")})
+    assert got_all == want_all
+
+
+def test_expand_prefix_guards(index_dir):
+    eng = QueryEngine(index_dir)
+    with pytest.raises(ValueError, match="empty prefix"):
+        eng.expand_prefix("  ")
+    with pytest.raises(ValueError, match="longer prefix"):
+        eng.expand_prefix("a", max_expansion=1)
+
+
+# ------------------------------------------------------------ prefix search --
+
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+def test_search_prefix_oracle_parity(index_dir, oracle, scorer):
+    eng = QueryEngine(index_dir, k=10, scorer=scorer)
+    for pre in _some_prefixes(oracle):
+        want = oracle.search_prefix(pre, k=10)
+        ids, units = eng.search_prefix(pre)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (scorer, pre)
+
+
+def test_search_prefix_normalizes_and_handles_empty(index_dir, oracle):
+    eng = QueryEngine(index_dir, k=10)
+    pre = _some_prefixes(oracle)[0]
+    ids_lo, u_lo = eng.search_prefix(pre)
+    ids_up, u_up = eng.search_prefix(pre.upper())
+    assert ids_lo.tolist() == ids_up.tolist()
+    assert u_lo.tolist() == u_up.tolist()
+    ids, units = eng.search_prefix("!!! ...")
+    assert len(ids) == 0 and len(units) == 0
+
+
+def test_search_prefix_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir, k=10)
+    lang = tagged_oracle.langs[-1]
+    for pre in ["de", "im", "re"]:
+        assert [(int(d), u / SCORE_SCALE) for d, u in
+                zip(*eng.search_prefix(pre, lang=lang))] == \
+            tagged_oracle.search_prefix(pre, lang=lang, k=10)
+        assert [(int(d), u / SCORE_SCALE) for d, u in
+                zip(*eng.search_prefix(pre))] == \
+            tagged_oracle.search_prefix(pre, k=10)
+
+
+def test_prefix_actor_pool_matches_direct(index_dir, oracle):
+    prefs = _some_prefixes(oracle)
+    tbl = pa.table({
+        "query_id": pa.array(range(len(prefs)), type=pa.int64()),
+        "query": pa.array(prefs),
+    })
+    res = run_queries(rd.from_arrow(tbl), index_dir, k=10, concurrency=2,
+                      query_kind="prefix").to_pandas()
+    eng = QueryEngine(index_dir, k=10)
+    for qid, pre in enumerate(prefs):
+        ids, units = eng.search_prefix(pre)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(i) for i in ids]
+        np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
+
+
+# ----------------------------------------------------------- boolean search --
+
+BOOL_CASES = [
+    (["def"], [], []),
+    (["def", "import"], [], []),               # conjunction
+    ([], ["def", "return"], []),               # disjunction
+    (["def"], ["return", "data"], ["import"]),  # all three roles
+    ([], ["def"], ["def"]),                    # should minus itself -> empty
+    (["def"], ["def"], []),                    # dup across roles, qtf = 1
+    (["nosuchtermzz"], ["def"], []),           # impossible must -> empty
+    ([], [], ["def"]),                         # nothing to score -> empty
+    (["def import data"], [], []),             # multi-word string splits
+]
+
+
+@pytest.mark.parametrize("must,should,must_not", BOOL_CASES)
+def test_search_bool_oracle_parity(index_dir, oracle, must, should, must_not):
+    eng = QueryEngine(index_dir, k=10)
+    want = oracle.search_bool(must, should, must_not, k=10)
+    ids, units = eng.search_bool(must, should, must_not)
+    got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+    assert got == want, (must, should, must_not)
+
+
+def test_search_bool_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir, k=10)
+    lang = tagged_oracle.langs[0]
+    for must, should, must_not in BOOL_CASES[:4]:
+        for lg in (None, lang):
+            want = tagged_oracle.search_bool(must, should, must_not,
+                                             lang=lg, k=10)
+            ids, units = eng.search_bool(must, should, must_not, lang=lg)
+            got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+            assert got == want, (must, should, must_not, lg)
+
+
+def test_search_bool_must_not_excludes(index_dir, oracle):
+    """Every must_not doc is absent, and survivors keep their plain scores
+    (the filter never rescales)."""
+    eng = QueryEngine(index_dir, k=10)
+    banned_docs = set(oracle.postings.get("import", {}))
+    ids, units = eng.search_bool(["def"], [], ["import"])
+    assert not (set(int(i) for i in ids) & banned_docs)
+    plain = dict(oracle.search_bool(["def"], [], [], k=10**9))
+    for d, u in zip(ids, units):
+        assert plain[int(d)] == u / SCORE_SCALE
+
+
+def test_bool_actor_pool_matches_direct(index_dir):
+    tbl = pa.table({
+        "query_id": pa.array(range(len(BOOL_CASES)), type=pa.int64()),
+        "must": pa.array([m for m, _, _ in BOOL_CASES],
+                         type=pa.list_(pa.string())),
+        "should": pa.array([s for _, s, _ in BOOL_CASES],
+                           type=pa.list_(pa.string())),
+        "must_not": pa.array([n for _, _, n in BOOL_CASES],
+                             type=pa.list_(pa.string())),
+    })
+    res = run_queries(rd.from_arrow(tbl), index_dir, k=10, concurrency=2,
+                      query_kind="bool").to_pandas()
+    eng = QueryEngine(index_dir, k=10)
+    for qid, (m, s, n) in enumerate(BOOL_CASES):
+        ids, units = eng.search_bool(m, s, n)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(i) for i in ids]
+        np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
+
+
+# ------------------------------------------------------ tombstone masking ---
+
+def test_prefix_and_bool_mask_deleted(corpus_table, oracle, ray_session,
+                                      tmp_path):
+    """Deleted docs never appear; survivors keep frozen-stats scores —
+    i.e. result == oracle ranking with dead docs dropped BEFORE the cut."""
+    from splade_ray.delete import delete_docs
+
+    idx = str(tmp_path / "del_idx")
+    build_index(rd.from_arrow(corpus_table), idx, lang_tagged=False,
+                n_shards=4)
+    pre = _some_prefixes(oracle)[0]
+    full = oracle.search_prefix(pre, k=10**9)
+    dead = {d for i, (d, _) in enumerate(full) if i % 3 == 0}
+    delete_docs(idx, np.array(sorted(dead), dtype=np.int64))
+    eng = QueryEngine(idx, k=10)
+    want = [(d, u) for d, u in full if d not in dead][:10]
+    ids, units = eng.search_prefix(pre)
+    assert [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)] == want
+    bfull = oracle.search_bool(["def"], ["return"], [], k=10**9)
+    bwant = [(d, u) for d, u in bfull if d not in dead][:10]
+    ids, units = eng.search_bool(["def"], ["return"], [])
+    assert [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)] == bwant
