@@ -61,7 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dictionary-rewrite queries through the same index (Lucene
         # PrefixQuery / BooleanQuery class, no Milvus analogue)
         "prefix_topk": p.prefix_topk,
+        "fuzzy_topk": p.fuzzy_topk,
         "bool_topk": p.bool_topk,
+        "search_facets": p.search_facets,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -109,7 +111,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_near_positional_unordered": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K, ordered=False),
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
+        "fuzzy_topk": sql.fuzzy_topk_sql(p.norm_fuzzy(), TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
+        "search_facets": sql.search_facets_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

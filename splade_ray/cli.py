@@ -66,6 +66,8 @@ def cmd_query(args) -> int:
     lang = args.lang or None
     if args.prefix:
         ids, units = engine.search_prefix(args.text, lang)
+    elif args.fuzzy:
+        ids, units = engine.search_fuzzy(args.text, lang)
     elif args.must or args.must_not:
         should = [args.text] if args.text else []
         ids, units = engine.search_bool(args.must or [], should,
@@ -248,6 +250,8 @@ def main(argv=None) -> int:
     q.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
     q.add_argument("--prefix", action="store_true",
                    help="treat TEXT as a term prefix (PrefixQuery)")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="match terms within edit distance 1 (FuzzyQuery)")
     q.add_argument("--must", action="append", default=[],
                    help="boolean mode: required token (repeatable); "
                         "TEXT becomes the should-clause")

@@ -113,6 +113,38 @@ class OracleIndex:
         }
         return self._rank_qterms(qterms, k)
 
+    def search_fuzzy(self, query: str, lang: str | None = None,
+                     k: int = 10):
+        """QueryEngine.search_fuzzy ground truth: linear vocabulary scan
+        with an exact Levenshtein(<=1) check per term."""
+        toks = tokens_py(query)
+        if not toks:
+            return []
+        q = toks[0]
+
+        def _lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > 1:
+                return 2
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            qterms = {
+                t: 1 for t in self.postings
+                if t.split(":", 1)[0] in langs
+                and _lev(t.split(":", 1)[1], q) <= 1
+            }
+        else:
+            qterms = {t: 1 for t in self.postings if _lev(t, q) <= 1}
+        return self._rank_qterms(qterms, k)
+
     def search_bool(self, must=(), should=(), must_not=(),
                     lang: str | None = None, k: int = 10):
         """QueryEngine.search_bool ground truth: python-set filters."""

@@ -60,6 +60,19 @@ PREFIX_QUERIES: list[tuple[int, str]] = [
     (5, "cust"),
 ]
 
+# Fuzzy queries (Lucene FuzzyQuery, maxEdits=1): misspellings one edit from
+# real corpus terms, plus one beyond reach of any term ("q9q9q9zz").
+# "mrege" is TWO edits from "merge" (transposition) — plain Levenshtein
+# treats it as distance 2, so it only matches if some other term is closer.
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "merg"),       # deletion
+    (1, "windoww"),    # insertion
+    (2, "vectar"),     # substitution
+    (3, "merge"),      # distance 0 + its neighborhood
+    (4, "q9q9q9zz"),   # nothing within reach
+    (5, "Agg"),        # normalization proof
+]
+
 # Boolean queries (qid, must, should, must_not) — analyzer-normalized
 # single tokens; mirrors sql.bool_topk_sql roles exactly.
 BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
@@ -73,17 +86,26 @@ BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
 ]
 
 
-def norm_prefixes() -> list[tuple[int, str]]:
-    """PREFIX_QUERIES normalized through the analyzer (first token) — the
+def _norm_first_token(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """(qid, literal) normalized through the analyzer (first token) — the
     single source both the engine call and the SQL oracle embed, so the
     two sides can never disagree on normalization."""
     from .analyzer import tokens_py
 
     out = []
-    for qid, p in PREFIX_QUERIES:
+    for qid, p in queries:
         toks = tokens_py(p)
-        out.append((qid, toks[0] if toks else ""))
-    return [(qid, p) for qid, p in out if p]
+        if toks:
+            out.append((qid, toks[0]))
+    return out
+
+
+def norm_prefixes() -> list[tuple[int, str]]:
+    return _norm_first_token(PREFIX_QUERIES)
+
+
+def norm_fuzzy() -> list[tuple[int, str]]:
+    return _norm_first_token(FUZZY_QUERIES)
 
 
 def corpus_ds(sf_dir: str):
@@ -241,6 +263,24 @@ def prefix_topk(sf_dir: str, top_k: int = TOP_K):
     })
     res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
                       concurrency=2, query_kind="prefix")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def fuzzy_topk(sf_dir: str, top_k: int = TOP_K):
+    """Fuzzy search (Lucene FuzzyQuery, maxEdits=1) through the index: each
+    FUZZY_QUERIES token matches every term within Levenshtein distance 1
+    via exhaustive edit-1 neighborhood probes of the sorted dictionary
+    (QueryEngine.search_fuzzy — per-query cost independent of vocabulary
+    size), scored as a qtf=1 BM25 bag.  Rank-identical to
+    sql.fuzzy_topk_sql's levenshtein(term, token) <= 1 oracle."""
+    idx = _contract_index(sf_dir)
+    toks = norm_fuzzy()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in toks], type=pa.int64()),
+        "query": pa.array([t for _, t in toks]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="fuzzy")
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
@@ -905,6 +945,23 @@ def bm25_topk_docs(sf_dir: str):
     docs = corpus_docs(sf_dir).select_columns(["doc_id", "repo", "path", "lang"])
     joined = res.join(docs, join_type="inner", on=("doc_id",), num_partitions=4)
     return joined
+
+
+def search_facets(sf_dir: str, top_k: int = TOP_K):
+    """Facet counts over the result page (Lucene/Solr faceting; the
+    reference returns per-hit metadata, retrievers.py:81,140, but has no
+    aggregation): BM25 top-k per query, joined to doc metadata, counted
+    per (query, lang) facet with the best score in the bucket.  The join
+    input is k rows per query — the aggregate is over the RESULT PAGE,
+    never the corpus, so this stays O(k·|queries|) at any corpus size."""
+    from ray.data.aggregate import Count, Max
+
+    res = bm25_topk(sf_dir, scorer="taat")
+    docs = corpus_docs(sf_dir).select_columns(["doc_id", "lang"])
+    joined = res.join(docs, join_type="inner", on=("doc_id",),
+                      num_partitions=4)
+    return joined.groupby(["query_id", "lang"]).aggregate(
+        Count(alias_name="n_hits"), Max("score", alias_name="best_score"))
 
 
 def rrf_hybrid(sf_dir: str):

@@ -44,6 +44,10 @@ from .build import SCORE_SCALE
 from .codecs import decode_block_range, decode_postings_many, tf_saturation
 from .segments import SegmentReader
 
+# analyzer contract: terms are [a-z0-9]+ — this alphabet makes the edit-1
+# neighborhood enumeration in expand_fuzzy exhaustive
+_FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
 RESULT_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -97,7 +101,7 @@ class QueryEngine:
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
-        if query_kind not in ("text", "prefix", "bool"):
+        if query_kind not in ("text", "prefix", "fuzzy", "bool"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         self.ord_range = None
@@ -345,6 +349,58 @@ class QueryEngine:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         qterms = {t: 1 for t in
                   self.expand_prefix(toks[0], lang, max_expansion)}
+        ids, units = self._score(qterms)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    # --------------------------------------------------------------- fuzzy --
+    def expand_fuzzy(self, token: str, lang: str | None = None) -> list[str]:
+        """Index terms within Levenshtein distance 1 of ``token`` (sorted).
+
+        Lucene FuzzyQuery at maxEdits=1, answered by EXHAUSTIVE
+        neighborhood enumeration: every string one insertion / deletion /
+        substitution away (~(2L+1)·|Σ| candidates, Σ = [a-z0-9] — complete
+        because the analyzer contract guarantees ASCII-alnum terms), each
+        probed against the sorted dictionary with the same O(log V) binary
+        search as an exact term.  Per-query cost is therefore INDEPENDENT
+        of vocabulary size — the property that matters at 10^8-term
+        dictionaries, where a scan-and-levenshtein pass would be the
+        scale-killer.  maxEdits=2 squares the candidate count; the known
+        scale path there is a Levenshtein-automaton walk of the dictionary
+        (Lucene's FST intersect), out of scope here."""
+        t = token
+        if not t:
+            return []
+        cands = {t}
+        for i in range(len(t)):
+            cands.add(t[:i] + t[i + 1:])                # deletion
+        for i in range(len(t)):
+            for c in _FUZZY_ALPHABET:
+                cands.add(t[:i] + c + t[i + 1:])        # substitution
+        for i in range(len(t) + 1):
+            for c in _FUZZY_ALPHABET:
+                cands.add(t[:i] + c + t[i:])            # insertion
+        cands.discard("")
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            keys = [f"{lg}{LANG_SEP}{c}" for c in cands for lg in langs]
+        else:
+            keys = list(cands)
+        return sorted(k for k in keys if self._term_refs(k)[0])
+
+    def search_fuzzy(self, query: str, lang: str | None = None):
+        """BM25 top-k where the query term matches any index term within
+        edit distance 1: the matched terms form a qtf=1 scoring bag (same
+        uniform-weight rewrite as search_prefix; Lucene's similarity boost
+        is deliberately absent so ranks stay integer-reproducible in the
+        SQL oracle, which selects terms via levenshtein(term, q) <= 1).
+        The query is analyzer-normalized; its FIRST token fuzzes."""
+        toks = tokens_py(query)
+        if not toks:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qterms = {t: 1 for t in self.expand_fuzzy(toks[0], lang)}
         ids, units = self._score(qterms)
         ids, units = self._topk(ids, units)
         if len(ids):
@@ -794,10 +850,11 @@ class QueryEngine:
                 return self.search_bool(m or [], s or [], n or [], lg)
         else:
             inputs = iter(batch["query"].to_pylist())
+            by_kind = {"text": self.search_one,
+                       "prefix": self.search_prefix,
+                       "fuzzy": self.search_fuzzy}
 
-            def search(q, lg, _f=(self.search_prefix
-                                  if self.query_kind == "prefix"
-                                  else self.search_one)):
+            def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
         for qid, q, lg in zip(qids, inputs, langs):

@@ -297,6 +297,32 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def fuzzy_topk_sql(tokens: list[tuple[int, str]], k: int = 10) -> str:
+    """BM25 top-k where the query token matches any term within Levenshtein
+    distance 1 (QueryEngine.search_fuzzy replay; Lucene FuzzyQuery at
+    maxEdits=1 under the uniform qtf=1 rewrite).  Tokens must arrive
+    analyzer-normalized."""
+    rows = ",".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in tokens
+    )
+    lit = f"fuzzy_lit(query_id, token) AS (SELECT * FROM (VALUES {rows}))"
+    qterms = """
+qterms AS (
+  SELECT q.query_id, f.term, CAST(1 AS BIGINT) AS qtf
+  FROM fuzzy_lit q JOIN df f ON levenshtein(f.term, q.token) <= 1
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            lit, qterms, _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def bool_topk_sql(
     specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
 ) -> str:
@@ -387,6 +413,23 @@ SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rank, r.doc_id,
        d.repo, d.path, d.lang
 FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
 WHERE r.rnk <= {k}"""
+    )
+
+
+def search_facets_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Facet counts over the BM25 top-k result page (pipelines.search_facets
+    replay): per (query, lang) hit count + best score in the bucket."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT r.query_id, d.lang, CAST(count(*) AS BIGINT) AS n_hits,
+       max(r.units / {_f(float(SCORE_SCALE))}) AS best_score
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+WHERE r.rnk <= {k}
+GROUP BY r.query_id, d.lang"""
     )
 
 

@@ -160,6 +160,72 @@ def test_prefix_actor_pool_matches_direct(index_dir, oracle):
         np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
 
 
+# ------------------------------------------------------------- fuzzy search --
+
+def _some_fuzzy_tokens(oracle, n=6) -> list[str]:
+    """Deterministic one-edit misspellings of real vocabulary terms, plus a
+    distance-0 hit and an unreachable token."""
+    vocab = sorted(t for t in oracle.postings if len(t) >= 4)
+    step = max(1, len(vocab) // n)
+    picks = [vocab[i] for i in range(0, len(vocab), step)][:n]
+    out = [picks[0][1:],              # deletion at 0
+           picks[1] + "q",            # insertion at end
+           "z" + picks[2][1:],        # substitution at 0
+           picks[3][:2] + "9" + picks[3][3:],  # substitution mid
+           picks[4]]                  # distance 0
+    return list(dict.fromkeys(out)) + ["q9zq9zq9"]
+
+
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+def test_search_fuzzy_oracle_parity(index_dir, oracle, scorer):
+    eng = QueryEngine(index_dir, k=10, scorer=scorer)
+    for tok in _some_fuzzy_tokens(oracle):
+        want = oracle.search_fuzzy(tok, k=10)
+        ids, units = eng.search_fuzzy(tok)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (scorer, tok)
+
+
+def test_search_fuzzy_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir, k=10)
+    lang = tagged_oracle.langs[0]
+    for tok in ["def", "impotr", "retrun"]:
+        for lg in (None, lang):
+            want = tagged_oracle.search_fuzzy(tok, lang=lg, k=10)
+            ids, units = eng.search_fuzzy(tok, lang=lg)
+            got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+            assert got == want, (tok, lg)
+
+
+def test_expand_fuzzy_is_exact_lev1_set(index_dir, oracle):
+    eng = QueryEngine(index_dir)
+    for tok in _some_fuzzy_tokens(oracle):
+        got = eng.expand_fuzzy(tok)
+        want = sorted(t for t in oracle.postings
+                      if abs(len(t) - len(tok)) <= 1
+                      and _brute_lev(t, tok) <= 1)
+        assert got == want, tok
+
+
+def _brute_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_empty_and_normalized(index_dir, oracle):
+    eng = QueryEngine(index_dir, k=10)
+    ids, units = eng.search_fuzzy("!!! ...")
+    assert len(ids) == 0 and len(units) == 0
+    tok = _some_fuzzy_tokens(oracle)[0]
+    assert eng.search_fuzzy(tok.upper())[0].tolist() == \
+        eng.search_fuzzy(tok)[0].tolist()
+
+
 # ----------------------------------------------------------- boolean search --
 
 BOOL_CASES = [
