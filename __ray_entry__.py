@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": p.prefix_topk,
         "fuzzy_topk": p.fuzzy_topk,
         "bool_topk": p.bool_topk,
+        "mlt_topk": p.mlt_topk,
         "search_facets": p.search_facets,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -113,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
         "fuzzy_topk": sql.fuzzy_topk_sql(p.norm_fuzzy(), TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
+        "mlt_topk": sql.mlt_topk_sql(p.MLT_N_SOURCES, p.MLT_MAX_TERMS,
+                                     p.MLT_MIN_DF, TOP_K),
         "search_facets": sql.search_facets_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,

@@ -947,6 +947,68 @@ def bm25_topk_docs(sf_dir: str):
     return joined
 
 
+MLT_N_SOURCES = 3    # ordinals 0..2 == the 3 smallest 63-bit doc ids
+MLT_MAX_TERMS = 10   # Lucene MoreLikeThis maxQueryTerms analogue
+MLT_MIN_DF = 2       # minDocFreq: a df=1 term only matches its source
+
+
+def mlt_topk(sf_dir: str, top_k: int = TOP_K):
+    """More-like-this (Lucene MoreLikeThisQuery): for each source doc (the
+    MLT_N_SOURCES smallest doc ids — ordinals 0..2 by construction), select
+    its MLT_MAX_TERMS highest tf·idf terms (df from the segment
+    dictionaries, df >= MLT_MIN_DF, ties by term asc) and run them as a
+    should-only boolean query with the source doc excluded.  Content is
+    fetched for ONLY the source docs (_candidate_corpus pushdown — the
+    index has no forward term vectors, same as Lucene MLT without stored
+    term vectors); everything else comes from the index.  Rank-identical
+    to sql.mlt_topk_sql."""
+    import math
+    from collections import Counter
+
+    from .analyzer import tokens_py
+    from .docmap import open_doc_arrays
+    from .ids import doc_id63
+    from .phrase import index_stats
+
+    idx = _contract_index(sf_dir)
+    docs = open_doc_arrays(idx)
+    src64 = np.sort(docs.gather_ids(
+        np.arange(MLT_N_SOURCES, dtype=np.int64)))
+    src_set = set(src64.tolist())
+    content_by_id: dict[int, str] = {}
+    for r in _candidate_corpus(sf_dir, idx, src64).take_all():
+        did = doc_id63(r["repo"], r["path"], r["commit"])
+        if did in src_set:  # mask backstop over the pushdown superset
+            content_by_id[did] = r.get("content") or ""
+    all_terms = sorted({t for c in content_by_id.values()
+                        for t in tokens_py(c)})
+    n_docs, _avgdl, dfs = index_stats(idx, all_terms)
+    qids, shoulds, excludes = [], [], []
+    for qid, did in enumerate(src64.tolist()):
+        tf = Counter(tokens_py(content_by_id[did]))
+        scored = []
+        for t, f in tf.items():
+            df = dfs.get(t, 0)
+            if df < MLT_MIN_DF:
+                continue
+            w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            scored.append((-(f * w), t))
+        scored.sort()  # tf*idf desc, term asc — sql.mlt_topk_sql's ORDER BY
+        qids.append(qid)
+        shoulds.append([t for _, t in scored[:MLT_MAX_TERMS]])
+        excludes.append([did])
+    tbl = pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "must": pa.array([[] for _ in qids], type=pa.list_(pa.string())),
+        "should": pa.array(shoulds, type=pa.list_(pa.string())),
+        "must_not": pa.array([[] for _ in qids], type=pa.list_(pa.string())),
+        "exclude_ids": pa.array(excludes, type=pa.list_(pa.int64())),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="bool")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def search_facets(sf_dir: str, top_k: int = TOP_K):
     """Facet counts over the result page (Lucene/Solr faceting; the
     reference returns per-hit metadata, retrievers.py:81,140, but has no

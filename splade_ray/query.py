@@ -429,11 +429,14 @@ class QueryEngine:
         return np.unique(np.concatenate(arrs))
 
     def search_bool(self, must=(), should=(), must_not=(),
-                    lang: str | None = None):
+                    lang: str | None = None,
+                    exclude_ids=None):
         """Lucene BooleanQuery: docs containing ALL ``must`` tokens and NO
         ``must_not`` token, scored by summed BM25 units (qtf=1) over the
         distinct must+should tokens present (must_not never contributes
         score).  Multi-word strings contribute each analyzed token.
+        ``exclude_ids`` (real 63-bit doc ids) are banned outright — the
+        more-like-this source-doc exclusion.
 
         Accumulation is the sparse TAAT path WITHOUT the dense top-k
         pre-cut: the filters must apply to complete per-doc sums before any
@@ -460,9 +463,12 @@ class QueryEngine:
                 allowed, ids, assume_unique=True)
             if not len(allowed):
                 return empty
-        banned = np.unique(np.concatenate(
-            [self._token_doc_set(t, lang) for t in n_toks])) \
-            if n_toks else np.empty(0, dtype=np.int64)
+        ban_parts = [self._token_doc_set(t, lang) for t in n_toks]
+        if exclude_ids is not None and len(exclude_ids):
+            ban_parts.append(np.sort(self.docs.ords_of_ids(
+                np.asarray(exclude_ids, dtype=np.int64))))
+        banned = (np.unique(np.concatenate(ban_parts))
+                  if ban_parts else np.empty(0, dtype=np.int64))
         qterms: dict[str, int] = {}
         for tok in dict.fromkeys(m_toks + s_toks):
             for v in self._variants(tok, lang):
@@ -843,11 +849,13 @@ class QueryEngine:
                     return batch[name].to_pylist()
                 return [[] for _ in qids]
 
-            inputs = zip(_col("must"), _col("should"), _col("must_not"))
+            inputs = zip(_col("must"), _col("should"), _col("must_not"),
+                         _col("exclude_ids"))
 
             def search(spec, lg):
-                m, s, n = spec
-                return self.search_bool(m or [], s or [], n or [], lg)
+                m, s, n, ex = spec
+                return self.search_bool(m or [], s or [], n or [], lg,
+                                        exclude_ids=ex or [])
         else:
             inputs = iter(batch["query"].to_pylist())
             by_kind = {"text": self.search_one,

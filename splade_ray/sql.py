@@ -416,6 +416,69 @@ WHERE r.rnk <= {k}"""
     )
 
 
+def mlt_topk_sql(n_sources: int = 3, max_terms: int = 10, min_df: int = 2,
+                 k: int = 10) -> str:
+    """More-like-this oracle (pipelines.mlt_topk replay): sources are the
+    ``n_sources`` smallest doc ids; each source's query terms are its
+    ``max_terms`` highest tf·idf terms with df >= ``min_df`` (ties by term
+    asc, the tf·idf double computed with the same IEEE expression the
+    pipeline uses); scoring is the standard quantized qtf=1 BM25 chain with
+    the source doc anti-joined out."""
+    body = f"""
+sources AS (
+  SELECT doc_id AS src_doc,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS query_id
+  FROM docs ORDER BY doc_id LIMIT {n_sources}
+),
+src_term_scores AS (
+  SELECT sr.query_id, sr.src_doc, p.term,
+         p.tf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)}) / (f.df + {_f(0.5)}))
+           AS tscore
+  FROM sources sr
+  JOIN postings p ON p.doc_id = sr.src_doc
+  JOIN df f ON f.term = p.term
+  CROSS JOIN stats s
+  WHERE f.df >= {min_df}
+),
+sel AS (
+  SELECT query_id, src_doc, term,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tscore DESC, term ASC) AS trank
+  FROM src_term_scores
+),
+qterms AS (
+  SELECT query_id, src_doc, term, CAST(1 AS BIGINT) AS qtf
+  FROM sel WHERE trank <= {max_terms}
+),
+contribs AS (
+  SELECT q.query_id, p.doc_id, {_bm25_contrib_expr()} AS units
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN df f ON f.term = q.term
+  JOIN docs d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  WHERE p.doc_id <> q.src_doc
+),
+scores AS (
+  SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM scores WHERE units > 0
+)"""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
+              STATS_CTE, body)
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def search_facets_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     """Facet counts over the BM25 top-k result page (pipelines.search_facets
     replay): per (query, lang) hit count + best score in the bucket."""

@@ -274,6 +274,19 @@ def test_search_bool_must_not_excludes(index_dir, oracle):
         assert plain[int(d)] == u / SCORE_SCALE
 
 
+def test_search_bool_exclude_ids(index_dir, oracle):
+    """exclude_ids bans exact docs (the more-like-this source exclusion):
+    excluded ids vanish, survivors keep their unfiltered scores, and the
+    exclusion applies BEFORE the top-k cut (next docs slide in)."""
+    eng = QueryEngine(index_dir, k=10)
+    full = oracle.search_bool([], ["def", "return"], [], k=10**9)
+    excl = [d for d, _ in full[:3]]
+    want = [(d, u) for d, u in full if d not in set(excl)][:10]
+    ids, units = eng.search_bool([], ["def", "return"], [],
+                                 exclude_ids=excl)
+    assert [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)] == want
+
+
 def test_bool_actor_pool_matches_direct(index_dir):
     tbl = pa.table({
         "query_id": pa.array(range(len(BOOL_CASES)), type=pa.int64()),
