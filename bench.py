@@ -226,6 +226,21 @@ def main() -> None:
     timings["phrase_positional_vs_bm25_ratio"] = round(
         timings["phrase_positional_sec"] / timings["bm25_topk_documents_sec"],
         2)
+    # dictionary-rewrite family (late round 4): prefix / fuzzy / bool / MLT
+    # through the same warm contract index — like-for-like with
+    # bm25_topk_documents_sec
+    t0 = time.perf_counter()
+    pipelines.prefix_topk(SF_DIR).count()
+    timings["prefix_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.fuzzy_topk(SF_DIR).count()
+    timings["fuzzy_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.bool_topk(SF_DIR).count()
+    timings["bool_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.mlt_topk(SF_DIR).count()
+    timings["mlt_topk_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

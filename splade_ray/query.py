@@ -921,8 +921,14 @@ def run_queries_sharded(
     n_query_shards: int = 4,
     concurrency_per_shard: int | tuple[int, int] = 1,
     batch_size: int = 64,
+    query_kind: str = "text",
 ):
     """Doc-partitioned query fan-out: the 100x-scale serving shape.
+
+    All query kinds shard exactly: prefix/fuzzy expansion scans the (global)
+    dictionary identically in every shard, and boolean presence sets are
+    complete per ordinal range because every posting of an in-range doc is
+    in-range — so each shard's filters and scores are final for its docs.
 
     The index's doc-ordinal space [0, n_docs) is cut into ``n_query_shards``
     contiguous ranges; each range gets its OWN QueryEngine actor pool whose
@@ -956,7 +962,7 @@ def run_queries_sharded(
             run_queries(
                 queries_ds, index_dir, k=k, scorer=scorer,
                 concurrency=concurrency_per_shard, batch_size=batch_size,
-                ord_range=(lo, hi),
+                ord_range=(lo, hi), query_kind=query_kind,
             )
         )
     merged = parts[0]

@@ -307,6 +307,49 @@ def test_bool_actor_pool_matches_direct(index_dir):
         np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
 
 
+# ------------------------------------------------------- sharded fan-out ---
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_sharded_prefix_and_bool_match_full(index_dir, oracle, n_shards):
+    """Doc-range-sharded fan-out is rank- and score-identical to the single
+    pool for the dictionary-rewrite kinds (expansion is dictionary-global;
+    presence sets are complete per ordinal range)."""
+    from splade_ray.query import run_queries_sharded
+
+    prefs = _some_prefixes(oracle)[:4]
+    ptbl = pa.table({
+        "query_id": pa.array(range(len(prefs)), type=pa.int64()),
+        "query": pa.array(prefs),
+    })
+    full = run_queries(rd.from_arrow(ptbl), index_dir, k=10, concurrency=2,
+                       query_kind="prefix").to_pandas()
+    shd = run_queries_sharded(rd.from_arrow(ptbl), index_dir, k=10,
+                              n_query_shards=n_shards,
+                              query_kind="prefix").to_pandas()
+    cols = ["query_id", "rank", "doc_id", "score"]
+    a = full[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = shd[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.astype({"rank": "int64"}).equals(b.astype({"rank": "int64"}))
+
+    btbl = pa.table({
+        "query_id": pa.array(range(len(BOOL_CASES)), type=pa.int64()),
+        "must": pa.array([m for m, _, _ in BOOL_CASES],
+                         type=pa.list_(pa.string())),
+        "should": pa.array([s for _, s, _ in BOOL_CASES],
+                           type=pa.list_(pa.string())),
+        "must_not": pa.array([n for _, _, n in BOOL_CASES],
+                             type=pa.list_(pa.string())),
+    })
+    full = run_queries(rd.from_arrow(btbl), index_dir, k=10, concurrency=2,
+                       query_kind="bool").to_pandas()
+    shd = run_queries_sharded(rd.from_arrow(btbl), index_dir, k=10,
+                              n_query_shards=n_shards,
+                              query_kind="bool").to_pandas()
+    a = full[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = shd[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.astype({"rank": "int64"}).equals(b.astype({"rank": "int64"}))
+
+
 # ------------------------------------------------------ tombstone masking ---
 
 def test_prefix_and_bool_mask_deleted(corpus_table, oracle, ray_session,
