@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_near_positional": p.phrase_near_positional,
         "phrase_near_positional_unordered": lambda sf: p.phrase_near_positional(
             sf, ordered=False),
+        "span_near_topk": p.span_near_topk,
+        "span_near_unordered": lambda sf: p.span_near_topk(sf, ordered=False),
         # dictionary-rewrite queries through the same index (Lucene
         # PrefixQuery / BooleanQuery class, no Milvus analogue)
         "prefix_topk": p.prefix_topk,
@@ -111,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
             p.NEAR_QUERIES, TOP_K),
         "phrase_near_positional_unordered": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K, ordered=False),
+        "span_near_topk": sql.span_near_topk_sql(p.SPAN_QUERIES, TOP_K),
+        "span_near_unordered": sql.span_near_topk_sql(
+            p.SPAN_QUERIES, TOP_K, ordered=False),
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
         "fuzzy_topk": sql.fuzzy_topk_sql(p.norm_fuzzy(), TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),

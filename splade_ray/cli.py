@@ -94,7 +94,14 @@ def cmd_phrase(args) -> int:
     from .phrase import index_stats, positional_units
 
     _ensure_ray()
-    if args.near:
+    if getattr(args, "span", None):
+        terms = [t for s in args.span for t in tokens_py(s)]
+        if len(set(terms)) != len(terms) or len(terms) < 2:
+            print("error: --span needs >= 2 distinct terms", file=sys.stderr)
+            return 2
+        spec = {"qid": 0, "kind": "span", "terms": terms,
+                "window": args.window, "ordered": not args.unordered}
+    elif args.near:
         a, b = args.near
         if a == b:
             # the window kernel (and the SQL oracle) require distinct terms:
@@ -269,6 +276,10 @@ def main(argv=None) -> int:
                     help="proximity instead of phrase: terms A and B "
                          "within --slop tokens")
     ph.add_argument("--slop", type=int, default=8)
+    ph.add_argument("--span", nargs="+", metavar="TERM",
+                    help="span-NEAR: every term within --window positions "
+                         "(ordered unless --unordered)")
+    ph.add_argument("--window", type=int, default=8)
     ph.add_argument("--unordered", action="store_true",
                     help="NEAR in either order (default: A before B)")
     ph.set_defaults(fn=cmd_phrase)

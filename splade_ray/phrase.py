@@ -206,6 +206,61 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     s = np.intersect1d(s + 1, _g(tok)[3],
                                        assume_unique=True)
                 verified = np.unique(s >> 32) if len(s) else s[:0]
+            elif spec["kind"] == "span":
+                # multi-term span-NEAR (Lucene SpanNearQuery): one occurrence
+                # of EVERY term inside a window of <= ``window`` positions
+                # (max pos - min pos), in query order when ``ordered``.
+                # Packed keys make doc-crossing windows impossible for free:
+                # two keys within ``window`` (< 2^32) share their ordinal.
+                terms = spec["terms"]
+                if len(set(terms)) != len(terms):
+                    raise ValueError("span terms must be distinct")
+                win = int(spec["window"])
+                occ = [_g(t)[3] for t in terms]
+                if any(not len(o) for o in occ):
+                    continue
+                if spec.get("ordered", True):
+                    # greedy chain DP over sorted occurrence lists: for each
+                    # occurrence x of term i, the best (= maximal) start of
+                    # a chain t0 < t1 < ... < x is the cummax of the
+                    # previous term's best starts at its largest occurrence
+                    # < x — one searchsorted per term
+                    prev_occ, prev_start = occ[0], occ[0]
+                    dead = False
+                    for i in range(1, len(occ)):
+                        cm = np.maximum.accumulate(prev_start)
+                        xi = occ[i]
+                        j = np.searchsorted(prev_occ, xi, side="left") - 1
+                        ok_i = j >= 0
+                        xi = xi[ok_i]
+                        if not len(xi):
+                            dead = True
+                            break
+                        prev_occ, prev_start = xi, cm[j[ok_i]]
+                    if dead:
+                        continue
+                    hit = prev_occ[prev_occ - prev_start <= win]
+                    verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+                else:
+                    # unordered min-window: merge all occurrences with term
+                    # labels; per label, the running last-occurrence key is
+                    # one cummax; a position closes a valid window iff every
+                    # label's last occurrence is within ``window`` behind it
+                    merged = np.concatenate(occ)
+                    labels = np.concatenate(
+                        [np.full(len(o), i, dtype=np.int8)
+                         for i, o in enumerate(occ)])
+                    order = np.argsort(merged, kind="stable")
+                    keys, labs = merged[order], labels[order]
+                    minlast = None
+                    for i in range(len(occ)):
+                        m = np.maximum.accumulate(
+                            np.where(labs == i, keys, -1))
+                        minlast = m if minlast is None else \
+                            np.minimum(minlast, m)
+                    ok_w = (minlast >= 0) & (keys - minlast <= win)
+                    hit = keys[ok_w]
+                    verified = np.unique(hit >> 32) if len(hit) else hit[:0]
             else:  # near
                 if spec["a"] == spec["b"]:
                     raise ValueError(

@@ -857,6 +857,33 @@ def phrase_topk_positional(sf_dir: str, top_k: int = TOP_K):
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 
+# Span-NEAR queries: (qid, [terms], window) — every term inside a window of
+# <= ``window`` positions (max pos - min pos), in listed order for the
+# ordered entry.  Terms must be distinct.
+SPAN_QUERIES: list[tuple[int, list[str], int]] = [
+    (0, ["spark", "window", "join"], 6),
+    (1, ["hash", "join", "order"], 8),
+    (2, ["merge", "sort"], 4),
+    (3, ["customer", "filter", "batch"], 10),
+    (10, ["nonexistentzzterm", "join", "batch"], 6),
+]
+
+
+def span_near_topk(sf_dir: str, top_k: int = TOP_K, ordered: bool = True):
+    """Multi-term span-NEAR (Lucene SpanNearQuery) answered entirely from
+    the positional index: every listed term inside a <= ``window``-position
+    span, in listed order when ``ordered``.  Verification is vectorized
+    over packed (ordinal<<32|pos) keys — a greedy searchsorted chain DP
+    (ordered) or a per-label cummax min-window sweep (unordered); packed
+    keys make doc-crossing windows impossible for free.  Oracle:
+    sql.span_near_topk_sql."""
+    specs = [{"qid": qid, "kind": "span", "terms": terms, "window": w,
+              "ordered": ordered}
+             for qid, terms, w in SPAN_QUERIES]
+    qterms = [(qid, t, 1) for qid, terms, _ in SPAN_QUERIES for t in terms]
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 def phrase_near_positional(sf_dir: str, top_k: int = TOP_K,
                            ordered: bool = True):
     """NEAR/slop proximity answered entirely from the positional index

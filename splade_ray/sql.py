@@ -765,6 +765,57 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def span_near_topk_sql(spans: list[tuple[int, list[str], int]],
+                       k: int = 10, ordered: bool = True) -> str:
+    """Multi-term span-NEAR oracle (pipelines.span_near_topk replay; Lucene
+    SpanNearQuery): one occurrence of EVERY listed term inside a window of
+    <= ``window`` positions (max pos - min pos), in listed order when
+    ``ordered``.  One +-window self-join per extra term keeps the join
+    bounded; the greatest-least predicate enforces the true window."""
+    q = _sql_quote
+    legs = []
+    for qid, terms, window in spans:
+        if len(set(terms)) != len(terms):
+            raise ValueError("span terms must be distinct")
+        n = len(terms)
+        alias_pos = [f"x{i}.pos" for i in range(n)]
+        if ordered:
+            bounds = "".join(
+                f" AND x{i}.pos > x{i-1}.pos"
+                f" AND x{i}.pos <= x0.pos + {window}"
+                for i in range(1, n))
+            widen = f"x{n-1}.pos - x0.pos <= {window}"
+        else:
+            bounds = "".join(
+                f" AND x{i}.pos >= x0.pos - {window}"
+                f" AND x{i}.pos <= x0.pos + {window}"
+                for i in range(1, n))
+            widen = (f"greatest({', '.join(alias_pos)})"
+                     f" - least({', '.join(alias_pos)}) <= {window}")
+        joins = "".join(
+            f"\n  JOIN tokpos x{i} ON x{i}.doc_id = x0.doc_id"
+            f" AND x{i}.term = {q(terms[i])}"
+            for i in range(1, n))
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+            f"\n  WHERE x0.term = {q(terms[0])}{bounds}"
+            f" AND {widen} GROUP BY x0.doc_id"
+        )
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    lits = [(qid, " ".join(terms)) for qid, terms, _ in spans]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10,
                     dead_pred: str = "FALSE") -> str:
     """Retrieval-quality harness oracle (reference eval.py:238-247 computes

@@ -311,6 +311,65 @@ def test_positional_near_matches_bruteforce(built, ordered):
     assert got == want
 
 
+def _brute_span_docs(toks: dict[int, list[str]], terms: list[str],
+                     window: int, ordered: bool) -> set[int]:
+    """All-assignments brute force for the multi-term span window."""
+    import itertools
+
+    out = set()
+    for o, ts in toks.items():
+        pos = [[i for i, t in enumerate(ts) if t == q] for q in terms]
+        if any(not p for p in pos):
+            continue
+        for combo in itertools.product(*pos):
+            if ordered and any(combo[i] <= combo[i - 1]
+                               for i in range(1, len(combo))):
+                continue
+            if max(combo) - min(combo) <= window:
+                out.add(o)
+                break
+    return out
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+@pytest.mark.parametrize("n_ranges", [1, 3])
+def test_positional_span_matches_bruteforce(built, ordered, n_ranges):
+    """Multi-term span-NEAR kernel (greedy chain DP / min-window sweep) vs
+    the all-assignments brute force, across range fan-outs."""
+    tbl, _ = built
+    toks = _ordinal_tokens(tbl)
+    docs = open_doc_arrays(IDX)
+    import math
+
+    cases = {1: (["def", "return"], 12), 2: (["import", "data", "def"], 25),
+             3: (["def", "import", "zzqq"], 10)}
+    specs = [{"qid": q, "kind": "span", "terms": t, "window": w,
+              "ordered": ordered} for q, (t, w) in cases.items()]
+    n_docs, _, dfs = index_stats(
+        IDX, sorted({t for ts, _ in cases.values() for t in ts}))
+    weights = {
+        q: [(t, math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+            for t in ts if t in dfs]
+        for q, (ts, _) in cases.items()
+    }
+    got = _units_by_qid_doc(IDX, specs, weights, n_ranges=n_ranges)
+    want: dict[tuple[int, int], int] = {}
+    for q, (ts, w) in cases.items():
+        verified = _brute_span_docs(toks, ts, w, ordered)
+        want.update(_expected_units(toks, verified, q,
+                                    [(t, 1) for t in ts], IDX, docs))
+    assert got == want
+
+
+def test_positional_span_rejects_duplicate_terms(built):
+    specs = [{"qid": 1, "kind": "span", "terms": ["def", "def"],
+              "window": 5, "ordered": True}]
+    import ray.exceptions
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        positional_units(IDX, specs, {1: [("def", 1.0)]}).take_all()
+
+
 def test_positional_units_masks_tombstones(built):
     tbl, _ = built
     toks = _ordinal_tokens(tbl)
