@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": p.fuzzy_topk,
         "bool_topk": p.bool_topk,
         "mlt_topk": p.mlt_topk,
+        "sig_terms": p.sig_terms,
         "search_facets": p.search_facets,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -121,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
         "mlt_topk": sql.mlt_topk_sql(p.MLT_N_SOURCES, p.MLT_MAX_TERMS,
                                      p.MLT_MIN_DF, TOP_K),
+        "sig_terms": sql.sig_terms_sql(DOC_QUERIES, TOP_K,
+                                       p.SIG_MAX_TERMS, p.SIG_MIN_FG),
         "search_facets": sql.search_facets_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,

@@ -1036,6 +1036,66 @@ def mlt_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+SIG_MAX_TERMS = 10  # per query
+SIG_MIN_FG = 2      # term must appear in >= 2 result docs
+
+
+def sig_terms(sf_dir: str, top_k: int = TOP_K):
+    """Significant-terms aggregation (Elasticsearch significant_terms) over
+    each DOC_QUERIES result page: for every term in the top-k docs, compare
+    its FOREGROUND document rate (fg/k) against its corpus BACKGROUND rate
+    (df/n_docs); keep the SIG_MAX_TERMS highest-lift terms with fg >=
+    SIG_MIN_FG.  Result-page content is fetched via the candidate pushdown
+    (k·|queries| docs, O(1) in corpus size); df comes from the segment
+    dictionaries; lift = (fg·n_docs)/(k_actual·df) computed with one IEEE
+    float expression replayed verbatim in sql.sig_terms_sql."""
+    from collections import Counter
+
+    from .analyzer import tokens_py
+    from .ids import doc_id63
+    from .phrase import index_stats
+
+    idx = _contract_index(sf_dir)
+    res = bm25_topk(sf_dir, scorer="taat").take_all()
+    docs_per_q: dict[int, list[int]] = {}
+    for r in res:
+        docs_per_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    all_docs = np.array(sorted({d for ds_ in docs_per_q.values()
+                                for d in ds_}), dtype=np.int64)
+    toks_by_id: dict[int, set] = {}
+    for r in _candidate_corpus(sf_dir, idx, all_docs).take_all():
+        did = doc_id63(r["repo"], r["path"], r["commit"])
+        if did in set(all_docs.tolist()):
+            toks_by_id[did] = set(tokens_py(r.get("content") or ""))
+    vocab = sorted({t for s in toks_by_id.values() for t in s})
+    n_docs, _avgdl, dfs = index_stats(idx, vocab)
+    out_q, out_t, out_fg, out_df, out_score = [], [], [], [], []
+    for qid in sorted(docs_per_q):
+        hits = docs_per_q[qid]
+        fg = Counter(t for d in hits for t in toks_by_id.get(d, ()))
+        scored = []
+        for t, f in fg.items():
+            df = dfs.get(t, 0)
+            if f < SIG_MIN_FG or df == 0:
+                continue
+            lift = (f * n_docs) / (len(hits) * df)
+            scored.append((-lift, t, f, df))
+        scored.sort()
+        for neg, t, f, df in scored[:SIG_MAX_TERMS]:
+            out_q.append(qid)
+            out_t.append(t)
+            out_fg.append(f)
+            out_df.append(df)
+            out_score.append(-neg)
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "term": pa.array(out_t),
+        "fg": pa.array(out_fg, type=pa.int64()),
+        "df": pa.array(out_df, type=pa.int64()),
+        "lift": pa.array(out_score, type=pa.float64()),
+    })
+
+
 def search_facets(sf_dir: str, top_k: int = TOP_K):
     """Facet counts over the result page (Lucene/Solr faceting; the
     reference returns per-hit metadata, retrievers.py:81,140, but has no

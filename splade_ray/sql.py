@@ -479,6 +479,51 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def sig_terms_sql(queries: list[tuple[int, str]], k: int = 10,
+                  max_terms: int = 10, min_fg: int = 2) -> str:
+    """Significant-terms oracle (pipelines.sig_terms replay): per query, the
+    ``max_terms`` highest-lift terms of its BM25 top-``k`` result page,
+    lift = (fg·n_docs)/(k_actual·df) with fg >= ``min_fg`` (DuckDB's
+    BIGINT ``/`` is IEEE double division, the same expression the pipeline
+    computes; ties by term asc)."""
+    body = f"""
+hits AS (
+  SELECT query_id, doc_id FROM ranked WHERE rnk <= {k}
+),
+hit_n AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS k_actual
+  FROM hits GROUP BY query_id
+),
+fg AS (
+  SELECT h.query_id, p.term, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS fg
+  FROM hits h JOIN postings p ON p.doc_id = h.doc_id
+  GROUP BY h.query_id, p.term
+),
+sig_scored AS (
+  SELECT g.query_id, g.term, g.fg, f.df,
+         (g.fg * s.n_docs) / (hn.k_actual * f.df) AS lift
+  FROM fg g
+  JOIN df f ON f.term = g.term
+  JOIN hit_n hn ON hn.query_id = g.query_id
+  CROSS JOIN stats s
+  WHERE g.fg >= {min_fg}
+),
+sig_sel AS (
+  SELECT query_id, term, fg, df, lift,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lift DESC, term ASC) AS trank
+  FROM sig_scored
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), body,
+        )
+        + f"""
+SELECT query_id, term, fg, df, lift FROM sig_sel WHERE trank <= {max_terms}"""
+    )
+
+
 def search_facets_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     """Facet counts over the BM25 top-k result page (pipelines.search_facets
     replay): per (query, lang) hit count + best score in the bucket."""
