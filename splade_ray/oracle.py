@@ -113,6 +113,30 @@ class OracleIndex:
         }
         return self._rank_qterms(qterms, k)
 
+    def search_wildcard(self, pattern: str, lang: str | None = None,
+                        k: int = 10):
+        """QueryEngine.search_wildcard ground truth: linear dictionary scan
+        with a compiled regex (``*`` -> ``.*``, ``?`` -> ``.``)."""
+        import re
+
+        pat = pattern.strip().lower()
+        if not pat:
+            return []
+        rx = re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in pat)
+        )
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            qterms = {
+                t: 1 for t in self.postings
+                if t.split(":", 1)[0] in langs
+                and rx.fullmatch(t.split(":", 1)[1])
+            }
+        else:
+            qterms = {t: 1 for t in self.postings if rx.fullmatch(t)}
+        return self._rank_qterms(qterms, k)
+
     def search_fuzzy(self, query: str, lang: str | None = None,
                      k: int = 10):
         """QueryEngine.search_fuzzy ground truth: linear vocabulary scan

@@ -73,6 +73,20 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (5, "Agg"),        # normalization proof
 ]
 
+# Wildcard queries (Lucene WildcardQuery shape): * = any run, ? = one char.
+# "*er" exercises the leading-wildcard full-dictionary scan, "s*a*" the
+# multi-star path, "Vec*r" normalization, "part" the no-wildcard TermQuery
+# rewrite, "zz*9" a guaranteed miss.
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "merg*"),
+    (1, "w?ndow"),
+    (2, "*er"),
+    (3, "s*a*"),
+    (4, "Vec*r"),
+    (5, "part"),
+    (6, "zz*9"),
+]
+
 # Boolean queries (qid, must, should, must_not) — analyzer-normalized
 # single tokens; mirrors sql.bool_topk_sql roles exactly.
 BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
@@ -106,6 +120,14 @@ def norm_prefixes() -> list[tuple[int, str]]:
 
 def norm_fuzzy() -> list[tuple[int, str]]:
     return _norm_first_token(FUZZY_QUERIES)
+
+
+def norm_wildcards() -> list[tuple[int, str]]:
+    """Wildcard patterns can't pass through the tokenizer (* and ? split);
+    normalization is the engine's own rule — lowercase — applied here so
+    the SQL oracle embeds the identical literal."""
+    return [(qid, p.strip().lower()) for qid, p in WILDCARD_QUERIES
+            if p.strip()]
 
 
 def corpus_ds(sf_dir: str):
@@ -281,6 +303,24 @@ def fuzzy_topk(sf_dir: str, top_k: int = TOP_K):
     })
     res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
                       concurrency=2, query_kind="fuzzy")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def wildcard_topk(sf_dir: str, top_k: int = TOP_K):
+    """Wildcard search (Lucene WildcardQuery) through the index: each
+    WILDCARD_QUERIES pattern (* = any run, ? = one char) rewrites against
+    the sorted term dictionary — literal-prefix-bounded run + one
+    vectorized LIKE kernel (QueryEngine.expand_wildcard) — and scores as a
+    qtf=1 BM25 bag.  Rank-identical to sql.wildcard_topk_sql's
+    ``term LIKE pattern`` oracle (shared * -> % translation)."""
+    idx = _contract_index(sf_dir)
+    pats = norm_wildcards()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in pats], type=pa.int64()),
+        "query": pa.array([p for _, p in pats]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="wildcard")
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 

@@ -35,9 +35,11 @@ import heapq
 import json
 import math
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .analyzer import LANG_SEP, analyze_query, tokens_py
 from .build import SCORE_SCALE
@@ -47,6 +49,13 @@ from .segments import SegmentReader
 # analyzer contract: terms are [a-z0-9]+ — this alphabet makes the edit-1
 # neighborhood enumeration in expand_fuzzy exhaustive
 _FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+def wildcard_to_like(pattern: str) -> str:
+    """``*``/``?`` wildcard -> SQL LIKE pattern (``%``/``_``).  No escaping
+    needed: index terms and patterns are [a-z0-9] plus the wildcards, and
+    the lang tag separator ':' is a literal in LIKE."""
+    return pattern.replace("*", "%").replace("?", "_")
+
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -101,7 +110,7 @@ class QueryEngine:
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
-        if query_kind not in ("text", "prefix", "fuzzy", "bool"):
+        if query_kind not in ("text", "prefix", "fuzzy", "wildcard", "bool"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         self.ord_range = None
@@ -349,6 +358,76 @@ class QueryEngine:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         qterms = {t: 1 for t in
                   self.expand_prefix(toks[0], lang, max_expansion)}
+        ids, units = self._score(qterms)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    # ------------------------------------------------------------ wildcard --
+    def expand_wildcard(self, pattern: str, lang: str | None = None,
+                        max_expansion: int = 1024) -> list[str]:
+        """Distinct index terms matching ``pattern`` (sorted), where ``*``
+        matches any run and ``?`` exactly one character — Lucene
+        WildcardQuery's dictionary rewrite.
+
+        The literal prefix before the first wildcard bounds the scan to one
+        contiguous dictionary run per segment (prefix_rows), and the run is
+        filtered with ONE vectorized SQL-LIKE kernel (pyarrow
+        ``match_like`` over the sliced term column) — no per-term Python.
+        A LEADING wildcard degrades to a full-dictionary LIKE scan per
+        segment (vectorized, but O(V) — the same cost Lucene pays, where
+        the documented scale remedy is a reversed-term field); the
+        ``max_expansion`` guard still bounds what can ever reach scoring.
+        Patterns are lowercased; chars outside [a-z0-9*?] are rejected
+        loudly (terms are analyzer-normalized ASCII alnum)."""
+        pat = pattern.strip().lower()
+        if not pat:
+            raise ValueError("empty wildcard pattern")
+        if not re.fullmatch(r"[a-z0-9*?]+", pat):
+            raise ValueError(
+                f"wildcard pattern {pattern!r} has characters outside "
+                f"[a-z0-9*?]; index terms are analyzer-normalized alnum"
+            )
+        wc = min((pat.index(c) for c in "*?" if c in pat), default=len(pat))
+        if wc == len(pat):  # no wildcard: Lucene's TermQuery rewrite
+            keys = self._variants(pat, lang)
+            return sorted(k for k in keys if self._term_refs(k)[0])
+        lit = pat[:wc]
+        like = wildcard_to_like(pat)
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            runs = [(f"{lg}{LANG_SEP}{lit}", f"{lg}{LANG_SEP}{like}")
+                    for lg in langs]
+        else:
+            runs = [(lit, like)]
+        terms: set[str] = set()
+        for key_pre, key_like in runs:
+            for seg in self.segments:
+                rows = seg.prefix_rows(key_pre)
+                if rows.stop <= rows.start:
+                    continue
+                sl = seg._terms.slice(rows.start, rows.stop - rows.start)
+                terms.update(
+                    sl.filter(pc.match_like(sl, key_like)).to_pylist()
+                )
+                if len(terms) > max_expansion:
+                    raise ValueError(
+                        f"wildcard {pattern!r} expands to more than "
+                        f"{max_expansion} terms; add literal characters"
+                    )
+        return sorted(terms)
+
+    def search_wildcard(self, pattern: str, lang: str | None = None,
+                        max_expansion: int = 1024):
+        """BM25 top-k for a ``*``/``?`` wildcard pattern: every matching
+        dictionary term scores with qtf=1 (the same uniform
+        scoring-BooleanQuery rewrite as search_prefix), summed per doc —
+        the semantics sql.wildcard_topk_sql replays with LIKE."""
+        if not pattern.strip():
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qterms = {t: 1 for t in
+                  self.expand_wildcard(pattern, lang, max_expansion)}
         ids, units = self._score(qterms)
         ids, units = self._topk(ids, units)
         if len(ids):
@@ -860,7 +939,8 @@ class QueryEngine:
             inputs = iter(batch["query"].to_pylist())
             by_kind = {"text": self.search_one,
                        "prefix": self.search_prefix,
-                       "fuzzy": self.search_fuzzy}
+                       "fuzzy": self.search_fuzzy,
+                       "wildcard": self.search_wildcard}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)

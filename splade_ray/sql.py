@@ -323,6 +323,37 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def wildcard_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
+    """BM25 top-k where each query is a ``*``/``?`` wildcard pattern over
+    the term dictionary (QueryEngine.search_wildcard replay; Lucene
+    WildcardQuery under the uniform qtf=1 scoring rewrite).  The LIKE
+    translation (* -> %, ? -> _) is query.wildcard_to_like — the engine and
+    this oracle share it, so the two sides cannot drift.  Patterns must
+    arrive lowercased (pipelines.norm_wildcards)."""
+    from .query import wildcard_to_like
+
+    rows = ",".join(
+        f"({qid}, '" + wildcard_to_like(p).replace("'", "''") + "')"
+        for qid, p in patterns
+    )
+    lit = f"wc_lit(query_id, pat) AS (SELECT * FROM (VALUES {rows}))"
+    qterms = """
+qterms AS (
+  SELECT q.query_id, f.term, CAST(1 AS BIGINT) AS qtf
+  FROM wc_lit q JOIN df f ON f.term LIKE q.pat
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            lit, qterms, _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def bool_topk_sql(
     specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
 ) -> str:

@@ -160,6 +160,86 @@ def test_prefix_actor_pool_matches_direct(index_dir, oracle):
         np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
 
 
+# ---------------------------------------------------------- wildcard search --
+
+def _some_wildcards(oracle) -> list[str]:
+    """Deterministic patterns over the real vocabulary: tail-star, ?, a
+    leading star (full-dict scan), multi-star, a no-wildcard exact term,
+    and a guaranteed miss."""
+    vocab = sorted(t for t in oracle.postings if len(t) >= 4)
+    a, b, c = vocab[0], vocab[len(vocab) // 2], vocab[-1]
+    return [a[:3] + "*", b[:2] + "?" + b[3:], "*" + c[-2:],
+            a[0] + "*" + a[2] + "*", b, "zz*9q"]
+
+
+def test_expand_wildcard_matches_vocab(index_dir, oracle):
+    import re
+
+    eng = QueryEngine(index_dir)
+    for pat in _some_wildcards(oracle):
+        rx = re.compile("".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pat))
+        want = sorted(t for t in oracle.postings if rx.fullmatch(t))
+        assert eng.expand_wildcard(pat) == want, pat
+
+
+def test_expand_wildcard_guards(index_dir):
+    eng = QueryEngine(index_dir)
+    with pytest.raises(ValueError, match="empty wildcard"):
+        eng.expand_wildcard("  ")
+    with pytest.raises(ValueError, match="outside"):
+        eng.expand_wildcard("foo-bar*")
+    with pytest.raises(ValueError, match="literal characters"):
+        eng.expand_wildcard("*", max_expansion=1)
+
+
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+def test_search_wildcard_oracle_parity(index_dir, oracle, scorer):
+    eng = QueryEngine(index_dir, k=10, scorer=scorer)
+    for pat in _some_wildcards(oracle):
+        want = oracle.search_wildcard(pat, k=10)
+        ids, units = eng.search_wildcard(pat)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (scorer, pat)
+
+
+def test_search_wildcard_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir, k=10)
+    lang = tagged_oracle.langs[0]
+    for pat in ["de*", "?ef", "*urn", "d*f"]:
+        for lg in (None, lang):
+            want = tagged_oracle.search_wildcard(pat, lang=lg, k=10)
+            ids, units = eng.search_wildcard(pat, lang=lg)
+            got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+            assert got == want, (pat, lg)
+
+
+def test_wildcard_normalizes_and_empty(index_dir, oracle):
+    eng = QueryEngine(index_dir, k=10)
+    pat = _some_wildcards(oracle)[0]
+    assert eng.search_wildcard(pat.upper())[0].tolist() == \
+        eng.search_wildcard(pat)[0].tolist()
+    ids, units = eng.search_wildcard("   ")
+    assert len(ids) == 0 and len(units) == 0
+
+
+def test_wildcard_actor_pool_matches_direct(index_dir, oracle):
+    pats = _some_wildcards(oracle)
+    tbl = pa.table({
+        "query_id": pa.array(range(len(pats)), type=pa.int64()),
+        "query": pa.array(pats),
+    })
+    res = run_queries(rd.from_arrow(tbl), index_dir, k=10, concurrency=2,
+                      query_kind="wildcard").to_pandas()
+    eng = QueryEngine(index_dir, k=10)
+    for qid, pat in enumerate(pats):
+        ids, units = eng.search_wildcard(pat)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(i) for i in ids]
+        np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
+
+
 # ------------------------------------------------------------- fuzzy search --
 
 def _some_fuzzy_tokens(oracle, n=6) -> list[str]:
