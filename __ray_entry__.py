@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PrefixQuery / BooleanQuery class, no Milvus analogue)
         "prefix_topk": p.prefix_topk,
         "fuzzy_topk": p.fuzzy_topk,
+        "fuzzy2_topk": p.fuzzy2_topk,
         "wildcard_topk": p.wildcard_topk,
         "bool_topk": p.bool_topk,
         "mlt_topk": p.mlt_topk,
@@ -120,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
             p.SPAN_QUERIES, TOP_K, ordered=False),
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
         "fuzzy_topk": sql.fuzzy_topk_sql(p.norm_fuzzy(), TOP_K),
+        "fuzzy2_topk": sql.fuzzy_topk_sql(p.norm_fuzzy2(), TOP_K,
+                                          max_edits=2),
         "wildcard_topk": sql.wildcard_topk_sql(p.norm_wildcards(), TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
         "mlt_topk": sql.mlt_topk_sql(p.MLT_N_SOURCES, p.MLT_MAX_TERMS,

@@ -138,17 +138,18 @@ class OracleIndex:
         return self._rank_qterms(qterms, k)
 
     def search_fuzzy(self, query: str, lang: str | None = None,
-                     k: int = 10):
-        """QueryEngine.search_fuzzy ground truth: linear vocabulary scan
-        with an exact Levenshtein(<=1) check per term."""
+                     k: int = 10, max_edits: int = 1):
+        """QueryEngine.search_fuzzy / search_fuzzy2 ground truth: linear
+        vocabulary scan with an exact Levenshtein(<=max_edits) check."""
         toks = tokens_py(query)
         if not toks:
             return []
         q = toks[0]
+        n = max_edits
 
         def _lev(a: str, b: str) -> int:
-            if abs(len(a) - len(b)) > 1:
-                return 2
+            if abs(len(a) - len(b)) > n:
+                return n + 1
             prev = list(range(len(b) + 1))
             for i, ca in enumerate(a, 1):
                 cur = [i]
@@ -163,10 +164,10 @@ class OracleIndex:
             qterms = {
                 t: 1 for t in self.postings
                 if t.split(":", 1)[0] in langs
-                and _lev(t.split(":", 1)[1], q) <= 1
+                and _lev(t.split(":", 1)[1], q) <= n
             }
         else:
-            qterms = {t: 1 for t in self.postings if _lev(t, q) <= 1}
+            qterms = {t: 1 for t in self.postings if _lev(t, q) <= n}
         return self._rank_qterms(qterms, k)
 
     def search_bool(self, must=(), should=(), must_not=(),

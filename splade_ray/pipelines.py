@@ -73,6 +73,19 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (5, "Agg"),        # normalization proof
 ]
 
+# Fuzzy maxEdits=2 queries (Lucene FuzzyQuery via the Levenshtein-automaton
+# dictionary intersect): "mrege" is the classic transposition = plain
+# Levenshtein 2 from "merge" (the case maxEdits=1 documents as out of
+# reach); "costumer" is two substitutions from "customer"; "filta" is a
+# substitution + an insertion from "filter"; "q9q9q9zz" matches nothing.
+FUZZY2_QUERIES: list[tuple[int, str]] = [
+    (0, "mrege"),
+    (1, "costumer"),
+    (2, "filta"),
+    (3, "Windox"),     # normalization proof + distance 1 ⊂ distance 2
+    (4, "q9q9q9zz"),
+]
+
 # Wildcard queries (Lucene WildcardQuery shape): * = any run, ? = one char.
 # "*er" exercises the leading-wildcard full-dictionary scan, "s*a*" the
 # multi-star path, "Vec*r" normalization, "part" the no-wildcard TermQuery
@@ -120,6 +133,10 @@ def norm_prefixes() -> list[tuple[int, str]]:
 
 def norm_fuzzy() -> list[tuple[int, str]]:
     return _norm_first_token(FUZZY_QUERIES)
+
+
+def norm_fuzzy2() -> list[tuple[int, str]]:
+    return _norm_first_token(FUZZY2_QUERIES)
 
 
 def norm_wildcards() -> list[tuple[int, str]]:
@@ -303,6 +320,24 @@ def fuzzy_topk(sf_dir: str, top_k: int = TOP_K):
     })
     res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
                       concurrency=2, query_kind="fuzzy")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def fuzzy2_topk(sf_dir: str, top_k: int = TOP_K):
+    """Fuzzy search at maxEdits=2 (Lucene FuzzyQuery) through the index:
+    each FUZZY2_QUERIES token matches every term within Levenshtein
+    distance 2 via the Levenshtein-automaton x sorted-dictionary intersect
+    (QueryEngine.expand_fuzzy_automaton — iterations independent of
+    vocabulary size), scored as a qtf=1 BM25 bag.  Rank-identical to
+    sql.fuzzy_topk_sql's levenshtein(term, token) <= 2 oracle."""
+    idx = _contract_index(sf_dir)
+    toks = norm_fuzzy2()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in toks], type=pa.int64()),
+        "query": pa.array([t for _, t in toks]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="fuzzy2")
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 

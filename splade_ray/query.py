@@ -110,7 +110,8 @@ class QueryEngine:
         self.lang_tagged = self.manifest["lang_tagged"]
         self.k = k
         self.scorer = scorer
-        if query_kind not in ("text", "prefix", "fuzzy", "wildcard", "bool"):
+        if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
+                              "wildcard", "bool"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         self.ord_range = None
@@ -446,9 +447,11 @@ class QueryEngine:
         search as an exact term.  Per-query cost is therefore INDEPENDENT
         of vocabulary size — the property that matters at 10^8-term
         dictionaries, where a scan-and-levenshtein pass would be the
-        scale-killer.  maxEdits=2 squares the candidate count; the known
-        scale path there is a Levenshtein-automaton walk of the dictionary
-        (Lucene's FST intersect), out of scope here."""
+        scale-killer.  maxEdits=2 squares the candidate count, so that
+        case instead walks a Levenshtein automaton over the sorted
+        dictionary (expand_fuzzy_automaton — Lucene's FST intersect in
+        array form); at maxEdits=1 this enumeration has the better
+        constant (~(2L+1)·36 O(log V) probes, no automaton stepping)."""
         t = token
         if not t:
             return []
@@ -480,6 +483,76 @@ class QueryEngine:
         if not toks:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         qterms = {t: 1 for t in self.expand_fuzzy(toks[0], lang)}
+        ids, units = self._score(qterms)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    # ------------------------------------------------------ fuzzy, edits=2 --
+    def expand_fuzzy_automaton(self, token: str, lang: str | None = None,
+                               max_edits: int = 2,
+                               max_expansion: int = 1024) -> list[str]:
+        """Index terms within Levenshtein distance ``max_edits`` of
+        ``token`` (sorted) — Lucene FuzzyQuery's automaton rewrite.
+
+        The edit-1 exhaustive neighborhood (expand_fuzzy) squares to ~400k
+        probes at maxEdits=2; instead this INTERSECTS a Levenshtein
+        automaton with the sorted dictionary (levenshtein.py): ask the
+        automaton for the smallest accepted string >= the current term,
+        leap-frog the dictionary there with one binary search
+        (SegmentReader.seek_row), repeat.  Iterations = matches +
+        automaton-language gaps — independent of vocabulary size, the same
+        complexity Lucene gets from its FST intersect.  ``max_expansion``
+        guards the scoring stage exactly like prefix/wildcard (short tokens
+        at distance 2 can legitimately match thousands of terms)."""
+        from .levenshtein import LevenshteinAutomaton
+
+        t = token
+        if not t:
+            return []
+        aut = LevenshteinAutomaton(t, max_edits)
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            key_prefixes = [f"{lg}{LANG_SEP}" for lg in langs]
+        else:
+            key_prefixes = [""]
+        matched: set[str] = set()
+        for kp in key_prefixes:
+            npre = len(kp)
+            for seg in self.segments:
+                run = (seg.prefix_rows(kp) if kp
+                       else range(0, len(seg._terms)))
+                row = run.start
+                while row < run.stop:
+                    term = seg._terms[row].as_py()[npre:]
+                    nxt = aut.next_valid(term)
+                    if nxt is None:
+                        break
+                    if nxt == term:
+                        matched.add(kp + term)
+                        if len(matched) > max_expansion:
+                            raise ValueError(
+                                f"fuzzy token {token!r} at maxEdits="
+                                f"{max_edits} expands to more than "
+                                f"{max_expansion} terms; use a longer token"
+                            )
+                        row += 1  # salted duplicates dedup via the set
+                        continue
+                    row = seg.seek_row(kp + nxt, row + 1, run.stop)
+        return sorted(matched)
+
+    def search_fuzzy2(self, query: str, lang: str | None = None,
+                      max_expansion: int = 1024):
+        """BM25 top-k at Levenshtein distance <= 2 (Lucene FuzzyQuery,
+        maxEdits=2): matched terms form a qtf=1 scoring bag, identical
+        rewrite to search_fuzzy — the SQL oracle selects terms via
+        levenshtein(term, q) <= 2.  FIRST analyzed token fuzzes."""
+        toks = tokens_py(query)
+        if not toks:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qterms = {t: 1 for t in self.expand_fuzzy_automaton(
+            toks[0], lang, 2, max_expansion)}
         ids, units = self._score(qterms)
         ids, units = self._topk(ids, units)
         if len(ids):
@@ -940,6 +1013,7 @@ class QueryEngine:
             by_kind = {"text": self.search_one,
                        "prefix": self.search_prefix,
                        "fuzzy": self.search_fuzzy,
+                       "fuzzy2": self.search_fuzzy2,
                        "wildcard": self.search_wildcard}
 
             def search(q, lg, _f=by_kind[self.query_kind]):

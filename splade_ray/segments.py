@@ -306,6 +306,21 @@ class SegmentReader:
                 hi = mid
         return range(left, lo)
 
+    def seek_row(self, key: str, lo: int = 0, hi: int | None = None) -> int:
+        """Leftmost dict row in [lo, hi) whose term >= ``key`` (binary
+        search over the sorted term column) — the dictionary-seek primitive
+        the Levenshtein-automaton intersection leap-frogs with."""
+        col = self._terms
+        if hi is None:
+            hi = len(col)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if col[mid].as_py() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     def meta_at(self, i: int) -> PostingMeta:
         cached = self._meta_cache.get(i)
         if cached is not None:

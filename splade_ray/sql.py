@@ -297,19 +297,20 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
-def fuzzy_topk_sql(tokens: list[tuple[int, str]], k: int = 10) -> str:
+def fuzzy_topk_sql(tokens: list[tuple[int, str]], k: int = 10,
+                   max_edits: int = 1) -> str:
     """BM25 top-k where the query token matches any term within Levenshtein
-    distance 1 (QueryEngine.search_fuzzy replay; Lucene FuzzyQuery at
-    maxEdits=1 under the uniform qtf=1 rewrite).  Tokens must arrive
-    analyzer-normalized."""
+    distance ``max_edits`` (QueryEngine.search_fuzzy / search_fuzzy2
+    replay; Lucene FuzzyQuery under the uniform qtf=1 rewrite).  Tokens
+    must arrive analyzer-normalized."""
     rows = ",".join(
         f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in tokens
     )
     lit = f"fuzzy_lit(query_id, token) AS (SELECT * FROM (VALUES {rows}))"
-    qterms = """
+    qterms = f"""
 qterms AS (
   SELECT q.query_id, f.term, CAST(1 AS BIGINT) AS qtf
-  FROM fuzzy_lit q JOIN df f ON levenshtein(f.term, q.token) <= 1
+  FROM fuzzy_lit q JOIN df f ON levenshtein(f.term, q.token) <= {max_edits}
 )"""
     return (
         _with(

@@ -306,6 +306,96 @@ def test_fuzzy_empty_and_normalized(index_dir, oracle):
         eng.search_fuzzy(tok)[0].tolist()
 
 
+# ------------------------------------------------- fuzzy maxEdits=2 search --
+
+def test_levenshtein_automaton_brute_force():
+    """Automaton language == exact Levenshtein <= n over an exhaustive
+    small universe, and next_valid returns the smallest accepted string
+    >= s with nothing accepted in between."""
+    import itertools
+
+    from splade_ray.levenshtein import LevenshteinAutomaton
+
+    AL = "abz1"
+    univ = [""] + ["".join(p) for L in range(1, 5)
+                   for p in itertools.product(AL, repeat=L)]
+    univ.sort()
+    for w in ["", "a", "ab", "ba1", "abab", "zz1a"]:
+        for n in (0, 1, 2):
+            aut = LevenshteinAutomaton(w, n)
+            acc = [s for s in univ if aut.accepts(s)]
+            want = [s for s in univ if _brute_lev(s, w) <= n]
+            assert acc == want, (w, n)
+            for s in univ[::11]:
+                nv = aut.next_valid(s)
+                if nv is not None:
+                    assert nv >= s and aut.accepts(nv), (w, n, s, nv)
+                    assert not [u for u in want if s <= u < nv], (w, n, s)
+                else:
+                    assert not [u for u in want if u >= s], (w, n, s)
+
+
+def test_expand_fuzzy_automaton_matches_vocab(index_dir, oracle):
+    """Dictionary intersect == brute-force levenshtein scan at maxEdits=2,
+    and at maxEdits=1 it agrees with the independent exhaustive-
+    neighborhood implementation (expand_fuzzy)."""
+    eng = QueryEngine(index_dir)
+    for tok in _some_fuzzy_tokens(oracle):
+        got = eng.expand_fuzzy_automaton(tok, max_edits=2,
+                                         max_expansion=10**6)
+        want = sorted(t for t in oracle.postings if _brute_lev(t, tok) <= 2)
+        assert got == want, tok
+        assert eng.expand_fuzzy_automaton(tok, max_edits=1,
+                                          max_expansion=10**6) == \
+            eng.expand_fuzzy(tok), tok
+
+
+def test_expand_fuzzy_automaton_guard(index_dir):
+    eng = QueryEngine(index_dir)
+    with pytest.raises(ValueError, match="longer token"):
+        eng.expand_fuzzy_automaton("de", max_edits=2, max_expansion=1)
+
+
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+def test_search_fuzzy2_oracle_parity(index_dir, oracle, scorer):
+    eng = QueryEngine(index_dir, k=10, scorer=scorer,
+                      query_kind="fuzzy2")
+    for tok in _some_fuzzy_tokens(oracle):
+        want = oracle.search_fuzzy(tok, k=10, max_edits=2)
+        ids, units = eng.search_fuzzy2(tok, max_expansion=10**6)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (scorer, tok)
+
+
+def test_search_fuzzy2_lang_tagged(tagged_dir, tagged_oracle):
+    eng = QueryEngine(tagged_dir, k=10)
+    lang = tagged_oracle.langs[0]
+    for tok in ["def", "impotr", "rtrn"]:
+        for lg in (None, lang):
+            want = tagged_oracle.search_fuzzy(tok, lang=lg, k=10,
+                                              max_edits=2)
+            ids, units = eng.search_fuzzy2(tok, lang=lg,
+                                           max_expansion=10**6)
+            got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+            assert got == want, (tok, lg)
+
+
+def test_fuzzy2_actor_pool_matches_direct(index_dir, oracle):
+    toks = _some_fuzzy_tokens(oracle)
+    tbl = pa.table({
+        "query_id": pa.array(range(len(toks)), type=pa.int64()),
+        "query": pa.array(toks),
+    })
+    res = run_queries(rd.from_arrow(tbl), index_dir, k=10, concurrency=2,
+                      query_kind="fuzzy2").to_pandas()
+    eng = QueryEngine(index_dir, k=10)
+    for qid, tok in enumerate(toks):
+        ids, units = eng.search_fuzzy2(tok)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(i) for i in ids]
+        np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
+
+
 # ----------------------------------------------------------- boolean search --
 
 BOOL_CASES = [
