@@ -323,6 +323,24 @@ def fuzzy_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+def suggest_topk(sf_dir: str, n: int = 5):
+    """Completion suggester (Elasticsearch term-suggest analogue): each
+    PREFIX_QUERIES prefix returns the top-n dictionary terms by document
+    frequency, served entirely from the sorted term dictionary
+    (query.TermSuggester — postings never decoded).  Ties break term ASC;
+    df is the frozen build-time document frequency.  Value-identical to
+    sql.suggest_topk_sql's starts_with + row_number oracle."""
+    from .query import run_suggest
+
+    idx = _contract_index(sf_dir)
+    prefs = norm_prefixes()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in prefs], type=pa.int64()),
+        "query": pa.array([p for _, p in prefs]),
+    })
+    return run_suggest(rd.from_arrow(tbl), idx, n=n, concurrency=2)
+
+
 def fuzzy2_topk(sf_dir: str, top_k: int = TOP_K):
     """Fuzzy search at maxEdits=2 (Lucene FuzzyQuery) through the index:
     each FUZZY2_QUERIES token matches every term within Levenshtein

@@ -1036,6 +1036,112 @@ class QueryEngine:
         )
 
 
+class TermSuggester:
+    """Callable-class stage: prefix -> top-n dictionary terms by document
+    frequency (Elasticsearch completion/term-suggester analogue, served
+    ENTIRELY from the sorted term dictionary — postings never touched).
+
+    Init loads only manifest + dictionaries (no docmap, no tombstones):
+    df is the FROZEN build-time document frequency (Lucene semantics —
+    deletes don't lower df until compaction), summed across segments and
+    hot-term salts.  Per suggestion the matching terms are one contiguous
+    dictionary run per segment (SegmentReader.prefix_rows) aggregated with
+    a vectorized slice — ranked df DESC, term ASC, cut to n.
+
+    Lang-tagged indexes aggregate per RAW token: with ``lang`` the scan is
+    that language's run only; without, one run per language and dfs sum
+    across languages (a term's total document frequency)."""
+
+    def __init__(self, index_dir: str, n: int = 10, lang: str | None = None,
+                 max_scan: int = 65536):
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.n = n
+        self.lang = lang
+        self.max_scan = max_scan
+        self.lang_tagged = self.manifest["lang_tagged"]
+        self.langs = self.manifest["langs"]
+        seg_root = os.path.join(index_dir, "segments")
+        self.segments = [
+            SegmentReader(os.path.join(seg_root, s["segment_id"]))
+            for s in self.manifest["segments"]
+        ]
+
+    def suggest_one(self, prefix: str) -> list[tuple[str, int]]:
+        toks = tokens_py(prefix)
+        if not toks:
+            return []
+        pre = toks[0]
+        if self.lang_tagged:
+            langs = [self.lang] if self.lang else self.langs
+            keys = [(f"{lg}{LANG_SEP}{pre}", len(lg) + len(LANG_SEP))
+                    for lg in langs]
+        else:
+            keys = [(pre, 0)]
+        acc: dict[str, int] = {}
+        scanned = 0
+        for key, strip in keys:
+            for seg in self.segments:
+                rows = seg.prefix_rows(key)
+                width = rows.stop - rows.start
+                if width <= 0:
+                    continue
+                scanned += width
+                if scanned > self.max_scan:
+                    # a 1-char prefix over a web-scale vocabulary: loud
+                    # guard, same contract as expand_prefix's TooManyClauses
+                    raise ValueError(
+                        f"suggest prefix {prefix!r} scans more than "
+                        f"{self.max_scan} dictionary rows; use a longer "
+                        f"prefix"
+                    )
+                terms = seg._terms.slice(rows.start, width).to_pylist()
+                dfs = seg.dict["df"].slice(rows.start, width).to_pylist()
+                for t, d in zip(terms, dfs):  # salted rows sum here too
+                    t = t[strip:]
+                    acc[t] = acc.get(t, 0) + int(d)
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[: self.n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_qid, out_rank, out_term, out_df = [], [], [], []
+        for qid, q in zip(batch["query_id"].to_pylist(),
+                          batch["query"].to_pylist()):
+            for r, (term, df_) in enumerate(self.suggest_one(q or ""),
+                                            start=1):
+                out_qid.append(qid)
+                out_rank.append(r)
+                out_term.append(term)
+                out_df.append(df_)
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+                "term": pa.array(out_term, type=pa.string()),
+                "df": pa.array(out_df, type=pa.int64()),
+            }
+        )
+
+
+def run_suggest(queries_ds, index_dir: str, *, n: int = 10,
+                lang: str | None = None,
+                concurrency: int | tuple[int, int] = 2,
+                batch_size: int = 64):
+    """(query_id, query) Dataset -> (query_id, rank, term, df) via the
+    TermSuggester actor pool (one dictionary-resident actor per slot)."""
+    # split small query tables so every actor gets work (run_queries shape)
+    n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
+    queries_ds = queries_ds.repartition(max(n_actors * 2, 4))
+    return queries_ds.map_batches(
+        TermSuggester,
+        fn_constructor_kwargs={"index_dir": index_dir, "n": n, "lang": lang},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def run_queries(
     queries_ds,
     index_dir: str,

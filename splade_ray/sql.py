@@ -324,6 +324,30 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def suggest_topk_sql(prefixes: list[tuple[int, str]], n: int = 5) -> str:
+    """Completion-suggester oracle (query.TermSuggester replay): per
+    prefix, the top-n corpus terms by document frequency, ties term ASC.
+    Prefixes must arrive analyzer-normalized (pipelines.norm_prefixes)."""
+    rows = ",".join(
+        f"({qid}, '" + p.replace("'", "''") + "')" for qid, p in prefixes
+    )
+    lit = f"pre_lit(query_id, prefix) AS (SELECT * FROM (VALUES {rows}))"
+    ranked = """
+sugg_ranked AS (
+  SELECT q.query_id, f.term, f.df,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY f.df DESC, f.term ASC) AS rnk
+  FROM pre_lit q JOIN df f ON starts_with(f.term, q.prefix)
+)"""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
+              lit, ranked)
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, term, df
+FROM sugg_ranked WHERE rnk <= {n}"""
+    )
+
+
 def wildcard_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
     """BM25 top-k where each query is a ``*``/``?`` wildcard pattern over
     the term dictionary (QueryEngine.search_wildcard replay; Lucene

@@ -160,6 +160,74 @@ def test_prefix_actor_pool_matches_direct(index_dir, oracle):
         np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
 
 
+# ----------------------------------------------------- completion suggester --
+
+def test_suggester_matches_vocab_df(index_dir, oracle):
+    """Top-n by frozen df, ties term ASC — against the oracle's postings
+    dicts (covers multi-segment + salted-row df summation)."""
+    from splade_ray.query import TermSuggester
+
+    sug = TermSuggester(index_dir, n=7)
+    for pre in _some_prefixes(oracle):
+        want = sorted(
+            ((t, len(docs)) for t, docs in oracle.postings.items()
+             if t.startswith(pre)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:7]
+        assert sug.suggest_one(pre) == want, pre
+
+
+def test_suggester_lang_tagged(tagged_dir, tagged_oracle):
+    """Tagged index: per-language scoping, and lang=None sums df across
+    languages per RAW token."""
+    from splade_ray.query import TermSuggester
+
+    lang = tagged_oracle.langs[0]
+    scoped = TermSuggester(tagged_dir, n=5, lang=lang)
+    want = sorted(
+        ((t.split(":", 1)[1], len(docs))
+         for t, docs in tagged_oracle.postings.items()
+         if t.startswith(f"{lang}:de")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert scoped.suggest_one("de") == want
+
+    agg: dict[str, int] = {}
+    for t, docs in tagged_oracle.postings.items():
+        lg, raw = t.split(":", 1)
+        if raw.startswith("de"):
+            agg[raw] = agg.get(raw, 0) + len(docs)
+    want_all = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert TermSuggester(tagged_dir, n=5).suggest_one("de") == want_all
+
+
+def test_suggester_guard_and_empty(index_dir):
+    from splade_ray.query import TermSuggester
+
+    with pytest.raises(ValueError, match="longer prefix"):
+        TermSuggester(index_dir, max_scan=1).suggest_one("d")
+    assert TermSuggester(index_dir).suggest_one("!!! ...") == []
+    assert TermSuggester(index_dir).suggest_one("zzzzzzq") == []
+
+
+def test_suggest_actor_pool_matches_direct(index_dir, oracle):
+    from splade_ray.query import TermSuggester, run_suggest
+
+    prefs = _some_prefixes(oracle)
+    tbl = pa.table({
+        "query_id": pa.array(range(len(prefs)), type=pa.int64()),
+        "query": pa.array(prefs),
+    })
+    res = run_suggest(rd.from_arrow(tbl), index_dir, n=5,
+                      concurrency=2).to_pandas()
+    sug = TermSuggester(index_dir, n=5)
+    for qid, pre in enumerate(prefs):
+        want = sug.suggest_one(pre)
+        sub = res[res.query_id == qid].sort_values("rank")
+        assert list(zip(sub.term, sub.df)) == want, pre
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
 # ---------------------------------------------------------- wildcard search --
 
 def _some_wildcards(oracle) -> list[str]:
