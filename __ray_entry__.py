@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy2_topk": p.fuzzy2_topk,
         "wildcard_topk": p.wildcard_topk,
         "suggest_topk": p.suggest_topk,
+        "filtered_topk": p.filtered_topk,
         "bool_topk": p.bool_topk,
         "mlt_topk": p.mlt_topk,
         "sig_terms": p.sig_terms,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
                                           max_edits=2),
         "wildcard_topk": sql.wildcard_topk_sql(p.norm_wildcards(), TOP_K),
         "suggest_topk": sql.suggest_topk_sql(p.norm_prefixes(), 5),
+        "filtered_topk": sql.filtered_topk_sql(p.FILTERED_QUERIES, TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
         "mlt_topk": sql.mlt_topk_sql(p.MLT_N_SOURCES, p.MLT_MAX_TERMS,
                                      p.MLT_MIN_DF, TOP_K),

@@ -170,6 +170,19 @@ class OracleIndex:
             qterms = {t: 1 for t in self.postings if _lev(t, q) <= n}
         return self._rank_qterms(qterms, k)
 
+    def search_filtered(self, query: str, dl_lo: int, dl_hi: int,
+                        lang: str | None = None, k: int = 10):
+        """QueryEngine.search_filtered ground truth: full BM25 qterms,
+        allowed set = docs with token count in [dl_lo, dl_hi)."""
+        qterms = analyze_query(
+            query,
+            lang if (self.lang_tagged and lang) else None,
+            self.langs if self.lang_tagged else None,
+        )
+        allowed = {d for d, length in self.doc_len.items()
+                   if dl_lo <= length < dl_hi}
+        return self._rank_qterms(qterms, k, allowed=allowed)
+
     def search_bool(self, must=(), should=(), must_not=(),
                     lang: str | None = None, k: int = 10):
         """QueryEngine.search_bool ground truth: python-set filters."""

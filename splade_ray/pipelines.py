@@ -100,6 +100,18 @@ WILDCARD_QUERIES: list[tuple[int, str]] = [
     (6, "zz*9"),
 ]
 
+# Filtered queries (qid, query, dl_lo, dl_hi): BM25 restricted to docs
+# whose token count lies in [dl_lo, dl_hi) — the ES bool+range-filter
+# shape.  Corpus doc lengths span ~[10, 99]; (3) is an empty range and
+# (4) a 1-token-wide band.
+FILTERED_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "merge window", 10, 50),
+    (1, "spark window", 50, 100),
+    (2, "vector join batch", 30, 70),
+    (3, "stream", 0, 10),
+    (4, "the", 60, 61),
+]
+
 # Boolean queries (qid, must, should, must_not) — analyzer-normalized
 # single tokens; mirrors sql.bool_topk_sql roles exactly.
 BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
@@ -320,6 +332,28 @@ def fuzzy_topk(sf_dir: str, top_k: int = TOP_K):
     })
     res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
                       concurrency=2, query_kind="fuzzy")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def filtered_topk(sf_dir: str, top_k: int = TOP_K):
+    """Filtered search (ES bool + range filter): each FILTERED_QUERIES row
+    runs full BM25 restricted to docs with token count in [dl_lo, dl_hi),
+    the filter applied against the resident ordinal->doc_len forward array
+    BEFORE the top-k cut and never rescaling scores
+    (QueryEngine.search_filtered).  Rank-identical to
+    sql.filtered_topk_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, *_ in FILTERED_QUERIES],
+                             type=pa.int64()),
+        "query": pa.array([s for _, s, _, _ in FILTERED_QUERIES]),
+        "dl_lo": pa.array([lo for *_, lo, _ in FILTERED_QUERIES],
+                          type=pa.int64()),
+        "dl_hi": pa.array([hi for *_, hi in FILTERED_QUERIES],
+                          type=pa.int64()),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="filtered")
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 

@@ -111,7 +111,7 @@ class QueryEngine:
         self.k = k
         self.scorer = scorer
         if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
-                              "wildcard", "bool"):
+                              "wildcard", "bool", "filtered"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         self.ord_range = None
@@ -625,6 +625,27 @@ class QueryEngine:
         for tok in dict.fromkeys(m_toks + s_toks):
             for v in self._variants(tok, lang):
                 qterms[v] = 1
+        ids, units = self._sparse_sums(qterms)
+        if not len(ids):
+            return empty
+        if allowed is not None and len(ids):
+            member, _ = sorted_member(allowed, ids)
+            ids, units = ids[member], units[member]
+        if len(banned) and len(ids):
+            dead, _ = sorted_member(banned, ids)
+            ids, units = ids[~dead], units[~dead]
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    def _sparse_sums(self, qterms: dict[str, int]) -> tuple[np.ndarray,
+                                                            np.ndarray]:
+        """COMPLETE tombstone-masked per-doc unit sums for a {term: qtf}
+        bag — no dense pre-cut, no top-k.  Filtering query kinds (boolean
+        must/must_not, doc-value range filters) need full sums before any
+        cut, or a filtered-out doc could set the cut and evict a
+        qualifying one."""
         all_ids, all_units = [], []
         for term, qtf in qterms.items():
             if not self._term_refs(term)[0]:
@@ -633,19 +654,33 @@ class QueryEngine:
             all_ids.append(t_ids)
             all_units.append(t_units)
         if not all_ids:
-            return empty
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         cat = np.concatenate(all_ids)
         uniq, inv = np.unique(cat, return_inverse=True)
         scores = np.bincount(
             inv, weights=np.concatenate(all_units).astype(np.float64),
             minlength=len(uniq)).astype(np.int64)
-        ids, units = self._mask_dead(uniq, scores)
-        if allowed is not None and len(ids):
-            member, _ = sorted_member(allowed, ids)
-            ids, units = ids[member], units[member]
-        if len(banned) and len(ids):
-            dead, _ = sorted_member(banned, ids)
-            ids, units = ids[~dead], units[~dead]
+        return self._mask_dead(uniq, scores)
+
+    # ------------------------------------------------------ filtered search --
+    def search_filtered(self, query: str, dl_lo: int, dl_hi: int,
+                        lang: str | None = None):
+        """BM25 top-k restricted to docs whose token count is in
+        [dl_lo, dl_hi) — the Elasticsearch bool-query-with-range-filter /
+        Lucene numeric-docvalues-filter shape.  The filter reads the
+        ordinal->doc_len forward array ALREADY resident for scoring
+        (docmap.gather_lens), so it costs one vectorized compare — no
+        postings, no staging fetch.  Sums are complete before the filter
+        (sparse path, _sparse_sums), so ranking among qualifying docs is
+        exactly the oracle's filter-then-rank semantics; scores are the
+        UNFILTERED BM25 values (a filter never rescales — Lucene filter
+        clauses score 0)."""
+        qterms = self._query_terms(query, lang)
+        ids, units = self._sparse_sums(qterms)
+        if len(ids):
+            dls = self.docs.gather_lens(ids)
+            keep = (dls >= dl_lo) & (dls < dl_hi)
+            ids, units = ids[keep], units[keep]
         ids, units = self._topk(ids, units)
         if len(ids):
             ids = self.docs.gather_ids(ids)
@@ -1008,6 +1043,15 @@ class QueryEngine:
                 m, s, n, ex = spec
                 return self.search_bool(m or [], s or [], n or [], lg,
                                         exclude_ids=ex or [])
+        elif self.query_kind == "filtered":
+            # (query_id, query, dl_lo, dl_hi[, lang]): BM25 + doc-len range
+            inputs = zip(batch["query"].to_pylist(),
+                         batch["dl_lo"].to_pylist(),
+                         batch["dl_hi"].to_pylist())
+
+            def search(spec, lg):
+                q, lo, hi = spec
+                return self.search_filtered(q or "", int(lo), int(hi), lg)
         else:
             inputs = iter(batch["query"].to_pylist())
             by_kind = {"text": self.search_one,

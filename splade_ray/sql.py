@@ -324,6 +324,31 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def filtered_topk_sql(specs: list[tuple[int, str, int, int]],
+                      k: int = 10) -> str:
+    """BM25 + doc-length range filter oracle (QueryEngine.search_filtered
+    replay): ``specs`` = (query_id, query, dl_lo, dl_hi); a doc scores iff
+    its token count is in [dl_lo, dl_hi), with UNfiltered BM25 values —
+    the filter joins into the shared ranked chain via its verify_join
+    hook, so filtering happens before ranking, never rescoring."""
+    queries = [(qid, q) for qid, q, _, _ in specs]
+    rows = ",".join(f"({qid}, {int(lo)}, {int(hi)})"
+                    for qid, _, lo, hi in specs)
+    rng = f"range_lit(query_id, dl_lo, dl_hi) AS (SELECT * FROM (VALUES {rows}))"
+    vjoin = ("JOIN range_lit r ON r.query_id = q.query_id"
+             " AND d.doc_len >= r.dl_lo AND d.doc_len < r.dl_hi")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), rng, _bm25_ranked_cte(verify_join=vjoin),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def suggest_topk_sql(prefixes: list[tuple[int, str]], n: int = 5) -> str:
     """Completion-suggester oracle (query.TermSuggester replay): per
     prefix, the top-n corpus terms by document frequency, ties term ASC.

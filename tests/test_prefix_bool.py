@@ -545,6 +545,67 @@ def test_bool_actor_pool_matches_direct(index_dir):
         np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
 
 
+# ---------------------------------------------------------- filtered search --
+
+FILTER_CASES = [
+    ("def import", 0, 10**9),   # all-pass range == plain search
+    ("def import", 20, 60),
+    ("return data", 0, 40),
+    ("def", 35, 36),            # 1-token-wide band
+    ("def", 10**6, 10**7),      # empty range
+]
+
+
+def test_search_filtered_oracle_parity(index_dir, oracle):
+    eng = QueryEngine(index_dir, k=10)
+    for q, lo, hi in FILTER_CASES:
+        want = oracle.search_filtered(q, lo, hi, k=10)
+        ids, units = eng.search_filtered(q, lo, hi)
+        got = [(int(d), u / SCORE_SCALE) for d, u in zip(ids, units)]
+        assert got == want, (q, lo, hi)
+    # all-pass range is exactly the unfiltered ranking
+    assert oracle.search_filtered("def import", 0, 10**9, k=10) == \
+        oracle.search("def import", k=10)
+
+
+def test_search_filtered_keeps_unfiltered_scores(index_dir, oracle):
+    """Survivors keep their plain BM25 scores (a filter never rescales)."""
+    eng = QueryEngine(index_dir, k=10)
+    plain = dict(oracle.search("def import", k=10**9))
+    ids, units = eng.search_filtered("def import", 20, 60)
+    for d, u in zip(ids, units):
+        assert plain[int(d)] == u / SCORE_SCALE
+        assert 20 <= oracle.doc_len[int(d)] < 60
+
+
+def test_filtered_actor_pool_and_sharded(index_dir):
+    from splade_ray.query import run_queries_sharded
+
+    tbl = pa.table({
+        "query_id": pa.array(range(len(FILTER_CASES)), type=pa.int64()),
+        "query": pa.array([q for q, _, _ in FILTER_CASES]),
+        "dl_lo": pa.array([lo for _, lo, _ in FILTER_CASES],
+                          type=pa.int64()),
+        "dl_hi": pa.array([hi for _, _, hi in FILTER_CASES],
+                          type=pa.int64()),
+    })
+    full = run_queries(rd.from_arrow(tbl), index_dir, k=10, concurrency=2,
+                       query_kind="filtered").to_pandas()
+    eng = QueryEngine(index_dir, k=10)
+    for qid, (q, lo, hi) in enumerate(FILTER_CASES):
+        ids, units = eng.search_filtered(q, lo, hi)
+        sub = full[full.query_id == qid].sort_values("rank")
+        assert sub.doc_id.tolist() == [int(i) for i in ids]
+        np.testing.assert_allclose(sub.score.to_numpy(), units / SCORE_SCALE)
+    shd = run_queries_sharded(rd.from_arrow(tbl), index_dir, k=10,
+                              n_query_shards=3,
+                              query_kind="filtered").to_pandas()
+    cols = ["query_id", "rank", "doc_id", "score"]
+    a = full[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = shd[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.astype({"rank": "int64"}).equals(b.astype({"rank": "int64"}))
+
+
 # ------------------------------------------------------- sharded fan-out ---
 
 @pytest.mark.parametrize("n_shards", [2, 3])
