@@ -72,6 +72,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_topk": p.mlt_topk,
         "sig_terms": p.sig_terms,
         "search_facets": p.search_facets,
+        # doc-values sidecar family (Lucene DocValues / ES collapse,
+        # terms-agg, track_total_hits)
+        "highlight_topk": p.highlight_topk,
+        "synonym_topk": p.synonym_topk,
+        "regexp_topk": p.regexp_topk,
+        "search_after_topk": p.search_after_topk,
+        "explain_top1": p.explain_top1,
+        "collapse_topk": p.collapse_topk,
+        "lang_terms_agg": p.lang_terms_agg,
+        "total_hits": p.total_hits,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -134,6 +144,16 @@ def oracle_sql() -> dict[str, str]:
         "sig_terms": sql.sig_terms_sql(DOC_QUERIES, TOP_K,
                                        p.SIG_MAX_TERMS, p.SIG_MIN_FG),
         "search_facets": sql.search_facets_sql(DOC_QUERIES, TOP_K),
+        "highlight_topk": sql.highlight_topk_sql(DOC_QUERIES, TOP_K,
+                                                 p.HL_WINDOW),
+        "synonym_topk": sql.qterms_topk_sql(
+            p.expand_synonym_qterms(p.SYN_QUERIES), TOP_K),
+        "regexp_topk": sql.regexp_topk_sql(p.norm_regexps(), TOP_K),
+        "search_after_topk": sql.search_after_sql(DOC_QUERIES, TOP_K),
+        "explain_top1": sql.explain_top1_sql(DOC_QUERIES),
+        "collapse_topk": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
+        "lang_terms_agg": sql.lang_terms_agg_sql(DOC_QUERIES),
+        "total_hits": sql.total_hits_sql(DOC_QUERIES),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

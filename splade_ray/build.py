@@ -533,10 +533,12 @@ def build_index(
     # doc-scale flows through a driver write cursor, so the path holds at
     # 10^12 docs.  Either path doubles as the duplicate-identity check:
     # equal ids end up adjacent.
-    from .docmap import doc_arrays_valid, open_doc_arrays, write_sharded
+    from .docmap import (LANG_MISSING, LANGVALS_NAME, doc_arrays_valid,
+                         encode_lang_codes, open_doc_arrays, write_sharded)
 
     docmap_path = os.path.join(index_dir, "docmap.bin")
     doclens_path = os.path.join(index_dir, "doclens.bin")
+    langvals_path = os.path.join(index_dir, LANGVALS_NAME)
     docmap_valid = doc_arrays_valid(index_dir, n_docs)
     tmp_map, tmp_dl = docmap_path + ".tmp", doclens_path + ".tmp"
     dup_msg = (
@@ -586,7 +588,7 @@ def build_index(
         # the running nbytes check below catches wide-dtype drift or a
         # mis-set threshold and falls back to the distributed sort rather
         # than blowing the driver heap)
-        id_chunks, dl_chunks, acc_bytes = [], [], 0
+        id_chunks, dl_chunks, lv_chunks, acc_bytes = [], [], [], 0
         fits = True
         for batch in ray.data.read_parquet(
             staging_dir, columns=["doc_id", "doc_len", "lang"]
@@ -594,12 +596,23 @@ def build_index(
             _absorb_stats(batch)
             ic = batch["doc_id"].to_numpy(zero_copy_only=False)
             dc = batch["doc_len"].to_numpy(zero_copy_only=False)
-            acc_bytes += ic.nbytes + dc.nbytes
+            # lang doc-values: per-chunk codes against the chunk's own
+            # vocabulary (1 byte/doc resident), remapped to the global
+            # sorted vocabulary once the pass completes
+            lang_col = batch["lang"]
+            if isinstance(lang_col, pa.ChunkedArray):
+                lang_col = lang_col.combine_chunks()
+            cv = np.asarray(
+                sorted(x for x in pc.unique(lang_col).to_pylist() if x),
+                dtype=object)
+            lc = encode_lang_codes(lang_col, cv)
+            acc_bytes += ic.nbytes + dc.nbytes + lc.nbytes
             if acc_bytes > 2 * ordinal_driver_bytes_budget:
                 fits = False
                 break
             id_chunks.append(ic)
             dl_chunks.append(dc)
+            lv_chunks.append((lc, cv))
         if fits:
             all_ids = np.concatenate(id_chunks)
             order = np.argsort(all_ids, kind="stable")
@@ -608,12 +621,22 @@ def build_index(
                 raise ValueError(dup_msg)
             sorted_ids.tofile(tmp_map)
             np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
+            glob = np.asarray(sorted(langset), dtype=object)
+            remapped = []
+            for lc, cv in lv_chunks:
+                lut = np.full(256, LANG_MISSING, dtype=np.uint8)
+                if len(cv):
+                    lut[: len(cv)] = np.searchsorted(glob, cv).astype(np.uint8)
+                remapped.append(lut[lc])
+            tmp_lv = langvals_path + ".tmp"
+            np.concatenate(remapped)[order].tofile(tmp_lv)
             os.replace(tmp_map, docmap_path)
             os.replace(tmp_dl, doclens_path)
+            os.replace(tmp_lv, langvals_path)
         else:
             # stats were partially absorbed: reset; the distributed path
             # recomputes them from its own pass (write_sharded summary rows)
-            id_chunks = dl_chunks = None
+            id_chunks = dl_chunks = lv_chunks = None
             total_len = 0
             langset.clear()
             sorted_ds = ray.data.read_parquet(

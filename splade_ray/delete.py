@@ -375,9 +375,13 @@ def _compact_seg_batch(t: pa.Table, *, src_index: str, src_root: str,
 
 
 def _write_flat_docmap(out_dir: str, new_map: np.ndarray,
-                       new_lens: np.ndarray) -> None:
+                       new_lens: np.ndarray,
+                       new_langs: np.ndarray) -> None:
+    from .docmap import LANGVALS_NAME
+
     for name, arr in (("docmap.bin", new_map.astype(np.int64)),
-                      ("doclens.bin", new_lens.astype(np.int32))):
+                      ("doclens.bin", new_lens.astype(np.int32)),
+                      (LANGVALS_NAME, new_langs.astype(np.uint8))):
         tmp = os.path.join(out_dir, name + ".tmp")
         arr.tofile(tmp)
         os.replace(tmp, os.path.join(out_dir, name))
@@ -393,22 +397,29 @@ def _compact_docmap_shard_batch(t: pa.Table, *, src_root: str, out_root: str,
 
     tomb = ray.get(tomb_ref)
     out = {"ordinal_start_src": [], "min_id": [], "max_id": [], "count": [],
-           "total_len": [], "dm": [], "dl": []}
+           "total_len": [], "dm": [], "dl": [], "lv": [], "lang_vocab": []}
     for row in t.to_pylist():
         start = int(row["ordinal_start"])
         count = int(row["count"])
+        if not row.get("lv"):
+            raise ValueError(
+                "source docmap shard lacks the lang doc-values sidecar "
+                "(pre-docvalues index layout); rebuild the index before "
+                "compacting")
         dm = np.fromfile(os.path.join(src_root, row["dm"]), dtype=np.int64)
         dl = np.fromfile(os.path.join(src_root, row["dl"]), dtype=np.int32)
+        lv = np.fromfile(os.path.join(src_root, row["lv"]), dtype=np.uint8)
         lo = np.searchsorted(tomb, start, side="left")
         hi = np.searchsorted(tomb, start + count, side="left")
         keep = np.ones(count, dtype=bool)
         keep[tomb[lo:hi] - start] = False
-        dm, dl = dm[keep], dl[keep]
+        dm, dl, lv = dm[keep], dl[keep], lv[keep]
         if not len(dm):
             continue
         stem = f"{int(dm[0]):016x}"
-        dm_name, dl_name = f"dm-{stem}.bin", f"dl-{stem}.bin"
-        for name, arr in ((dm_name, dm), (dl_name, dl)):
+        dm_name, dl_name, lv_name = (f"dm-{stem}.bin", f"dl-{stem}.bin",
+                                     f"lv-{stem}.bin")
+        for name, arr in ((dm_name, dm), (dl_name, dl), (lv_name, lv)):
             tmp = os.path.join(out_root, name + ".tmp")
             arr.tofile(tmp)
             os.replace(tmp, os.path.join(out_root, name))
@@ -419,6 +430,10 @@ def _compact_docmap_shard_batch(t: pa.Table, *, src_root: str, out_root: str,
         out["total_len"].append(int(dl.astype(np.int64).sum()))
         out["dm"].append(dm_name)
         out["dl"].append(dl_name)
+        out["lv"].append(lv_name)
+        # survivor codes stay valid against the SOURCE shard vocabulary
+        # (a vanished lang simply never occurs); pass it through unchanged
+        out["lang_vocab"].append(row.get("lang_vocab", ""))
     return pa.table(
         {
             "ordinal_start_src": pa.array(out["ordinal_start_src"], pa.int64()),
@@ -428,6 +443,8 @@ def _compact_docmap_shard_batch(t: pa.Table, *, src_root: str, out_root: str,
             "total_len": pa.array(out["total_len"], pa.int64()),
             "dm": pa.array(out["dm"], pa.string()),
             "dl": pa.array(out["dl"], pa.string()),
+            "lv": pa.array(out["lv"], pa.string()),
+            "lang_vocab": pa.array(out["lang_vocab"], pa.string()),
         }
     )
 
@@ -462,7 +479,8 @@ def _compact_docmap_sharded(index_dir: str, out_dir: str, tomb_ref,
     rows.sort(key=lambda r: r["ordinal_start_src"])
     shards, start, total_len = [], 0, 0
     for r in rows:
-        shards.append({"dm": r["dm"], "dl": r["dl"], "min_id": r["min_id"],
+        shards.append({"dm": r["dm"], "dl": r["dl"], "lv": r["lv"],
+                       "lang_vocab": r["lang_vocab"], "min_id": r["min_id"],
                        "max_id": r["max_id"], "count": r["count"],
                        "ordinal_start": start})
         start += r["count"]
@@ -516,10 +534,18 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     else:
         keep = np.ones(n_docs, dtype=bool)
         keep[tomb] = False
+        if not docs.has_langvals:
+            raise ValueError(
+                "source index lacks the lang doc-values sidecar "
+                "(pre-docvalues layout); rebuild the index before "
+                "compacting")
         new_map = docs.docmap_array()[keep]
         new_lens = docs.doclens_array()[keep]
+        # flat langvals store GLOBAL codes and the compacted manifest keeps
+        # the source langs list, so a boolean filter is the whole rewrite
+        new_langs = docs.langvals_array()[keep]
         total_len = int(new_lens.astype(np.int64).sum())
-        _write_flat_docmap(out_dir, new_map, new_lens)
+        _write_flat_docmap(out_dir, new_map, new_lens, new_langs)
     avgdl = total_len / n_live
     src_root = os.path.join(index_dir, "segments")
     out_root = os.path.join(out_dir, "segments")

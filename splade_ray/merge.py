@@ -144,6 +144,22 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     tmp_dl = os.path.join(out_dir, "doclens.bin.tmp")
     new_doclens.tofile(tmp_dl)
     os.replace(tmp_dl, os.path.join(out_dir, "doclens.bin"))
+    # merged lang doc-values: each generation's GLOBAL codes (valid against
+    # its own manifest langs) remap into the merged sorted-union vocabulary
+    from .docmap import LANG_MISSING, LANGVALS_NAME
+
+    merged_langs = sorted({lg for m in manifests for lg in m["langs"]})
+    new_langvals = np.full(len(new_map), LANG_MISSING, dtype=np.uint8)
+    for a, old_map, m in zip(in_arrays, id_maps, manifests):
+        lut = np.full(256, LANG_MISSING, dtype=np.uint8)
+        if m["langs"]:
+            lut[: len(m["langs"])] = np.searchsorted(
+                merged_langs, m["langs"]).astype(np.uint8)
+        new_langvals[np.searchsorted(new_map, old_map)] = lut[
+            a.langvals_array()]
+    tmp_lv = os.path.join(out_dir, LANGVALS_NAME + ".tmp")
+    new_langvals.tofile(tmp_lv)
+    os.replace(tmp_lv, os.path.join(out_dir, LANGVALS_NAME))
     map_refs = [_ray.put(m) for m in id_maps]
     new_map_ref = _ray.put(new_map)
     doclens_ref = _ray.put(new_doclens)

@@ -57,10 +57,8 @@ class OracleIndex:
         df = len(self.postings.get(term, {}))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def _rank_qterms(self, qterms: dict[str, int], k: int,
-                     allowed: set[int] | None = None,
-                     banned: set[int] | None = None):
-        """Accumulate quantized units over a {term: qtf} bag, filter, rank."""
+    def _acc_units(self, qterms: dict[str, int]) -> dict[int, int]:
+        """Quantized per-doc unit sums over a {term: qtf} bag (no cut)."""
         acc: dict[int, int] = {}
         for term, qtf in qterms.items():
             plist = self.postings.get(term)
@@ -74,6 +72,13 @@ class OracleIndex:
                 denom = tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
                 sat = (self.k1 + 1) * tf / denom
                 acc[did] = acc.get(did, 0) + round(qtf * w * sat * SCORE_SCALE)
+        return acc
+
+    def _rank_qterms(self, qterms: dict[str, int], k: int,
+                     allowed: set[int] | None = None,
+                     banned: set[int] | None = None):
+        """Accumulate quantized units over a {term: qtf} bag, filter, rank."""
+        acc = self._acc_units(qterms)
         ranked = sorted(
             ((u, did) for did, u in acc.items()
              if u > 0
@@ -91,6 +96,46 @@ class OracleIndex:
             self.langs if self.lang_tagged else None,
         )
         return self._rank_qterms(qterms, k)
+
+    # --------------------------------------------- doc-values query class --
+    def _hits(self, query: str, lang: str | None = None,
+              banned: set[int] | None = None) -> list[tuple[int, int]]:
+        """All matching live (doc_id, units) with units > 0, unranked."""
+        qterms = analyze_query(
+            query, lang if (self.lang_tagged and lang) else None,
+            self.langs if self.lang_tagged else None)
+        return [(did, u) for did, u in self._acc_units(qterms).items()
+                if u > 0 and (banned is None or did not in banned)]
+
+    def search_collapse(self, query: str, lang: str | None = None,
+                        k: int = 10, banned: set[int] | None = None):
+        """Top-k best-doc-per-lang representatives: [(doc_id, score, lang)]."""
+        hits = sorted(self._hits(query, lang, banned),
+                      key=lambda x: (-x[1], x[0]))
+        seen, out = set(), []
+        for did, u in hits:
+            lg = self.docs[did]["lang"]
+            if lg in seen:
+                continue
+            seen.add(lg)
+            out.append((did, u / SCORE_SCALE, lg))
+            if len(out) >= k:
+                break
+        return out
+
+    def lang_agg(self, query: str, lang: str | None = None,
+                 banned: set[int] | None = None) -> dict[str, tuple[int, float]]:
+        """{lang: (n_hits, best_score)} over the FULL hit set."""
+        agg: dict[str, tuple[int, int]] = {}
+        for did, u in self._hits(query, lang, banned):
+            lg = self.docs[did]["lang"]
+            n, best = agg.get(lg, (0, 0))
+            agg[lg] = (n + 1, max(best, u))
+        return {lg: (n, b / SCORE_SCALE) for lg, (n, b) in agg.items()}
+
+    def count_hits(self, query: str, lang: str | None = None,
+                   banned: set[int] | None = None) -> int:
+        return len(self._hits(query, lang, banned))
 
     # ------------------------------------------------- prefix / boolean ---
     def _variants(self, tok: str, lang: str | None) -> list[str]:

@@ -1240,6 +1240,264 @@ def search_facets(sf_dir: str, top_k: int = TOP_K):
         Count(alias_name="n_hits"), Max("score", alias_name="best_score"))
 
 
+# Highlight window: tokens kept on each side of the anchor position.
+HL_WINDOW = 3
+
+# Query-time synonym map (ES synonym_graph filter file shape): term -> FULL
+# group (self included).  The engine expands inside search_synonym; the
+# oracle embeds expand_synonym_qterms' rows — both from this one constant.
+SYNONYMS: dict[str, list[str]] = {
+    "merge": ["merge", "join"],
+    "join": ["join", "merge"],
+    "window": ["window", "frame"],
+    "fast": ["fast", "quick"],
+    "agg": ["agg", "aggregate"],
+}
+
+# Synonym queries: overlap-heavy on purpose — (0) expands merge+window into
+# a 4-term bag; (1) "merge join" makes both tokens expand to the SAME group
+# {merge, join}, so qtf accumulates to 2 per term; (4) misses entirely.
+SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "merge window"),
+    (1, "merge join"),
+    (2, "fast stream"),
+    (3, "the"),
+    (4, "nonexistentzzterm"),
+]
+
+# Regexp queries (Lucene RegexpQuery shape), anchored full-term matches in
+# the subset Python re and DuckDB/RE2 interpret identically: optional
+# quantifier, dot, alternation, character class, a pure literal, a miss.
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (0, "merge?"),
+    (1, "w.ndow"),
+    (2, "(join|merge)"),
+    (3, "custom[a-z]+"),
+    (4, "agg"),
+    (5, "zz[0-9]+"),
+]
+
+
+def norm_regexps() -> list[tuple[int, str]]:
+    """Regexp patterns can't pass through the tokenizer; normalization is
+    the engine's rule — lowercase — applied here so the SQL oracle embeds
+    the identical literal."""
+    return [(qid, p.strip().lower()) for qid, p in REGEXP_QUERIES
+            if p.strip()]
+
+
+def expand_synonym_qterms(
+        queries: list[tuple[int, str]]) -> list[tuple[int, str, int]]:
+    """(query_id, term, qtf) rows after analyzer tokenization + synonym
+    expansion — the client-side replay of QueryEngine.search_synonym's
+    expansion, embedded verbatim by sql.qterms_topk_sql."""
+    from .analyzer import tokens_py
+
+    rows: list[tuple[int, str, int]] = []
+    for qid, q in queries:
+        tf: dict[str, int] = {}
+        for tok in tokens_py(q):
+            tf[tok] = tf.get(tok, 0) + 1
+        exp: dict[str, int] = {}
+        for t, qtf in tf.items():
+            for v in SYNONYMS.get(t, (t,)):
+                exp[v] = exp.get(v, 0) + qtf
+        rows.extend((qid, t, n) for t, n in sorted(exp.items()))
+    return rows
+
+
+def synonym_topk(sf_dir: str, top_k: int = TOP_K):
+    """Query-time synonym search (Elasticsearch ``synonym_graph`` at search
+    time / Lucene SynonymQuery-as-BooleanQuery rewrite): each SYN_QUERIES
+    token expands to its SYNONYMS group inside the engine
+    (QueryEngine.search_synonym), qtf accumulating across overlapping
+    expansions, then plain BM25 over the expanded bag.  Rank-identical to
+    sql.qterms_topk_sql over expand_synonym_qterms' rows."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in SYN_QUERIES], type=pa.int64()),
+        "query": pa.array([s for _, s in SYN_QUERIES]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="synonym",
+                      engine_kwargs={"synonyms": SYNONYMS})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def regexp_topk(sf_dir: str, top_k: int = TOP_K):
+    """Regexp search (Lucene RegexpQuery) through the index: each
+    REGEXP_QUERIES pattern rewrites against the sorted term dictionary —
+    literal-prefix-bounded run + one vectorized anchored-RE2 kernel
+    (QueryEngine.expand_regexp) — and scores as a qtf=1 BM25 bag.
+    Rank-identical to sql.regexp_topk_sql's regexp_full_match oracle."""
+    idx = _contract_index(sf_dir)
+    pats = norm_regexps()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in pats], type=pa.int64()),
+        "query": pa.array([p for _, p in pats]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="regexp")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def search_after_topk(sf_dir: str, top_k: int = TOP_K):
+    """Deep pagination (Elasticsearch ``search_after``): page 1 is the
+    ordinary BM25 top-k; its LAST row per query becomes the (score,
+    doc_id) cursor, and page 2 is served by the engine's cursor filter
+    (QueryEngine.search_after) — full sums once, then ``(units, doc_id)``
+    strictly-after-cursor, top-k again.  Unlike from+size, the cost never
+    grows with page depth (no top-(page·k) heap).  Result-identical to
+    sql.search_after_sql's ranks k+1..2k."""
+    from .build import SCORE_SCALE
+
+    idx = _contract_index(sf_dir)
+    page1 = bm25_topk(sf_dir, scorer="taat").take_all()
+    last: dict[int, tuple[int, int]] = {}
+    by_rank: dict[int, int] = {}
+    for r in page1:
+        if r["rank"] > by_rank.get(r["query_id"], 0):
+            by_rank[r["query_id"]] = r["rank"]
+            last[r["query_id"]] = (int(round(r["score"] * SCORE_SCALE)),
+                                   r["doc_id"])
+    qtext = dict(DOC_QUERIES)
+    qids = sorted(last)
+    tbl = pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "query": pa.array([qtext[q] for q in qids]),
+        "cursor_units": pa.array([last[q][0] for q in qids],
+                                 type=pa.int64()),
+        "cursor_doc": pa.array([last[q][1] for q in qids], type=pa.int64()),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="search_after")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def explain_top1(sf_dir: str):
+    """Score explanation (Lucene/ES ``explain`` API): per-term breakdown —
+    (term, qtf, df, tf, contribution) — for each DOC_QUERIES entry's
+    rank-1 doc, the exact integers the scorer summed.  Value-identical to
+    sql.explain_top1_sql's un-summed contribs rows at rnk = 1."""
+    idx = _contract_index(sf_dir)
+    page1 = bm25_topk(sf_dir, scorer="taat").take_all()
+    top1 = {r["query_id"]: r["doc_id"] for r in page1 if r["rank"] == 1}
+    qtext = dict(DOC_QUERIES)
+    qids = sorted(top1)
+    tbl = pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "query": pa.array([qtext[q] for q in qids]),
+        "doc_id": pa.array([top1[q] for q in qids], type=pa.int64()),
+    })
+    return run_queries(rd.from_arrow(tbl), idx, concurrency=2,
+                       query_kind="explain")
+
+
+def highlight_topk(sf_dir: str, top_k: int = TOP_K, window: int = HL_WINDOW):
+    """Search highlighting (Elasticsearch ``highlight`` / Lucene
+    PlainHighlighter): BM25 top-k per DOC_QUERIES entry, each hit annotated
+    with a token-window snippet around the FIRST occurrence of the hit's
+    rarest matched query term (anchor preference: df ASC, term ASC — the
+    rarest term is the most informative fragment center).
+
+    Serving shape: ranking comes from the index; only the k·|queries|
+    result docs' content is fetched (_candidate_corpus Parquet filter
+    pushdown) and re-analyzed — the Lucene plain-highlighter design, which
+    re-analyzes fetched docs rather than storing character offsets.
+    O(k·|queries|) content bytes at any corpus size.  Snippet text is the
+    space-join of the analyzed tokens in [first_pos - window, first_pos +
+    window], replayed verbatim by sql.highlight_topk_sql's
+    string_agg-over-tokpos oracle."""
+    from .analyzer import tokens_py
+    from .ids import doc_id63
+    from .phrase import index_stats
+
+    idx = _contract_index(sf_dir)
+    ranked = bm25_topk(sf_dir, scorer="taat").take_all()
+    qtoks = {qid: sorted(set(tokens_py(q))) for qid, q in DOC_QUERIES}
+    all_terms = sorted({t for ts in qtoks.values() for t in ts})
+    _n, _avg, dfs = index_stats(idx, all_terms)
+    pref = {qid: sorted(ts, key=lambda t: (dfs.get(t, 1 << 60), t))
+            for qid, ts in qtoks.items()}
+    hits_by_doc: dict[int, list[tuple[int, int, float]]] = {}
+    for r in ranked:
+        hits_by_doc.setdefault(r["doc_id"], []).append(
+            (r["query_id"], r["rank"], r["score"]))
+    out_q, out_r, out_d, out_s, out_snip = [], [], [], [], []
+    if hits_by_doc:
+        cand = np.array(sorted(hits_by_doc), dtype=np.int64)
+        for row in _candidate_corpus(sf_dir, idx, cand).take_all():
+            did = doc_id63(row["repo"], row["path"], row["commit"])
+            hits = hits_by_doc.get(did)
+            if not hits:
+                continue  # pushdown superset backstop
+            toks = tokens_py(row.get("content") or "")
+            first: dict[str, int] = {}
+            for i, t in enumerate(toks):
+                if t not in first:
+                    first[t] = i
+            for qid, rank, score in hits:
+                anchor = next((t for t in pref[qid] if t in first), None)
+                if anchor is None:
+                    continue  # unreachable: a BM25 hit holds >=1 query term
+                p = first[anchor]
+                out_q.append(qid)
+                out_r.append(rank)
+                out_d.append(did)
+                out_s.append(score)
+                out_snip.append(
+                    " ".join(toks[max(0, p - window): p + window + 1]))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float64()),
+        "snippet": pa.array(out_snip, type=pa.string()),
+    })
+
+
+def collapse_topk(sf_dir: str, top_k: int = TOP_K):
+    """Field-collapsed search (Elasticsearch ``collapse``, Lucene grouping):
+    each DOC_QUERIES entry ranks ALL matching docs, keeps the single
+    best-ranked doc per ``lang`` doc-value group, and returns the top-k
+    group representatives.  The group key is read from the ordinal->lang
+    doc-values sidecar resident in each query actor (langvals.bin /
+    docmap/lv-*.bin — the Lucene SORTED DocValues analogue), so collapsing
+    costs one fancy-index gather over the hit set — no join against the
+    docs table, no second pass.  Rank/score/lang-identical to
+    sql.collapse_topk_sql.  Reference analogue: none — Milvus has no
+    grouping; this is native-index capability."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="collapse")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def lang_terms_agg(sf_dir: str):
+    """Terms aggregation over the FULL hit set (Elasticsearch ``terms``
+    aggregation with a ``max`` sub-aggregation — not the top-k page,
+    which search_facets already covers): per (query, lang doc-value
+    bucket), the live matching-doc count and the best BM25 score.  At 100
+    TB this is the shape that matters: millions of matching docs never
+    leave the query actor — one bincount over resident uint8 doc-values —
+    versus a hit-set-sized shuffle join against the docs table.
+    Value-identical to sql.lang_terms_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx,
+                       concurrency=2, query_kind="lang_agg")
+
+
+def total_hits(sf_dir: str):
+    """Total live matching-doc count per query (Elasticsearch
+    ``track_total_hits: true``): the size of the tombstone-masked union of
+    the query terms' posting lists with a positive quantized score — one
+    row per query, zero-hit queries included.  Value-identical to
+    sql.total_hits_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx,
+                       concurrency=2, query_kind="count")
+
+
 def rrf_hybrid(sf_dir: str):
     """RRF fusion (k=60) of the BM25 top-10 and the IDF-coordination top-10
     — the reference's hybrid_search + RRFRanker shape (retrievers.py:130-150)

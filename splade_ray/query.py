@@ -78,7 +78,8 @@ class QueryEngine:
     def __init__(self, index_dir: str, k: int = 10, scorer: str = "taat",
                  cache_postings_budget: int = 32_000_000,
                  ord_range: "tuple[int, int] | None" = None,
-                 query_kind: str = "text"):
+                 query_kind: str = "text",
+                 synonyms: "dict[str, list[str]] | None" = None):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -111,9 +112,14 @@ class QueryEngine:
         self.k = k
         self.scorer = scorer
         if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
-                              "wildcard", "bool", "filtered"):
+                              "wildcard", "bool", "filtered", "collapse",
+                              "lang_agg", "count", "search_after", "explain",
+                              "synonym", "regexp"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
+        # query-time synonym map (term -> group, self NOT implied — pass
+        # the full group); empty map = search_synonym degrades to BM25
+        self.synonyms = synonyms or {}
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -686,6 +692,206 @@ class QueryEngine:
             ids = self.docs.gather_ids(ids)
         return ids, units
 
+    # ------------------------------------------------- doc-values queries --
+    def _lang_of_codes(self, codes: np.ndarray) -> list[str]:
+        vocab = self.langs
+        return [vocab[c] if c < len(vocab) else "" for c in codes]
+
+    def search_collapse(self, query: str, lang: str | None = None):
+        """Field-collapsed BM25 top-k (Elasticsearch ``collapse`` / Lucene
+        grouping): rank ALL matching live docs, keep only the best-ranked
+        doc per lang doc-value group, then cut top-k over the group
+        representatives.  The group key comes from the ordinal->lang
+        doc-values sidecar resident in the actor (docmap.gather_langcodes)
+        — one fancy-index gather, no postings re-read, no staging fetch,
+        O(|matching docs|) per query at any corpus size."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        ords, units = ords[keep], units[keep]
+        if not len(ords):
+            e = np.empty(0, dtype=np.int64)
+            return e, e, []
+        codes = self.docs.gather_langcodes(ords)
+        # global rank order: units desc, doc_id asc (ordinal order IS
+        # doc-id order — the docmap is sorted by id)
+        order = np.lexsort((ords, -units))
+        # first occurrence of each code in rank order == the group's best
+        _, first = np.unique(codes[order], return_index=True)
+        reps = order[np.sort(first)][: min(self.k, len(first))]
+        return (self.docs.gather_ids(ords[reps]), units[reps],
+                self._lang_of_codes(codes[reps]))
+
+    def search_lang_agg(self, query: str, lang: str | None = None):
+        """Terms aggregation over the FULL hit set (Elasticsearch
+        ``terms`` agg with a ``max`` sub-agg, not the result page): per
+        lang doc-value bucket, the live matching-doc count and the best
+        BM25 score.  Millions of hits never leave the actor — one
+        bincount + per-bucket max over resident doc-values."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        ords, units = ords[keep], units[keep]
+        if not len(ords):
+            return [], np.empty(0, np.int64), np.empty(0, np.int64)
+        codes = self.docs.gather_langcodes(ords)
+        counts = np.bincount(codes, minlength=256)
+        out_lang, out_n, out_best = [], [], []
+        for c in np.nonzero(counts)[0]:
+            out_lang.append(self.langs[c] if c < len(self.langs) else "")
+            out_n.append(int(counts[c]))
+            out_best.append(int(units[codes == c].max()))
+        return (out_lang, np.asarray(out_n, dtype=np.int64),
+                np.asarray(out_best, dtype=np.int64))
+
+    def count_hits(self, query: str, lang: str | None = None) -> int:
+        """Total live matching docs (ES ``track_total_hits``): the size of
+        the tombstone-masked union of the query terms' posting lists with a
+        positive quantized score."""
+        qterms = self._query_terms(query, lang)
+        _, units = self._sparse_sums(qterms)
+        return int((units > 0).sum())
+
+    # --------------------------------------------------- search-after page --
+    def search_after(self, query: str, cursor_units: int, cursor_doc: int,
+                     lang: str | None = None):
+        """Deep pagination (Elasticsearch ``search_after``): the next top-k
+        page strictly after the (score, doc_id) cursor in the global
+        (units DESC, doc_id ASC) order.  The doc-id tiebreak runs in
+        ORDINAL space — ordinals are ranks in the sorted id space, so
+        ``id > cursor_doc`` is one searchsorted against the docmap
+        (ord_upper_bound) and no id gather happens before the cut.  Unlike
+        from+size paging, cost never grows with page depth: one full-sums
+        pass + one top-k, page 1 or page 10^6."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        ords, units = ords[keep], units[keep]
+        if len(ords):
+            ub = self.docs.ord_upper_bound(int(cursor_doc))
+            after = (units < cursor_units) | (
+                (units == cursor_units) & (ords >= ub))
+            ords, units = ords[after], units[after]
+        ords, units = self._topk(ords, units)
+        if len(ords):
+            ords = self.docs.gather_ids(ords)
+        return ords, units
+
+    # ---------------------------------------------------------- explain --
+    def explain(self, query: str, doc_id: int, lang: str | None = None):
+        """Score breakdown for one (query, doc) pair (Lucene/ES
+        ``explain`` API): per matched query term, (term, qtf, df, tf,
+        quantized units) — the exact integers the scorer summed.  Terms in
+        sorted order; absent terms and terms missing from the doc are
+        omitted (they contribute no units)."""
+        qterms = self._query_terms(query, lang)
+        ord_arr = self.docs.ords_of_ids(np.asarray([doc_id], dtype=np.int64))
+        if not len(ord_arr):
+            return []
+        o = ord_arr[0]
+        rows = []
+        for term in sorted(qterms):
+            qtf = qterms[term]
+            refs, df = self._term_refs(term)
+            if not refs:
+                continue
+            ids, tfs, dls = self._gather(term)
+            # salted lists concatenate per-salt runs — not globally sorted,
+            # so membership is one vectorized compare, not a searchsorted
+            hit = np.nonzero(ids == o)[0]
+            if not len(hit):
+                continue
+            i = hit[0]
+            w = idf(self.n_docs, df)
+            u = self._contrib_units(qtf, w, tfs[i:i + 1], dls[i:i + 1])[0]
+            rows.append((term, int(qtf), int(df), int(tfs[i]), int(u)))
+        return rows
+
+    # ------------------------------------------------------- synonym query --
+    def search_synonym(self, query: str, lang: str | None = None):
+        """Query-time synonym expansion (ES ``synonym_graph`` token filter
+        at search time): each analyzed query token expands to its synonym
+        group (self included); a token appearing via several expansions
+        accumulates qtf.  The expanded bag scores as plain BM25 — Lucene's
+        SynonymQuery-as-BooleanQuery rewrite with per-term blended df."""
+        qterms = self._query_terms(query, lang)
+        exp: dict[str, int] = {}
+        for t, qtf in qterms.items():
+            for v in self.synonyms.get(t, (t,)):
+                exp[v] = exp.get(v, 0) + qtf
+        ids, units = self._score(exp)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
+    # -------------------------------------------------------------- regexp --
+    _REGEXP_ALLOWED = r"[a-z0-9\*\+\?\.\[\]\(\)\|\-\^]+"
+
+    def expand_regexp(self, pattern: str, lang: str | None = None,
+                      max_expansion: int = 1024) -> list[str]:
+        """Distinct index terms fully matching an anchored regular
+        expression (Lucene RegexpQuery's dictionary rewrite).  The literal
+        prefix before the first metacharacter bounds the scan to one
+        contiguous dictionary run per segment (prefix_rows); the run is
+        filtered with one vectorized RE2-style kernel
+        (pyarrow.compute.match_substring_regex over the sliced term
+        column, pattern anchored ^...$).  The pattern subset is restricted
+        to what Python re and DuckDB/RE2 interpret identically
+        ([a-z0-9*+?.[]()|-^]); a pattern with no literal prefix degrades
+        to a full-dictionary scan per segment — Lucene's cost, same
+        documented remedy (add literal characters)."""
+        pat = pattern.strip().lower()
+        if not pat:
+            raise ValueError("empty regexp pattern")
+        if not re.fullmatch(self._REGEXP_ALLOWED, pat):
+            raise ValueError(
+                f"regexp pattern {pattern!r} outside the supported subset "
+                f"{self._REGEXP_ALLOWED}")
+        re.compile(pat)  # reject malformed patterns loudly, driver-side
+        meta = min((pat.index(c) for c in "*+?.[]()|^" if c in pat),
+                   default=len(pat))
+        lit = pat[:meta]
+        anchored = f"^(?:{pat})$"
+        if self.lang_tagged:
+            langs = [lang] if lang else self.langs
+            runs = [(f"{lg}{LANG_SEP}{lit}",
+                     f"^{re.escape(lg + LANG_SEP)}(?:{pat})$")
+                    for lg in langs]
+        else:
+            runs = [(lit, anchored)]
+        terms: set[str] = set()
+        for key_pre, key_re in runs:
+            for seg in self.segments:
+                rows = seg.prefix_rows(key_pre)
+                if rows.stop <= rows.start:
+                    continue
+                sl = seg._terms.slice(rows.start, rows.stop - rows.start)
+                terms.update(
+                    sl.filter(pc.match_substring_regex(sl, key_re))
+                    .to_pylist())
+                if len(terms) > max_expansion:
+                    raise ValueError(
+                        f"regexp {pattern!r} expands to more than "
+                        f"{max_expansion} terms; add literal characters")
+        return sorted(terms)
+
+    def search_regexp(self, pattern: str, lang: str | None = None,
+                      max_expansion: int = 1024):
+        """BM25 top-k for a regexp pattern: every matching dictionary term
+        scores with qtf=1 (the uniform scoring-BooleanQuery rewrite shared
+        with prefix/wildcard/fuzzy) — the semantics sql.regexp_topk_sql
+        replays with regexp_full_match."""
+        if not pattern.strip():
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qterms = {t: 1 for t in
+                  self.expand_regexp(pattern, lang, max_expansion)}
+        ids, units = self._score(qterms)
+        ids, units = self._topk(ids, units)
+        if len(ids):
+            ids = self.docs.gather_ids(ids)
+        return ids, units
+
     def _contrib_units(self, qtf: int, w_idf: float, tfs, dls) -> np.ndarray:
         sat = tf_saturation(np.asarray(tfs), np.asarray(dls), self.avgdl)
         return np.round(qtf * w_idf * sat * SCORE_SCALE).astype(np.int64)
@@ -1028,6 +1234,93 @@ class QueryEngine:
             if "lang" in batch.schema.names
             else [None] * len(qids)
         )
+        if self.query_kind == "collapse":
+            out_qid, out_rank, out_doc, out_score, out_lang = [], [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, units, lgs = self.search_collapse(q or "", lg or None)
+                for r, (d, u, lv) in enumerate(zip(ids, units, lgs), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_score.append(u / SCORE_SCALE)
+                    out_lang.append(lv)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float64()),
+                "lang": pa.array(out_lang, type=pa.string()),
+            })
+        if self.query_kind == "lang_agg":
+            out_qid, out_lang, out_n, out_best = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                lgs, ns, bests = self.search_lang_agg(q or "", lg or None)
+                for lv, n, b in zip(lgs, ns, bests):
+                    out_qid.append(qid)
+                    out_lang.append(lv)
+                    out_n.append(int(n))
+                    out_best.append(int(b) / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "lang": pa.array(out_lang, type=pa.string()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+                "best_score": pa.array(out_best, type=pa.float64()),
+            })
+        if self.query_kind == "count":
+            return pa.table({
+                "query_id": pa.array(qids, type=pa.int64()),
+                "n_hits": pa.array(
+                    [self.count_hits(q or "", lg or None)
+                     for q, lg in zip(batch["query"].to_pylist(), langs)],
+                    type=pa.int64()),
+            })
+        if self.query_kind == "explain":
+            # (query_id, query, doc_id[, lang]) -> one row per contributing
+            # term: the exact integers the scorer summed
+            out = {"query_id": [], "doc_id": [], "term": [], "qtf": [],
+                   "df": [], "tf": [], "contribution": []}
+            for qid, q, d, lg in zip(qids, batch["query"].to_pylist(),
+                                     batch["doc_id"].to_pylist(), langs):
+                for term, qtf, df, tf, u in self.explain(
+                        q or "", int(d), lg or None):
+                    out["query_id"].append(qid)
+                    out["doc_id"].append(int(d))
+                    out["term"].append(term)
+                    out["qtf"].append(qtf)
+                    out["df"].append(df)
+                    out["tf"].append(tf)
+                    out["contribution"].append(u / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "qtf": pa.array(out["qtf"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
+                "tf": pa.array(out["tf"], type=pa.int64()),
+                "contribution": pa.array(out["contribution"],
+                                         type=pa.float64()),
+            })
+        if self.query_kind == "search_after":
+            # (query_id, query, cursor_units, cursor_doc[, lang]): the
+            # next page strictly after the cursor, page-local ranks
+            inputs = zip(batch["query"].to_pylist(),
+                         batch["cursor_units"].to_pylist(),
+                         batch["cursor_doc"].to_pylist())
+            out_qid, out_rank, out_doc, out_score = [], [], [], []
+            for qid, (q, cu, cd), lg in zip(qids, inputs, langs):
+                ids, units = self.search_after(q or "", int(cu), int(cd),
+                                               lg or None)
+                for r, (d, u) in enumerate(zip(ids, units), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_score.append(u / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float64()),
+            })
         if self.query_kind == "bool":
             # boolean batches carry list<string> clause columns instead of
             # a query string: (query_id, must, should, must_not[, lang])
@@ -1058,7 +1351,9 @@ class QueryEngine:
                        "prefix": self.search_prefix,
                        "fuzzy": self.search_fuzzy,
                        "fuzzy2": self.search_fuzzy2,
-                       "wildcard": self.search_wildcard}
+                       "wildcard": self.search_wildcard,
+                       "synonym": self.search_synonym,
+                       "regexp": self.search_regexp}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)
@@ -1196,11 +1491,14 @@ def run_queries(
     batch_size: int = 64,
     ord_range: "tuple[int, int] | None" = None,
     query_kind: str = "text",
+    engine_kwargs: dict | None = None,
 ):
     """Queries Dataset -> results Dataset via the QueryEngine actor pool.
 
     ``query_kind="prefix"`` treats each query string as a term prefix
-    (Lucene PrefixQuery semantics; QueryEngine.search_prefix)."""
+    (Lucene PrefixQuery semantics; QueryEngine.search_prefix).
+    ``engine_kwargs`` pass through to the QueryEngine constructor (e.g.
+    ``synonyms`` for query_kind="synonym")."""
     # a small query table often arrives as one block, which would starve the
     # pool (1 block -> 1 task); split so every actor gets work
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
@@ -1208,7 +1506,8 @@ def run_queries(
     return queries_ds.map_batches(
         QueryEngine,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k, "scorer": scorer,
-                               "ord_range": ord_range, "query_kind": query_kind},
+                               "ord_range": ord_range, "query_kind": query_kind,
+                               **(engine_kwargs or {})},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -404,6 +404,97 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def regexp_topk_sql(patterns: list[tuple[int, str]], k: int = 10) -> str:
+    """BM25 top-k where each query is an anchored regular expression over
+    the term dictionary (QueryEngine.search_regexp replay; Lucene
+    RegexpQuery under the uniform qtf=1 scoring rewrite).  DuckDB's
+    regexp_full_match is RE2 — identical to Python re over the restricted
+    pattern subset the engine accepts.  Patterns must arrive lowercased
+    (pipelines.norm_regexps)."""
+    rows = ",".join(
+        f"({qid}, " + _sql_quote(p) + ")" for qid, p in patterns
+    )
+    lit = f"re_lit(query_id, pat) AS (SELECT * FROM (VALUES {rows}))"
+    qterms = """
+qterms AS (
+  SELECT q.query_id, f.term, CAST(1 AS BIGINT) AS qtf
+  FROM re_lit q JOIN df f ON regexp_full_match(f.term, q.pat)
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            lit, qterms, _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def qterms_topk_sql(qterm_rows: list[tuple[int, str, int]],
+                    k: int = 10) -> str:
+    """BM25 top-k over an EXPLICIT (query_id, term, qtf) bag — the oracle
+    for query kinds whose expansion happens client-side from a shared
+    constant (synonym_topk embeds pipelines.expand_synonym_qterms' rows;
+    the engine expands the same map inside search_synonym)."""
+    rows = ",".join(
+        f"({qid}, {_sql_quote(t)}, {qtf})" for qid, t, qtf in qterm_rows
+    )
+    qterms = (f"qterms(query_id, term, qtf) AS "
+              f"(SELECT * FROM (VALUES {rows}))")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            qterms, _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def search_after_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Deep-pagination oracle (pipelines.search_after_topk replay): the
+    SECOND page is exactly global ranks k+1..2k re-numbered 1..k — the
+    engine's cursor filter must reproduce the contiguous continuation of
+    the global (units DESC, doc_id ASC) order."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id, CAST(rnk - {k} AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk > {k} AND rnk <= {2 * k}"""
+    )
+
+
+def explain_top1_sql(queries: list[tuple[int, str]]) -> str:
+    """Explain oracle (pipelines.explain_top1 replay): per-term score
+    breakdown for each query's rank-1 doc — the un-summed contribs rows,
+    restricted to the global top hit."""
+    contrib = _bm25_contrib_expr()
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT q.query_id, p.doc_id, q.term, q.qtf, f.df, p.tf,
+       {contrib} / {_f(float(SCORE_SCALE))} AS contribution
+FROM qterms q
+JOIN postings p ON p.term = q.term
+JOIN df f ON f.term = q.term
+JOIN docs d ON d.doc_id = p.doc_id
+JOIN ranked r ON r.query_id = q.query_id AND r.doc_id = p.doc_id
+CROSS JOIN stats s
+WHERE r.rnk = 1"""
+    )
+
+
 def bool_topk_sql(
     specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
 ) -> str:
@@ -619,6 +710,111 @@ SELECT r.query_id, d.lang, CAST(count(*) AS BIGINT) AS n_hits,
 FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
 WHERE r.rnk <= {k}
 GROUP BY r.query_id, d.lang"""
+    )
+
+
+def highlight_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                       window: int = 3) -> str:
+    """Highlighting oracle (pipelines.highlight_topk replay): per top-k
+    hit, the anchor is the matched query term with the lowest corpus df
+    (ties: term ASC), the snippet the ordered space-join of the doc's
+    tokens within ±window positions of the anchor's first occurrence."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), TOKPOS_CTE, _bm25_ranked_cte(),
+            f"""
+firstpos AS (
+  SELECT doc_id, term, CAST(min(pos) AS BIGINT) AS fpos
+  FROM tokpos GROUP BY doc_id, term
+),
+anchors AS (
+  SELECT r.query_id, r.doc_id, r.units, r.rnk, fp.fpos,
+         row_number() OVER (PARTITION BY r.query_id, r.doc_id
+                            ORDER BY f.df ASC, q.term ASC) AS arnk
+  FROM ranked r
+  JOIN qterms q ON q.query_id = r.query_id
+  JOIN firstpos fp ON fp.doc_id = r.doc_id AND fp.term = q.term
+  JOIN df f ON f.term = q.term
+  WHERE r.rnk <= {k}
+),
+snips AS (
+  SELECT a.query_id, a.doc_id, a.units, a.rnk,
+         string_agg(tp.term, ' ' ORDER BY tp.pos ASC) AS snippet
+  FROM anchors a
+  JOIN tokpos tp ON tp.doc_id = a.doc_id
+   AND tp.pos >= a.fpos - {window} AND tp.pos <= a.fpos + {window}
+  WHERE a.arnk = 1
+  GROUP BY a.query_id, a.doc_id, a.units, a.rnk
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score, snippet
+FROM snips"""
+    )
+
+
+def collapse_topk_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Field-collapse oracle (pipelines.collapse_topk replay): full BM25
+    ranking, one best-ranked representative per (query, lang) group —
+    global rank order is (units DESC, doc_id ASC), so the group's
+    min-global-rank row IS its best — then top-k over representatives."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+            """
+collapsed AS (
+  SELECT r.query_id, r.doc_id, r.units, d.lang, r.rnk,
+         row_number() OVER (PARTITION BY r.query_id, d.lang
+                            ORDER BY r.rnk ASC) AS lrnk
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+),
+creps AS (
+  SELECT query_id, doc_id, units, lang,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rnk ASC) AS rnk2
+  FROM collapsed WHERE lrnk = 1
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk2 AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score, lang
+FROM creps WHERE rnk2 <= {k}"""
+    )
+
+
+def lang_terms_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Full-hit-set terms-agg oracle (pipelines.lang_terms_agg replay):
+    per (query, lang) bucket over EVERY matching doc (units > 0), count +
+    best score."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT r.query_id, d.lang, CAST(count(*) AS BIGINT) AS n_hits,
+       max(r.units) / {_f(float(SCORE_SCALE))} AS best_score
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id, d.lang"""
+    )
+
+
+def total_hits_sql(queries: list[tuple[int, str]]) -> str:
+    """track_total_hits oracle (pipelines.total_hits replay): matching-doc
+    count per query; LEFT JOIN from the query literals keeps zero-hit
+    queries in the result (the engine emits one row per query always)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+SELECT q.query_id, CAST(count(r.doc_id) AS BIGINT) AS n_hits
+FROM query_lit q LEFT JOIN ranked r ON r.query_id = q.query_id
+GROUP BY q.query_id"""
     )
 
 

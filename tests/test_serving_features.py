@@ -1,0 +1,234 @@
+"""Serving-feature parity: search_after deep pagination, explain score
+breakdown, query-time synonym expansion, and regexp dictionary rewrite —
+engine vs brute force / oracle, across forward-array layouts and under
+tombstone masking."""
+
+import os
+import re
+import shutil
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from splade_ray.build import build_index
+from splade_ray.corpus import generate_corpus
+from splade_ray.oracle import OracleIndex
+from splade_ray.query import QueryEngine
+
+N_FILES = 300
+ROOT = "/tmp/splade_ray_serving_test"
+KW = dict(lang_tagged=False, n_shards=4, hot_df_min=30, hot_df_frac=0.05,
+          sample_mod=2)
+QUERIES = ["merge window", "vector join batch", "the", "stream",
+           "customer filter"]
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return generate_corpus(N_FILES, seed=57)
+
+
+@pytest.fixture(scope="module")
+def flat_dir(corpus_table, ray_session):
+    idx = os.path.join(ROOT, "flat")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx, **KW)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def sharded_dir(corpus_table, ray_session):
+    idx = os.path.join(ROOT, "sharded")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx,
+                ordinal_driver_threshold=10, **KW)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_table):
+    rows = [dict(zip(corpus_table.column_names, vals))
+            for vals in zip(*[c.to_pylist() for c in corpus_table.columns])]
+    return OracleIndex(rows, lang_tagged=False)
+
+
+def _page(e, q, k):
+    ids, units = e.search_one(q)
+    return list(zip(ids.tolist(), units.tolist()))[:k]
+
+
+# ------------------------------------------------------------ search_after --
+
+@pytest.mark.parametrize("layout", ["flat", "sharded"])
+def test_search_after_continues_global_order(flat_dir, sharded_dir, layout):
+    idx = flat_dir if layout == "flat" else sharded_dir
+    k = 7
+    big = QueryEngine(idx, k=3 * k)
+    e = QueryEngine(idx, k=k, query_kind="search_after")
+    for q in QUERIES:
+        ids, units = big.search_one(q)
+        full = list(zip(ids.tolist(), units.tolist()))
+        # walk three pages by cursor and compare to the global order
+        cursor = None
+        got = []
+        for _ in range(3):
+            if cursor is None:
+                page = full[:k]
+            else:
+                pids, punits = e.search_after(q, cursor[1], cursor[0])
+                page = list(zip(pids.tolist(), punits.tolist()))
+            got.extend(page)
+            if len(page) < k:
+                break
+            cursor = page[-1]
+        assert got == full[: len(got)], q
+
+
+def test_search_after_tie_cursor(ray_session):
+    """Cursor landing INSIDE a run of equal-units docs must resume at the
+    doc-id tiebreak, not drop or repeat the rest of the run: identical
+    contents guarantee identical scores."""
+    import pyarrow as pa
+
+    rows = [{"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+             "content": "merge window alpha beta"} for i in range(8)]
+    rows += [{"repo": "r", "path": f"q{i}", "commit": "c", "lang": "en",
+              "content": "merge gamma delta epsilon zeta eta theta"}
+             for i in range(4)]
+    idx = os.path.join(ROOT, "ties")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(pa.Table.from_pylist(rows)), idx, **KW)
+    e = QueryEngine(idx, k=12)
+    ids, units = e.search_one("merge")
+    assert len(ids) == 12
+    u, c = np.unique(units, return_counts=True)
+    assert (c >= 4).any()  # the tie run exists by construction
+    sa = QueryEngine(idx, k=12, query_kind="search_after")
+    for mid in (0, 3, 7, 10):  # cursors inside and across both runs
+        pids, punits = sa.search_after("merge", int(units[mid]),
+                                       int(ids[mid]))
+        assert pids.tolist() == ids.tolist()[mid + 1:], mid
+        assert punits.tolist() == units.tolist()[mid + 1:], mid
+
+
+def test_search_after_masks_tombstones(flat_dir, ray_session):
+    from splade_ray.delete import delete_docs
+    from splade_ray.docmap import open_doc_arrays
+
+    idx = os.path.join(ROOT, "sa_deleted")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(flat_dir, idx)
+    dead = np.sort(open_doc_arrays(idx).docmap_array())[::3]
+    delete_docs(idx, dead)
+    big = QueryEngine(idx, k=20)
+    sa = QueryEngine(idx, k=10, query_kind="search_after")
+    for q in QUERIES:
+        ids, units = big.search_one(q)
+        full = list(zip(ids.tolist(), units.tolist()))
+        if len(full) <= 10:
+            continue
+        cu, cd = full[9][1], full[9][0]
+        pids, punits = sa.search_after(q, cu, cd)
+        assert list(zip(pids.tolist(), punits.tolist())) == full[10:20], q
+        assert not (set(pids.tolist()) & set(dead.tolist()))
+
+
+# ----------------------------------------------------------------- explain --
+
+def test_explain_sums_to_score(flat_dir):
+    e = QueryEngine(flat_dir, k=5)
+    for q in QUERIES:
+        ids, units = e.search_one(q)
+        for d, u in zip(ids.tolist()[:3], units.tolist()[:3]):
+            rows = e.explain(q, d)
+            assert rows, (q, d)
+            assert sum(r[4] for r in rows) == u, (q, d)
+            # df matches the dictionary, tf >= 1, terms sorted + distinct
+            terms = [r[0] for r in rows]
+            assert terms == sorted(set(terms))
+            assert all(r[3] >= 1 for r in rows)
+
+
+def test_explain_absent_doc_and_query(flat_dir):
+    e = QueryEngine(flat_dir, k=5)
+    assert e.explain("merge window", 12345) == []
+    ids, _ = e.search_one("merge")
+    assert e.explain("nonexistentzzterm", int(ids[0])) == []
+
+
+# ----------------------------------------------------------------- synonym --
+
+def test_synonym_matches_expanded_oracle(flat_dir, oracle):
+    syn = {"merge": ["merge", "join"], "join": ["join", "merge"],
+           "window": ["window", "frame"]}
+    e = QueryEngine(flat_dir, k=8, synonyms=syn)
+    from splade_ray.analyzer import tokens_py
+
+    for q in ["merge window", "merge join", "the", "window"]:
+        tf = {}
+        for tok in tokens_py(q):
+            tf[tok] = tf.get(tok, 0) + 1
+        exp = {}
+        for t, qtf in tf.items():
+            for v in syn.get(t, (t,)):
+                exp[v] = exp.get(v, 0) + qtf
+        want = [(d, round(s * 1e9)) for d, s in
+                oracle._rank_qterms(exp, 8)]
+        ids, units = e.search_synonym(q)
+        assert [(int(d), int(u)) for d, u in zip(ids, units)] == want, q
+
+
+def test_synonym_empty_map_is_bm25(flat_dir):
+    e = QueryEngine(flat_dir, k=8)
+    for q in QUERIES:
+        a = e.search_synonym(q)
+        b = e.search_one(q)
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()
+
+
+# ------------------------------------------------------------------ regexp --
+
+def _dict_terms(e):
+    terms = set()
+    for seg in e.segments:
+        terms.update(seg._terms.to_pylist())
+    return sorted(terms)
+
+
+def test_regexp_expansion_matches_linear_scan(flat_dir):
+    e = QueryEngine(flat_dir, k=5)
+    vocab = _dict_terms(e)
+    for pat in ["merge?", "w.ndow", "(join|merge)", "custom[a-z]+",
+                "agg", "zz[0-9]+", "[bc]atch(es)?"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert e.expand_regexp(pat) == want, pat
+
+
+def test_regexp_rejects_bad_patterns(flat_dir):
+    e = QueryEngine(flat_dir, k=5)
+    with pytest.raises(ValueError):
+        e.expand_regexp("Has Space")
+    with pytest.raises(ValueError):
+        e.expand_regexp("")
+    with pytest.raises(re.error):
+        e.expand_regexp("a(b")  # malformed: rejected at compile
+    with pytest.raises(ValueError):
+        e.expand_regexp(".*", max_expansion=10)  # TooManyClauses guard
+
+
+def test_regexp_lang_tagged_expansion(corpus_table, ray_session):
+    idx = os.path.join(ROOT, "tagged")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx,
+                lang_tagged=True, n_shards=4)
+    e = QueryEngine(idx, k=5)
+    vocab = _dict_terms(e)
+    # untagged call expands across every lang; tagged call restricts
+    got_all = e.expand_regexp("merge?")
+    want_all = sorted(t for t in vocab
+                      if re.fullmatch(r"[a-z]+:(merge?)", t))
+    assert got_all == want_all
+    got_en = e.expand_regexp("merge?", lang="en")
+    assert got_en == [t for t in want_all if t.startswith("en:")]
