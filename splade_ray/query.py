@@ -1589,6 +1589,48 @@ def run_queries_sharded(
             }
         )
 
+    def _merge_collapse(g: pa.Table, k: int = k) -> pa.Table:
+        # exactness: if lang L belongs in the global top-k representatives,
+        # fewer than k langs have better global reps; in the shard holding
+        # L's best doc, every rep ranked above it maps to a distinct lang
+        # whose GLOBAL rep is at least as good — so < k shard reps outrank
+        # it and L survives every shard-local cut.  Merge = best row per
+        # (query, lang) across shards, then re-cut top-k.
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(g["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, -scores))
+        _, first = np.unique(langs[order], return_index=True)
+        reps = order[np.sort(first)][:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(reps)),
+                "rank": pa.array(
+                    np.arange(1, len(reps) + 1, dtype=np.int32)),
+                "doc_id": pa.array(ids[reps], type=pa.int64()),
+                "score": pa.array(scores[reps], type=pa.float64()),
+                "lang": pa.array(langs[reps].tolist(), type=pa.string()),
+            }
+        )
+
+    def _merge_lang_agg(g: pa.Table) -> pa.Table:
+        # per-shard buckets are complete for their ordinal range: counts
+        # add, best scores max
+        t = (g.group_by(["query_id", "lang"])
+             .aggregate([("n_hits", "sum"), ("best_score", "max")]))
+        return t.rename_columns(["query_id", "lang", "n_hits", "best_score"])
+
+    def _merge_count(g: pa.Table) -> pa.Table:
+        t = g.group_by("query_id").aggregate([("n_hits", "sum")])
+        return t.rename_columns(["query_id", "n_hits"])
+
+    by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
+               "count": _merge_count}
+    # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
+    # regexp/search_after) all merge as plain top-k: per-shard scores are
+    # complete and the cursor/filter predicates are per-doc, hence exact
+    # per range
+    merge_fn = by_kind.get(query_kind, _merge_topk)
     return merged.groupby("query_id").map_groups(
-        _merge_topk, batch_format="pyarrow"
+        merge_fn, batch_format="pyarrow"
     )

@@ -188,6 +188,56 @@ def test_synonym_empty_map_is_bm25(flat_dir):
         assert a[1].tolist() == b[1].tolist()
 
 
+# ----------------------------------------------------- sharded fan-out -----
+
+@pytest.mark.parametrize("n_shards", [2, 3])  # 3 pools max: session has 4 CPUs
+def test_sharded_docvalue_kinds_match_pool(flat_dir, n_shards, ray_session):
+    """collapse / lang_agg / count / search_after through the doc-range
+    fan-out must equal the single-pool answer (kind-aware merges)."""
+    import pyarrow as pa
+
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+
+    def _norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    for kind, cols in (("collapse", ["query_id", "rank"]),
+                       ("lang_agg", ["query_id", "lang"]),
+                       ("count", ["query_id"])):
+        base = _norm(run_queries(rd.from_arrow(tbl), flat_dir, k=6,
+                                 concurrency=2, query_kind=kind).to_pandas(),
+                     cols)
+        shard = _norm(run_queries_sharded(
+            rd.from_arrow(tbl), flat_dir, k=6, n_query_shards=n_shards,
+            concurrency_per_shard=1, query_kind=kind).to_pandas(), cols)
+        assert base.to_dict("list") == shard.to_dict("list"), (kind, n_shards)
+
+    # search_after: cursor at rank 4 of a k=12 page, both paths
+    e = QueryEngine(flat_dir, k=12)
+    rows = []
+    for qid, q in enumerate(QUERIES):
+        ids, units = e.search_one(q)
+        if len(ids) > 4:
+            rows.append({"query_id": qid, "query": q,
+                         "cursor_units": int(units[3]),
+                         "cursor_doc": int(ids[3])})
+    sa_tbl = pa.Table.from_pylist(rows)
+    base = _norm(run_queries(rd.from_arrow(sa_tbl), flat_dir, k=6,
+                             concurrency=2,
+                             query_kind="search_after").to_pandas(),
+                 ["query_id", "rank"])
+    shard = _norm(run_queries_sharded(
+        rd.from_arrow(sa_tbl), flat_dir, k=6, n_query_shards=n_shards,
+        concurrency_per_shard=1, query_kind="search_after").to_pandas(),
+        ["query_id", "rank"])
+    assert base.to_dict("list") == shard.to_dict("list"), n_shards
+
+
 # ------------------------------------------------------------------ regexp --
 
 def _dict_terms(e):
