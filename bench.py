@@ -241,6 +241,21 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.mlt_topk(SF_DIR).count()
     timings["mlt_topk_sec"] = round(time.perf_counter() - t0, 3)
+    # doc-values serving family (final round 4): collapse over ALL hits,
+    # full-hit-set terms agg, search_after page 2, highlighting — same warm
+    # contract index, like-for-like with bm25_topk_documents_sec
+    t0 = time.perf_counter()
+    pipelines.collapse_topk(SF_DIR).count()
+    timings["collapse_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.lang_terms_agg(SF_DIR).count()
+    timings["lang_terms_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.search_after_topk(SF_DIR).count()
+    timings["search_after_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.highlight_topk(SF_DIR).num_rows
+    timings["highlight_topk_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

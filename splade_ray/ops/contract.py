@@ -834,3 +834,39 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s["sparse_encode"] = sparse_encode_sql()
     s["sparse_topk"] = sparse_topk_sql()
     return s
+
+
+# --- training-set assembly: stratified sampling + sequence packing ---------
+
+def q_stratified_sample(sf_dir: str):
+    from . import assemble
+
+    return assemble.stratified_sample(_docs_ds(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    from . import assemble
+
+    return assemble.pack_sequences(_docs_ds(sf_dir))
+
+
+queries_v3 = queries
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    q = queries_v3()
+    q["stratified_sample"] = q_stratified_sample
+    q["pack_sequences"] = q_pack_sequences
+    return q
+
+
+oracle_sql_v3 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    from . import assemble
+
+    s = oracle_sql_v3()
+    s["stratified_sample"] = assemble.stratified_sample_sql()
+    s["pack_sequences"] = assemble.pack_sequences_sql()
+    return s

@@ -1,0 +1,84 @@
+"""Training-set assembly ops: stratified sampling (distributed
+top-n-per-group) and sequence packing (distributed prefix sum) — partial
+correctness under repartitioning, packing invariants, and parity with a
+single-process reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops import assemble
+from splade_ray.ops.textstats import _h63
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    rng = np.random.default_rng(7)
+    langs = np.array(["en", "de", "fr", "zh"])[rng.integers(0, 4, 400)]
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    rows = [{"doc_id": i,
+             "lang": str(langs[i]),
+             "text": " ".join(words[rng.integers(0, 5, rng.integers(1, 30))])}
+            for i in range(400)]
+    return pa.Table.from_pylist(rows)
+
+
+def _ref_stratified(tbl: pa.Table, n: int):
+    rows = tbl.to_pylist()
+    out = {}
+    for r in sorted(rows, key=lambda r: (_h63(r["text"]), r["doc_id"])):
+        out.setdefault(r["lang"], [])
+        if len(out[r["lang"]]) < n:
+            out[r["lang"]].append(r["doc_id"])
+    return {lg: set(ids) for lg, ids in out.items()}
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_stratified_sample_matches_reference(docs_table, nparts, ray_session):
+    got = assemble.stratified_sample(
+        rd.from_arrow(docs_table).repartition(nparts), n=15).take_all()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_lang == _ref_stratified(docs_table, 15)
+
+
+def test_stratified_sample_small_group(ray_session):
+    rows = [{"doc_id": i, "lang": "en" if i else "zz", "text": f"w{i}"}
+            for i in range(10)]
+    got = assemble.stratified_sample(
+        rd.from_arrow(pa.Table.from_pylist(rows)), n=5).take_all()
+    langs = [r["lang"] for r in got]
+    assert langs.count("zz") == 1  # group smaller than n -> whole group
+    assert langs.count("en") == 5
+
+
+@pytest.mark.parametrize("nparts,bucket_range", [(1, 4096), (7, 16), (3, 1)])
+def test_pack_sequences_matches_reference(docs_table, nparts, bucket_range,
+                                          ray_session):
+    budget = 100
+    got = sorted(assemble.pack_sequences(
+        rd.from_arrow(docs_table).repartition(nparts), budget=budget,
+        bucket_range=bucket_range).take_all(), key=lambda r: r["doc_id"])
+    # single-process reference: exclusive prefix sum in doc_id order
+    toks = {r["doc_id"]: r["n_tokens"] for r in got}
+    acc = 0
+    for r in got:
+        assert r["pack_id"] == acc // budget, r
+        acc += toks[r["doc_id"]]
+    # invariants: pack ids start at 0, are non-decreasing in doc order, and
+    # no pack exceeds budget except via one straddling doc
+    pids = [r["pack_id"] for r in got]
+    assert pids[0] == 0
+    assert all(b - a >= 0 for a, b in zip(pids, pids[1:]))
+
+
+def test_pack_sequences_bucket_invariance(docs_table, ray_session):
+    a = sorted(assemble.pack_sequences(
+        rd.from_arrow(docs_table), budget=64, bucket_range=4096).take_all(),
+        key=lambda r: r["doc_id"])
+    b = sorted(assemble.pack_sequences(
+        rd.from_arrow(docs_table).repartition(5), budget=64,
+        bucket_range=8).take_all(), key=lambda r: r["doc_id"])
+    assert a == b
