@@ -62,16 +62,59 @@ def cmd_query(args) -> int:
     from .query import QueryEngine
 
     _ensure_ray()
-    engine = QueryEngine(args.index, k=args.k, scorer=args.scorer)
+    synonyms = {}
+    for spec in getattr(args, "syn", []) or []:
+        term, _, group = spec.partition("=")
+        if not group:
+            print(f"error: --syn needs TERM=A,B (got {spec!r})",
+                  file=sys.stderr)
+            return 2
+        synonyms[term.strip()] = [g.strip() for g in group.split(",") if g]
+    engine = QueryEngine(args.index, k=args.k, scorer=args.scorer,
+                         synonyms=synonyms)
     lang = args.lang or None
-    if args.prefix:
+    if getattr(args, "count", False):
+        print(engine.count_hits(args.text, lang))
+        return 0
+    if getattr(args, "agg", False):
+        lgs, ns, bests = engine.search_lang_agg(args.text, lang)
+        for lg, n, b in zip(lgs, ns, bests):
+            print(f"{lg}\t{int(n)}\t{int(b) / SCORE_SCALE:.6f}")
+        return 0
+    if getattr(args, "explain", None) is not None:
+        rows = engine.explain(args.text, args.explain, lang)
+        if not rows:
+            print("no contributing terms")
+            return 0
+        for term, qtf, df, tf, u in rows:
+            print(f"{term}\tqtf={qtf}\tdf={df}\ttf={tf}\t"
+                  f"{u / SCORE_SCALE:.6f}")
+        return 0
+    if getattr(args, "collapse", False):
+        ids, units, lgs = engine.search_collapse(args.text, lang)
+        for rank, (d, u, lg) in enumerate(zip(ids, units, lgs), start=1):
+            print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}\t{lg}")
+        if not len(ids):
+            print("no results")
+        return 0
+    if getattr(args, "after", None):
+        cu = int(round(float(args.after[0]) * SCORE_SCALE))
+        ids, units = engine.search_after(args.text, cu, int(args.after[1]),
+                                         lang)
+    elif args.prefix:
         ids, units = engine.search_prefix(args.text, lang)
     elif args.fuzzy:
         ids, units = engine.search_fuzzy(args.text, lang)
+    elif getattr(args, "wildcard", False):
+        ids, units = engine.search_wildcard(args.text, lang)
+    elif getattr(args, "regexp", False):
+        ids, units = engine.search_regexp(args.text, lang)
     elif args.must or args.must_not:
         should = [args.text] if args.text else []
         ids, units = engine.search_bool(args.must or [], should,
                                         args.must_not or [], lang)
+    elif synonyms:
+        ids, units = engine.search_synonym(args.text, lang)
     else:
         ids, units = engine.search_one(args.text, lang)
     if len(ids) == 0:
@@ -264,6 +307,27 @@ def main(argv=None) -> int:
                         "TEXT becomes the should-clause")
     q.add_argument("--must-not", action="append", default=[], dest="must_not",
                    help="boolean mode: excluded token (repeatable)")
+    q.add_argument("--wildcard", action="store_true",
+                   help="treat TEXT as a */? wildcard pattern")
+    q.add_argument("--regexp", action="store_true",
+                   help="treat TEXT as an anchored regular expression")
+    q.add_argument("--collapse", action="store_true",
+                   help="field-collapse: best doc per lang group")
+    q.add_argument("--agg", action="store_true",
+                   help="terms aggregation over ALL hits: per-lang count + "
+                        "best score")
+    q.add_argument("--count", action="store_true",
+                   help="print only the total matching-doc count")
+    q.add_argument("--explain", type=int, metavar="DOC_ID", default=None,
+                   help="per-term score breakdown for TEXT vs DOC_ID")
+    q.add_argument("--after", nargs=2, metavar=("SCORE", "DOC_ID"),
+                   default=None,
+                   help="search_after cursor: next page strictly after "
+                        "(score, doc_id)")
+    q.add_argument("--syn", action="append", default=[],
+                   metavar="TERM=A,B",
+                   help="query-time synonym group (repeatable); implies "
+                        "synonym expansion")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")
