@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": p.synonym_topk,
         "regexp_topk": p.regexp_topk,
         "search_after_topk": p.search_after_topk,
+        "rescore_topk": p.rescore_topk,
         "explain_top1": p.explain_top1,
         "collapse_topk": p.collapse_topk,
         "lang_terms_agg": p.lang_terms_agg,
@@ -150,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
             p.expand_synonym_qterms(p.SYN_QUERIES), TOP_K),
         "regexp_topk": sql.regexp_topk_sql(p.norm_regexps(), TOP_K),
         "search_after_topk": sql.search_after_sql(DOC_QUERIES, TOP_K),
+        "rescore_topk": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
+                                             p.RESCORE_WINDOW),
         "explain_top1": sql.explain_top1_sql(DOC_QUERIES),
         "collapse_topk": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
         "lang_terms_agg": sql.lang_terms_agg_sql(DOC_QUERIES),

@@ -1374,6 +1374,24 @@ def search_after_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+RESCORE_WINDOW = 50
+
+
+def rescore_topk(sf_dir: str, top_k: int = TOP_K,
+                 window: int = RESCORE_WINDOW):
+    """Two-phase ranking (Elasticsearch ``rescore``): BM25 selects the
+    top-``window`` docs per DOC_QUERIES entry; only those are re-scored
+    with the IDF-coordination score and re-ranked by combined units
+    (QueryEngine.search_rescore).  The expensive phase touches ``window``
+    docs per query, never the corpus — the serving shape for costly
+    second-phase scorers.  Rank-identical to sql.rescore_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="rescore",
+                      engine_kwargs={"rescore_window": window})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def explain_top1(sf_dir: str):
     """Score explanation (Lucene/ES ``explain`` API): per-term breakdown —
     (term, qtf, df, tf, contribution) — for each DOC_QUERIES entry's

@@ -79,7 +79,8 @@ class QueryEngine:
                  cache_postings_budget: int = 32_000_000,
                  ord_range: "tuple[int, int] | None" = None,
                  query_kind: str = "text",
-                 synonyms: "dict[str, list[str]] | None" = None):
+                 synonyms: "dict[str, list[str]] | None" = None,
+                 rescore_window: int = 50):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -114,12 +115,13 @@ class QueryEngine:
         if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
                               "wildcard", "bool", "filtered", "collapse",
                               "lang_agg", "count", "search_after", "explain",
-                              "synonym", "regexp"):
+                              "synonym", "regexp", "rescore"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
         # the full group); empty map = search_synonym degrades to BM25
         self.synonyms = synonyms or {}
+        self.rescore_window = rescore_window  # phase-1 cut for search_rescore
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -825,6 +827,45 @@ class QueryEngine:
             ids = self.docs.gather_ids(ids)
         return ids, units
 
+    # ------------------------------------------------------------- rescore --
+    def search_rescore(self, query: str, lang: str | None = None):
+        """Two-phase ranking (Elasticsearch ``rescore`` window / Lucene
+        QueryRescorer): phase 1 takes the BM25 top-``rescore_window`` docs;
+        phase 2 re-scores ONLY those with the IDF-coordination score
+        (round(qtf·idf·SCALE) per matched term — tf/length-independent) and
+        re-ranks by combined units (bm25 + coord, ES's default sum), doc_id
+        tiebreak, cut to k.  The expensive scorer touches window docs, not
+        the corpus — the standard serving shape for costly second-phase
+        models (cross-encoders, proximity boosts)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._score(qterms)
+        # phase-1 cut at the window (same ties-by-ordinal rule as _topk)
+        w = self.rescore_window
+        if len(ords) > w:
+            order = np.lexsort((ords, -units))[:w]
+            ords, units = ords[order], units[order]
+        if not len(ords):
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        from .docmap import sorted_member
+
+        coord = np.zeros(len(ords), dtype=np.int64)
+        for term, qtf in qterms.items():
+            refs, df = self._term_refs(term)
+            if not refs:
+                continue
+            cu = int(round(qtf * idf(self.n_docs, df) * SCORE_SCALE))
+            # exact-term presence set (qterms are already analyzed/tagged
+            # — no _variants re-expansion); salted lists concatenate
+            # per-salt runs, so sort before the membership searchsorted
+            t_ids = self._gather(term)[0]
+            if len(t_ids):
+                present, _ = sorted_member(np.sort(t_ids), ords)
+                coord[present] += cu
+        comb = units + coord
+        order = np.lexsort((ords, -comb))[: self.k]
+        return self.docs.gather_ids(ords[order]), comb[order]
+
     # -------------------------------------------------------------- regexp --
     _REGEXP_ALLOWED = r"[a-z0-9\*\+\?\.\[\]\(\)\|\-\^]+"
 
@@ -1353,7 +1394,8 @@ class QueryEngine:
                        "fuzzy2": self.search_fuzzy2,
                        "wildcard": self.search_wildcard,
                        "synonym": self.search_synonym,
-                       "regexp": self.search_regexp}
+                       "regexp": self.search_regexp,
+                       "rescore": self.search_rescore}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)

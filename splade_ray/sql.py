@@ -713,6 +713,36 @@ GROUP BY r.query_id, d.lang"""
     )
 
 
+def rescore_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                     window: int = 50) -> str:
+    """Two-phase rescore oracle (pipelines.rescore_topk replay): BM25
+    top-``window`` docs per query, re-ranked by combined units (bm25 +
+    idf-coordination — ES's default score sum), doc_id tiebreak, cut k."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            f"""
+resc AS (
+  SELECT r.query_id, r.doc_id, r.units + c.units AS comb
+  FROM ranked r
+  JOIN coord_scores c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+  WHERE r.rnk <= {window}
+),
+resc_ranked AS (
+  SELECT query_id, doc_id, comb,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY comb DESC, doc_id ASC) AS rnk2
+  FROM resc
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk2 AS BIGINT) AS rank, doc_id,
+       comb / {_f(float(SCORE_SCALE))} AS score
+FROM resc_ranked WHERE rnk2 <= {k}"""
+    )
+
+
 def highlight_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                        window: int = 3) -> str:
     """Highlighting oracle (pipelines.highlight_topk replay): per top-k

@@ -188,6 +188,41 @@ def test_synonym_empty_map_is_bm25(flat_dir):
         assert a[1].tolist() == b[1].tolist()
 
 
+# ----------------------------------------------------------------- rescore --
+
+def test_rescore_matches_bruteforce(flat_dir, oracle):
+    """Two-phase rescore == brute force: BM25 top-window docs re-ranked by
+    combined (bm25 + idf-coordination) units, doc_id tiebreak."""
+    import math
+
+    from splade_ray.build import SCORE_SCALE
+
+    for window in (3, 8, 10_000):
+        e = QueryEngine(flat_dir, k=6, query_kind="rescore",
+                        rescore_window=window)
+        for q in QUERIES:
+            from splade_ray.analyzer import tokens_py
+
+            tf = {}
+            for tok in tokens_py(q):
+                tf[tok] = tf.get(tok, 0) + 1
+            acc = oracle._acc_units(tf)
+            page = sorted(((u, d) for d, u in acc.items() if u > 0),
+                          key=lambda x: (-x[0], x[1]))[:window]
+            want = []
+            for u, d in page:
+                coord = sum(
+                    round(qtf * oracle.idf(t) * SCORE_SCALE)
+                    for t, qtf in tf.items()
+                    if d in oracle.postings.get(t, {}))
+                want.append((u + coord, d))
+            want = sorted(((c, d) for c, d in want),
+                          key=lambda x: (-x[0], x[1]))[:6]
+            ids, units = e.search_rescore(q)
+            got = list(zip(units.tolist(), ids.tolist()))
+            assert got == want, (q, window)
+
+
 # ----------------------------------------------------- sharded fan-out -----
 
 @pytest.mark.parametrize("n_shards", [2, 3])  # 3 pools max: session has 4 CPUs
