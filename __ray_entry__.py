@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": p.collapse_topk,
         "lang_terms_agg": p.lang_terms_agg,
         "total_hits": p.total_hits,
+        "dl_histogram": p.dl_histogram,
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
         "scorer_eval": p.scorer_eval,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
         "lang_terms_agg": sql.lang_terms_agg_sql(DOC_QUERIES),
         "total_hits": sql.total_hits_sql(DOC_QUERIES),
+        "dl_histogram": sql.dl_histogram_sql(DOC_QUERIES, p.HIST_WIDTH),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

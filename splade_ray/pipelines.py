@@ -1505,6 +1505,22 @@ def lang_terms_agg(sf_dir: str):
                        concurrency=2, query_kind="lang_agg")
 
 
+HIST_WIDTH = 16
+
+
+def dl_histogram(sf_dir: str, width: int = HIST_WIDTH):
+    """Histogram aggregation over the FULL hit set (Elasticsearch
+    ``histogram`` agg on a numeric doc-value): per DOC_QUERIES entry,
+    bucket = (doc_len // width) * width with the live matching-doc count,
+    served from the resident doc_len forward array — one gather + one
+    bincount per query, hits never leave the actor.  Value-identical to
+    sql.dl_histogram_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="dl_hist",
+                       engine_kwargs={"hist_width": width})
+
+
 def total_hits(sf_dir: str):
     """Total live matching-doc count per query (Elasticsearch
     ``track_total_hits: true``): the size of the tombstone-masked union of

@@ -80,7 +80,8 @@ class QueryEngine:
                  ord_range: "tuple[int, int] | None" = None,
                  query_kind: str = "text",
                  synonyms: "dict[str, list[str]] | None" = None,
-                 rescore_window: int = 50):
+                 rescore_window: int = 50,
+                 hist_width: int = 16):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -115,13 +116,14 @@ class QueryEngine:
         if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
                               "wildcard", "bool", "filtered", "collapse",
                               "lang_agg", "count", "search_after", "explain",
-                              "synonym", "regexp", "rescore"):
+                              "synonym", "regexp", "rescore", "dl_hist"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
         # the full group); empty map = search_synonym degrades to BM25
         self.synonyms = synonyms or {}
         self.rescore_window = rescore_window  # phase-1 cut for search_rescore
+        self.hist_width = hist_width  # bucket width for search_dl_hist
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -746,6 +748,22 @@ class QueryEngine:
         return (out_lang, np.asarray(out_n, dtype=np.int64),
                 np.asarray(out_best, dtype=np.int64))
 
+    def search_dl_hist(self, query: str, lang: str | None = None):
+        """Histogram aggregation over the FULL hit set (Elasticsearch
+        ``histogram`` agg on a numeric doc-value): bucket = (doc_len //
+        hist_width) * hist_width, per-bucket live matching-doc count —
+        served from the resident ordinal->doc_len forward array, one
+        gather + one bincount, hits never leave the actor."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        buckets = (self.docs.gather_lens(ords).astype(np.int64)
+                   // self.hist_width) * self.hist_width
+        vals, counts = np.unique(buckets, return_counts=True)
+        return vals.astype(np.int64), counts.astype(np.int64)
+
     def count_hits(self, query: str, lang: str | None = None) -> int:
         """Total live matching docs (ES ``track_total_hits``): the size of
         the tombstone-masked union of the query terms' posting lists with a
@@ -1307,6 +1325,19 @@ class QueryEngine:
                 "n_hits": pa.array(out_n, type=pa.int64()),
                 "best_score": pa.array(out_best, type=pa.float64()),
             })
+        if self.query_kind == "dl_hist":
+            out_qid, out_b, out_n = [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                vals, counts = self.search_dl_hist(q or "", lg or None)
+                for b, n in zip(vals, counts):
+                    out_qid.append(qid)
+                    out_b.append(int(b))
+                    out_n.append(int(n))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+            })
         if self.query_kind == "count":
             return pa.table({
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -1666,8 +1697,13 @@ def run_queries_sharded(
         t = g.group_by("query_id").aggregate([("n_hits", "sum")])
         return t.rename_columns(["query_id", "n_hits"])
 
+    def _merge_dl_hist(g: pa.Table) -> pa.Table:
+        t = (g.group_by(["query_id", "bucket"])
+             .aggregate([("n_hits", "sum")]))
+        return t.rename_columns(["query_id", "bucket", "n_hits"])
+
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
-               "count": _merge_count}
+               "count": _merge_count, "dl_hist": _merge_dl_hist}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

@@ -832,6 +832,24 @@ GROUP BY r.query_id, d.lang"""
     )
 
 
+def dl_histogram_sql(queries: list[tuple[int, str]],
+                     width: int = 16) -> str:
+    """Histogram-agg oracle (pipelines.dl_histogram replay): per (query,
+    doc_len bucket) live matching-doc count over EVERY hit."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT r.query_id,
+       CAST((d.doc_len // {width}) * {width} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id, (d.doc_len // {width}) * {width}"""
+    )
+
+
 def total_hits_sql(queries: list[tuple[int, str]]) -> str:
     """track_total_hits oracle (pipelines.total_hits replay): matching-doc
     count per query; LEFT JOIN from the query literals keeps zero-hit

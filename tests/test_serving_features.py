@@ -243,7 +243,8 @@ def test_sharded_docvalue_kinds_match_pool(flat_dir, n_shards, ray_session):
 
     for kind, cols in (("collapse", ["query_id", "rank"]),
                        ("lang_agg", ["query_id", "lang"]),
-                       ("count", ["query_id"])):
+                       ("count", ["query_id"]),
+                       ("dl_hist", ["query_id", "bucket"])):
         base = _norm(run_queries(rd.from_arrow(tbl), flat_dir, k=6,
                                  concurrency=2, query_kind=kind).to_pandas(),
                      cols)
