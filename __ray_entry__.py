@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_top1": p.explain_top1,
         "collapse_topk": p.collapse_topk,
         "lang_terms_agg": p.lang_terms_agg,
+        "collapse_topk_sharded": p.collapse_topk_sharded,
+        "lang_terms_agg_sharded": p.lang_terms_agg_sharded,
         "total_hits": p.total_hits,
         "dl_histogram": p.dl_histogram,
         "bm25_topk_deleted": p.bm25_topk_deleted,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "explain_top1": sql.explain_top1_sql(DOC_QUERIES),
         "collapse_topk": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
         "lang_terms_agg": sql.lang_terms_agg_sql(DOC_QUERIES),
+        "collapse_topk_sharded": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
+        "lang_terms_agg_sharded": sql.lang_terms_agg_sql(DOC_QUERIES),
         "total_hits": sql.total_hits_sql(DOC_QUERIES),
         "dl_histogram": sql.dl_histogram_sql(DOC_QUERIES, p.HIST_WIDTH),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(

@@ -256,6 +256,12 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.highlight_topk(SF_DIR).num_rows
     timings["highlight_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.rescore_topk(SF_DIR).count()
+    timings["rescore_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.dl_histogram(SF_DIR).count()
+    timings["dl_histogram_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

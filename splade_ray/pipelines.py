@@ -1521,6 +1521,31 @@ def dl_histogram(sf_dir: str, width: int = HIST_WIDTH):
                        engine_kwargs={"hist_width": width})
 
 
+def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """collapse_topk through the doc-range query fan-out
+    (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages
+    merged by the lang-aware exact merge — same oracle as collapse_topk,
+    proving the scale path end-to-end under the driver gate."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="collapse")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def lang_terms_agg_sharded(sf_dir: str):
+    """lang_terms_agg through the doc-range fan-out (counts sum, best
+    scores max across ranges) — same oracle as lang_terms_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="lang_agg")
+
+
 def total_hits(sf_dir: str):
     """Total live matching-doc count per query (Elasticsearch
     ``track_total_hits: true``): the size of the tombstone-masked union of
