@@ -622,6 +622,10 @@ def build_index(
             sorted_ids.tofile(tmp_map)
             np.concatenate(dl_chunks)[order].astype(np.int32).tofile(tmp_dl)
             glob = np.asarray(sorted(langset), dtype=object)
+            if len(glob) >= 255:
+                raise ValueError(
+                    f"corpus has {len(glob)} distinct langs; lang "
+                    "doc-values support at most 254 (uint8 codes)")
             remapped = []
             for lc, cv in lv_chunks:
                 lut = np.full(256, LANG_MISSING, dtype=np.uint8)

@@ -79,7 +79,7 @@ def cmd_query(args) -> int:
     if getattr(args, "agg", False):
         lgs, ns, bests = engine.search_lang_agg(args.text, lang)
         for lg, n, b in zip(lgs, ns, bests):
-            print(f"{lg}\t{int(n)}\t{int(b) / SCORE_SCALE:.6f}")
+            print(f"{lg}\t{int(n)}\t{int(b) / SCORE_SCALE:.9f}")
         return 0
     if getattr(args, "explain", None) is not None:
         rows = engine.explain(args.text, args.explain, lang)
@@ -88,12 +88,12 @@ def cmd_query(args) -> int:
             return 0
         for term, qtf, df, tf, u in rows:
             print(f"{term}\tqtf={qtf}\tdf={df}\ttf={tf}\t"
-                  f"{u / SCORE_SCALE:.6f}")
+                  f"{u / SCORE_SCALE:.9f}")
         return 0
     if getattr(args, "collapse", False):
         ids, units, lgs = engine.search_collapse(args.text, lang)
         for rank, (d, u, lg) in enumerate(zip(ids, units, lgs), start=1):
-            print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}\t{lg}")
+            print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.9f}\t{lg}")
         if not len(ids):
             print("no results")
         return 0
@@ -121,7 +121,7 @@ def cmd_query(args) -> int:
         print("no results")
         return 0
     for rank, (d, u) in enumerate(zip(ids, units), start=1):
-        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}")
+        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.9f}")
     return 0
 
 
@@ -177,7 +177,7 @@ def cmd_phrase(args) -> int:
                           ascending=[False, True]).head(args.k)
     for rank, (d, u) in enumerate(zip(res["doc_id"], res["sum(units)"]),
                                   start=1):
-        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.6f}")
+        print(f"{rank}\t{int(d)}\t{u / SCORE_SCALE:.9f}")
     return 0
 
 

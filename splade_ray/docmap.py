@@ -58,6 +58,8 @@ def encode_lang_codes(lang_col, vocab: "np.ndarray | list[str]") -> np.ndarray:
     d = np.asarray(enc.combine_chunks().dictionary.to_pylist()
                    if isinstance(enc, pa.ChunkedArray)
                    else enc.dictionary.to_pylist(), dtype=object)
+    if not len(d):  # all-null column: every row is LANG_MISSING
+        return np.full(len(lang_col), LANG_MISSING, dtype=np.uint8)
     idx = enc.indices if not isinstance(enc, pa.ChunkedArray) else enc.combine_chunks().indices
     codes = idx.to_numpy(zero_copy_only=False)
     null_mask = np.asarray(pc.is_null(idx).to_numpy(zero_copy_only=False))
@@ -214,6 +216,11 @@ class ShardedDocArrays:
             sv = np.asarray([x for x in s.get("lang_vocab", "").split(",")
                              if x], dtype=object)
             vocab = self._vocab()
+            if len(vocab) >= LANG_MISSING:
+                raise ValueError(
+                    f"manifest langs list has {len(vocab)} entries; lang "
+                    f"doc-values support at most {LANG_MISSING - 1} "
+                    "(uint8 codes)")
             lut = np.full(256, LANG_MISSING, dtype=np.uint8)
             if len(sv):
                 pos = np.searchsorted(vocab, sv)

@@ -149,6 +149,10 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
     from .docmap import LANG_MISSING, LANGVALS_NAME
 
     merged_langs = sorted({lg for m in manifests for lg in m["langs"]})
+    if len(merged_langs) >= 255:
+        raise ValueError(
+            f"merged lang union has {len(merged_langs)} entries; lang "
+            "doc-values support at most 254 (uint8 codes)")
     new_langvals = np.full(len(new_map), LANG_MISSING, dtype=np.uint8)
     for a, old_map, m in zip(in_arrays, id_maps, manifests):
         lut = np.full(256, LANG_MISSING, dtype=np.uint8)

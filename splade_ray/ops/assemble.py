@@ -54,7 +54,10 @@ def stratified_partial_batch(t: pa.Table, *, n: int = STRAT_N,
     h = np.fromiter((_h63(x or "") for x in texts), dtype=np.int64,
                     count=len(texts))
     ids = t[id_col].to_numpy(zero_copy_only=False)
-    groups = np.asarray(t[group_col].to_pylist(), dtype=object)
+    # null group -> "" (one shared bucket; np.unique cannot sort
+    # None-vs-str object arrays, and a null lang is still one stratum)
+    groups = np.asarray([x if x is not None else ""
+                         for x in t[group_col].to_pylist()], dtype=object)
     keep_idx = []
     order = np.lexsort((ids, h))
     g_sorted = groups[order]
@@ -115,7 +118,11 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
 
     counted = ds.map_batches(
         _token_counts_batch, batch_format="pyarrow",
-        fn_kwargs={"bucket_range": bucket_range})
+        fn_kwargs={"bucket_range": bucket_range}).materialize()
+    # ^ materialize: both passes consume `counted`, and without pinning it
+    # Ray Data re-executes the lineage — re-tokenizing the whole corpus
+    # (the dominant cost) a second time.  The pinned columns are 24
+    # bytes/doc in the object store (spillable), a fair trade at any scale.
     # pass 1: one summary row per bucket; the driver prefix-sums buckets
     # (bounded: n_docs / bucket_range rows — raise bucket_range at scale)
     sums = (counted.groupby("bucket")

@@ -911,6 +911,27 @@ class QueryEngine:
         meta = min((pat.index(c) for c in "*+?.[]()|^" if c in pat),
                    default=len(pat))
         lit = pat[:meta]
+        if meta < len(pat) and pat[meta] in "*?":
+            # a quantifier makes the PRECEDING char optional — it is not
+            # part of the mandatory prefix ("merge?" must scan the "merg"
+            # run or the term "merg" is silently dropped)
+            lit = lit[:-1]
+        # a TOP-LEVEL alternation anywhere ("ab|cd", "ab?|cd") means the
+        # right alternative shares no prefix with the left — full scan
+        depth = 0
+        in_class = False
+        for ch in pat:
+            if in_class:
+                in_class = ch != "]"
+            elif ch == "[":
+                in_class = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "|" and depth == 0:
+                lit = ""
+                break
         anchored = f"^(?:{pat})$"
         if self.lang_tagged:
             langs = [lang] if lang else self.langs
@@ -1598,6 +1619,7 @@ def run_queries_sharded(
     concurrency_per_shard: int | tuple[int, int] = 1,
     batch_size: int = 64,
     query_kind: str = "text",
+    engine_kwargs: dict | None = None,
 ):
     """Doc-partitioned query fan-out: the 100x-scale serving shape.
 
@@ -1625,6 +1647,19 @@ def run_queries_sharded(
     The merge is ``groupby(query_id).map_groups`` over k * n_shards rows per
     query — one tiny task per query, never a data-scale shuffle.
     """
+    # kinds whose per-range answers compose exactly under a documented
+    # merge.  'rescore' is NOT shard-exact (the phase-1 window is a GLOBAL
+    # top-window; per-shard windows would rescore the wrong candidate set)
+    # and 'explain' rows have no rank/score columns to merge — refuse both
+    # loudly rather than silently merging wrong shapes.
+    _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
+                  "filtered", "synonym", "regexp", "search_after",
+                  "collapse", "lang_agg", "count", "dl_hist"}
+    if query_kind not in _SHARDABLE:
+        raise ValueError(
+            f"query_kind {query_kind!r} is not shard-mergeable "
+            f"(supported: {sorted(_SHARDABLE)}); run it through "
+            "run_queries instead")
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
     n_shards = max(1, min(n_query_shards, n_docs))
@@ -1639,6 +1674,7 @@ def run_queries_sharded(
                 queries_ds, index_dir, k=k, scorer=scorer,
                 concurrency=concurrency_per_shard, batch_size=batch_size,
                 ord_range=(lo, hi), query_kind=query_kind,
+                engine_kwargs=engine_kwargs,
             )
         )
     merged = parts[0]

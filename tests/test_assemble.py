@@ -44,6 +44,19 @@ def test_stratified_sample_matches_reference(docs_table, nparts, ray_session):
     assert by_lang == _ref_stratified(docs_table, 15)
 
 
+def test_stratified_sample_null_group(ray_session):
+    """A null group value is one stratum (bucketed as '') — it must not
+    crash the partial's np.unique (code-review finding)."""
+    rows = [{"doc_id": i, "lang": None if i % 3 == 0 else "en",
+             "text": f"word{i}"} for i in range(12)]
+    got = assemble.stratified_sample(
+        rd.from_arrow(pa.Table.from_pylist(rows)), n=2).take_all()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang[""]) == 2 and len(by_lang["en"]) == 2
+
+
 def test_stratified_sample_small_group(ray_session):
     rows = [{"doc_id": i, "lang": "en" if i else "zz", "text": f"w{i}"}
             for i in range(10)]

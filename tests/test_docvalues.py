@@ -88,6 +88,11 @@ def test_encode_lang_codes_edges():
     codes = encode_lang_codes(col, ["de", "en"])
     assert codes.tolist() == [1, LANG_MISSING, LANG_MISSING, LANG_MISSING, 0]
     assert encode_lang_codes(pa.array([], type=pa.string()), []).tolist() == []
+    # all-null column (code-review finding: used to IndexError into an
+    # empty LUT) -> every row LANG_MISSING
+    allnull = encode_lang_codes(pa.array([None, None], type=pa.string()),
+                                ["en"])
+    assert allnull.tolist() == [LANG_MISSING, LANG_MISSING]
     with pytest.raises(ValueError):
         encode_lang_codes(col, [f"l{i:03d}" for i in range(255)])
 

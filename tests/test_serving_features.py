@@ -304,6 +304,76 @@ def test_regexp_rejects_bad_patterns(flat_dir):
         e.expand_regexp(".*", max_expansion=10)  # TooManyClauses guard
 
 
+def test_regexp_optional_quantifier_and_alternation(ray_session):
+    """Adversarial dictionary for the literal-prefix rewrite: 'merge?'
+    must also scan the 'merg' run (the quantified char is optional), and
+    a top-level alternation must not treat the left alternative as a
+    mandatory prefix (code-review finding: both silently dropped terms)."""
+    import pyarrow as pa
+
+    rows = [{"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+             "content": content}
+            for i, content in enumerate(
+                ["merg alpha", "merge beta", "merger gamma", "cd delta",
+                 "ab epsilon", "abx zeta"])]
+    idx = os.path.join(ROOT, "regexp_adversarial")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(pa.Table.from_pylist(rows)), idx, **KW)
+    e = QueryEngine(idx, k=5)
+    vocab = _dict_terms(e)
+    for pat in ["merge?", "merge+", "merg|cd", "ab?|cd", "ab|cd",
+                "(ab|cd)", "merge[rs]?", "a?b"]:
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert e.expand_regexp(pat) == want, pat
+    assert "merg" in e.expand_regexp("merge?")
+    assert {"ab", "cd"} <= set(e.expand_regexp("ab?|cd"))
+
+
+def test_sharded_rejects_unmergeable_kinds(flat_dir, ray_session):
+    import pyarrow as pa
+
+    from splade_ray.query import run_queries_sharded
+
+    tbl = pa.table({"query_id": pa.array([0], type=pa.int64()),
+                    "query": pa.array(["merge"])})
+    for kind in ("rescore", "explain"):
+        with pytest.raises(ValueError, match="not shard-mergeable"):
+            run_queries_sharded(rd.from_arrow(tbl), flat_dir,
+                                query_kind=kind)
+
+
+def test_sharded_synonym_passthrough(flat_dir, ray_session):
+    """engine_kwargs (the synonym map) must reach every shard pool —
+    without it sharded synonym silently degraded to plain BM25."""
+    import pyarrow as pa
+
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    # partner term must exist in the corpus vocab or the expansion is a
+    # no-op (df=0 terms score nothing) — pick one from the dictionary
+    partner = next(t for t in _dict_terms(QueryEngine(flat_dir, k=1))
+                   if t != "merge")
+    syn = {"merge": ["merge", partner]}
+    tbl = pa.table({"query_id": pa.array([0], type=pa.int64()),
+                    "query": pa.array(["merge"])})
+    base = run_queries(rd.from_arrow(tbl), flat_dir, k=8, concurrency=2,
+                       query_kind="synonym",
+                       engine_kwargs={"synonyms": syn}).to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(tbl), flat_dir, k=8, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="synonym",
+        engine_kwargs={"synonyms": syn}).to_pandas()
+    base = base.sort_values("rank").reset_index(drop=True)
+    shard = shard.sort_values("rank").reset_index(drop=True)
+    assert base["doc_id"].tolist() == shard["doc_id"].tolist()
+    assert base["score"].tolist() == shard["score"].tolist()
+    # and it differs from the unexpanded query (the map took effect)
+    plain = run_queries(rd.from_arrow(tbl), flat_dir, k=8,
+                        concurrency=2).to_pandas()
+    assert plain.sort_values("rank")["score"].tolist() != \
+        base["score"].tolist()
+
+
 def test_regexp_lang_tagged_expansion(corpus_table, ray_session):
     idx = os.path.join(ROOT, "tagged")
     shutil.rmtree(idx, ignore_errors=True)
