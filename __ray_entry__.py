@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_topk": p.regexp_topk,
         "search_after_topk": p.search_after_topk,
         "rescore_topk": p.rescore_topk,
+        "percolate": p.percolate,
         "explain_top1": p.explain_top1,
         "collapse_topk": p.collapse_topk,
         "lang_terms_agg": p.lang_terms_agg,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "search_after_topk": sql.search_after_sql(DOC_QUERIES, TOP_K),
         "rescore_topk": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
                                              p.RESCORE_WINDOW),
+        "percolate": sql.percolate_sql(DOC_QUERIES),
         "explain_top1": sql.explain_top1_sql(DOC_QUERIES),
         "collapse_topk": sql.collapse_topk_sql(DOC_QUERIES, TOP_K),
         "lang_terms_agg": sql.lang_terms_agg_sql(DOC_QUERIES),

@@ -1374,6 +1374,54 @@ def search_after_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+def percolate(sf_dir: str):
+    """Percolation (Elasticsearch percolate query / Lucene reverse search):
+    match every corpus document against the STANDING query set — which
+    DOC_QUERIES would each doc hit, conjunctive semantics (doc contains
+    ALL of the query's analyzed tokens; zero-token queries match nothing).
+    The ingest-routing shape: queries are the broadcast small side, docs
+    stream through ONE vectorized map_batches pass (flat-token
+    searchsorted against the query vocabulary + a per-(row, term) presence
+    matrix — no index, no shuffle, no per-row Python), so it runs at
+    ingest bandwidth on unbounded streams.  Value-identical to
+    sql.percolate_sql's HAVING-count oracle."""
+    from .analyzer import tokens_py, tokenize_flat
+
+    qtok = {qid: sorted(set(tokens_py(q))) for qid, q in DOC_QUERIES}
+    qtok = {qid: ts for qid, ts in qtok.items() if ts}
+    vocab = np.asarray(sorted({t for ts in qtok.values() for t in ts}),
+                       dtype=object)
+    # per-query column indices into the presence matrix
+    qcols = {qid: np.searchsorted(vocab, np.asarray(ts, dtype=object))
+             for qid, ts in qtok.items()}
+
+    def _batch(t: pa.Table) -> pa.Table:
+        from .ids import doc_id63_column
+
+        flat, parents = tokenize_flat(t["content"])
+        n_rows = t.num_rows
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        pos = np.searchsorted(vocab, toks)
+        ok = pos < len(vocab)
+        ok[ok] = vocab[pos[ok]] == toks[ok]
+        m = np.zeros((n_rows, len(vocab)), dtype=bool)
+        m[parents[ok], pos[ok]] = True
+        ids = doc_id63_column(
+            t["repo"], t["path"], t["commit"]).to_numpy(zero_copy_only=False)
+        out_q, out_d = [], []
+        for qid, cols in qcols.items():
+            hit = m[:, cols].all(axis=1)
+            rows = np.nonzero(hit)[0]
+            out_q.extend([qid] * len(rows))
+            out_d.extend(ids[rows].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        })
+
+    return corpus_ds(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
 RESCORE_WINDOW = 50
 
 

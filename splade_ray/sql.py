@@ -713,6 +713,31 @@ GROUP BY r.query_id, d.lang"""
     )
 
 
+def percolate_sql(queries: list[tuple[int, str]]) -> str:
+    """Percolation oracle (pipelines.percolate replay): (query_id, doc_id)
+    pairs where the doc contains EVERY analyzed token of the query
+    (conjunctive match); zero-token queries produce no qterms rows and so
+    match nothing."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE,
+            *_query_ctes(queries),
+            """
+qn AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+  FROM qterms GROUP BY query_id
+)""",
+        )
+        + """
+SELECT q.query_id, p.doc_id
+FROM qterms q
+JOIN postings p ON p.term = q.term
+JOIN qn ON qn.query_id = q.query_id
+GROUP BY q.query_id, p.doc_id, qn.n_terms
+HAVING count(*) = qn.n_terms"""
+    )
+
+
 def rescore_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                      window: int = 50) -> str:
     """Two-phase rescore oracle (pipelines.rescore_topk replay): BM25
