@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_near_positional_unordered": lambda sf: p.phrase_near_positional(
             sf, ordered=False),
         "span_near_topk": p.span_near_topk,
+        "span_first_topk": p.span_first_topk,
         "span_near_unordered": lambda sf: p.span_near_topk(sf, ordered=False),
         # dictionary-rewrite queries through the same index (Lucene
         # PrefixQuery / BooleanQuery class, no Milvus analogue)
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_topk": p.suggest_topk,
         "filtered_topk": p.filtered_topk,
         "bool_topk": p.bool_topk,
+        "bool_msm_topk": p.bool_msm_topk,
         "mlt_topk": p.mlt_topk,
         "sig_terms": p.sig_terms,
         "search_facets": p.search_facets,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_near_positional_unordered": sql.phrase_near_topk_sql(
             p.NEAR_QUERIES, TOP_K, ordered=False),
         "span_near_topk": sql.span_near_topk_sql(p.SPAN_QUERIES, TOP_K),
+        "span_first_topk": sql.span_first_topk_sql(
+            p.SPAN_FIRST_QUERIES, TOP_K),
         "span_near_unordered": sql.span_near_topk_sql(
             p.SPAN_QUERIES, TOP_K, ordered=False),
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),
@@ -144,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_topk": sql.suggest_topk_sql(p.norm_prefixes(), 5),
         "filtered_topk": sql.filtered_topk_sql(p.FILTERED_QUERIES, TOP_K),
         "bool_topk": sql.bool_topk_sql(p.BOOL_QUERIES, TOP_K),
+        "bool_msm_topk": sql.bool_topk_sql(
+            [(q, m, s, n) for q, m, s, n, _ in p.BOOL_MSM_QUERIES], TOP_K,
+            msm={q: mm for q, *_, mm in p.BOOL_MSM_QUERIES}),
         "mlt_topk": sql.mlt_topk_sql(p.MLT_N_SOURCES, p.MLT_MAX_TERMS,
                                      p.MLT_MIN_DF, TOP_K),
         "sig_terms": sql.sig_terms_sql(DOC_QUERIES, TOP_K,

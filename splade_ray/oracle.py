@@ -229,7 +229,8 @@ class OracleIndex:
         return self._rank_qterms(qterms, k, allowed=allowed)
 
     def search_bool(self, must=(), should=(), must_not=(),
-                    lang: str | None = None, k: int = 10):
+                    lang: str | None = None, k: int = 10,
+                    min_should_match: int = 0):
         """QueryEngine.search_bool ground truth: python-set filters."""
         def _toks(items):
             out = []
@@ -250,6 +251,15 @@ class OracleIndex:
         for tok in m_toks:
             ids = _doc_set(tok)
             allowed = ids if allowed is None else (allowed & ids)
+        if min_should_match > 0:
+            if len(s_toks) < min_should_match:
+                return []
+            counts: dict[int, int] = {}
+            for tok in s_toks:
+                for d in _doc_set(tok):
+                    counts[d] = counts.get(d, 0) + 1
+            ok = {d for d, c in counts.items() if c >= min_should_match}
+            allowed = ok if allowed is None else (allowed & ok)
         banned = set()
         for tok in n_toks:
             banned |= _doc_set(tok)

@@ -261,6 +261,16 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     ok_w = (minlast >= 0) & (keys - minlast <= win)
                     hit = keys[ok_w]
                     verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+            elif spec["kind"] == "first":
+                # SpanFirstQuery: the term occurs within the first
+                # ``limit`` tokens of the doc.  Engine positions are
+                # 0-based (pos < limit); the SQL oracle's tokpos is
+                # 1-based (pos <= limit) — same set
+                kt = _g(spec["term"])[3]
+                if not len(kt):
+                    continue
+                hit = kt[(kt & 0xFFFFFFFF) < int(spec["limit"])]
+                verified = np.unique(hit >> 32) if len(hit) else hit[:0]
             else:  # near
                 if spec["a"] == spec["b"]:
                     raise ValueError(

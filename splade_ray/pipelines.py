@@ -125,6 +125,45 @@ BOOL_QUERIES: list[tuple[int, list[str], list[str], list[str]]] = [
 ]
 
 
+# minimum_should_match boolean queries: (qid, must, should, must_not, msm).
+# (0) pure should with msm=2 of 3; (1) must + msm over should; (2) msm
+# equal to |should| (pure conjunction through the should leg); (3) msm
+# larger than |should| -> empty; (4) msm=1 == plain disjunction.
+BOOL_MSM_QUERIES: list[
+        tuple[int, list[str], list[str], list[str], int]] = [
+    (0, [], ["merge", "window", "batch"], [], 2),
+    (1, ["stream"], ["vector", "join", "filter"], [], 2),
+    (2, [], ["spark", "window"], [], 2),
+    (3, [], ["merge", "window"], [], 3),
+    (4, [], ["agg", "customer"], ["merge"], 1),
+]
+
+
+def bool_msm_topk(sf_dir: str, top_k: int = TOP_K):
+    """Boolean search with minimum_should_match (the Elasticsearch
+    ``minimum_should_match`` parameter): a doc qualifies when it holds
+    ALL must tokens, NO must_not token, AND at least ``msm`` DISTINCT
+    should tokens — the presence-count filter applied to complete sums
+    before any cut (QueryEngine.search_bool(min_should_match=...)).
+    Rank-identical to sql.bool_topk_sql(msm=...)."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, *_ in BOOL_MSM_QUERIES],
+                             type=pa.int64()),
+        "must": pa.array([m for _, m, *_ in BOOL_MSM_QUERIES],
+                         type=pa.list_(pa.string())),
+        "should": pa.array([s for _, _, s, *_ in BOOL_MSM_QUERIES],
+                           type=pa.list_(pa.string())),
+        "must_not": pa.array([n for _, _, _, n, _ in BOOL_MSM_QUERIES],
+                             type=pa.list_(pa.string())),
+        "min_should_match": pa.array([m for *_, m in BOOL_MSM_QUERIES],
+                                     type=pa.int64()),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="bool")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def _norm_first_token(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     """(qid, literal) normalized through the analyzer (first token) — the
     single source both the engine call and the SQL oracle embed, so the
@@ -1020,6 +1059,29 @@ def phrase_near_positional(sf_dir: str, top_k: int = TOP_K,
               "ordered": ordered}
              for qid, a, b, slop in NEAR_QUERIES]
     qterms = [(qid, t, 1) for qid, a, b, _ in NEAR_QUERIES for t in (a, b)]
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
+# SpanFirst queries: (qid, term, limit) — the term within the first
+# ``limit`` tokens of the doc (Lucene SpanFirstQuery; e.g. "title-ish"
+# matching on untyped text).  (4) is an absent term.
+SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "import", 3),
+    (1, "merge", 10),
+    (2, "window", 1),
+    (3, "customer", 25),
+    (4, "nonexistentzzterm", 5),
+]
+
+
+def span_first_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanFirstQuery (Lucene): docs where the term occurs within the
+    first ``limit`` token positions, BM25-ranked on that term — answered
+    entirely from the positional sidecar (one packed-key mask per query,
+    no content fetch).  Rank-identical to sql.span_first_topk_sql."""
+    specs = [{"qid": qid, "kind": "first", "term": t, "limit": lim}
+             for qid, t, lim in SPAN_FIRST_QUERIES]
+    qterms = [(qid, t, 1) for qid, t, _ in SPAN_FIRST_QUERIES]
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 

@@ -592,13 +592,17 @@ class QueryEngine:
 
     def search_bool(self, must=(), should=(), must_not=(),
                     lang: str | None = None,
-                    exclude_ids=None):
+                    exclude_ids=None, min_should_match: int = 0):
         """Lucene BooleanQuery: docs containing ALL ``must`` tokens and NO
         ``must_not`` token, scored by summed BM25 units (qtf=1) over the
         distinct must+should tokens present (must_not never contributes
         score).  Multi-word strings contribute each analyzed token.
         ``exclude_ids`` (real 63-bit doc ids) are banned outright — the
-        more-like-this source-doc exclusion.
+        more-like-this source-doc exclusion.  ``min_should_match`` > 0
+        (Elasticsearch minimum_should_match) additionally requires at
+        least that many DISTINCT should tokens present in the doc —
+        counted over presence sets before any cut, like the other
+        filters.
 
         Accumulation is the sparse TAAT path WITHOUT the dense top-k
         pre-cut: the filters must apply to complete per-doc sums before any
@@ -641,6 +645,21 @@ class QueryEngine:
         if allowed is not None and len(ids):
             member, _ = sorted_member(allowed, ids)
             ids, units = ids[member], units[member]
+        if min_should_match > 0 and len(ids):
+            if len(s_toks) < min_should_match:
+                return empty
+            # distinct-should-token presence count per candidate doc: one
+            # union of presence sets + unique-with-counts (sets are
+            # per-token distinct, so multiplicity == distinct tokens)
+            parts = [self._token_doc_set(t, lang) for t in s_toks]
+            cat = np.concatenate([p for p in parts if len(p)]
+                                 or [np.empty(0, dtype=np.int64)])
+            uniq, cnt = np.unique(cat, return_counts=True)
+            ok_docs = uniq[cnt >= min_should_match]
+            member, _ = sorted_member(ok_docs, ids)
+            ids, units = ids[member], units[member]
+            if not len(ids):
+                return empty
         if len(banned) and len(ids):
             dead, _ = sorted_member(banned, ids)
             ids, units = ids[~dead], units[~dead]
@@ -1422,13 +1441,17 @@ class QueryEngine:
                     return batch[name].to_pylist()
                 return [[] for _ in qids]
 
+            msm = (batch["min_should_match"].to_pylist()
+                   if "min_should_match" in batch.schema.names
+                   else [0] * len(qids))
             inputs = zip(_col("must"), _col("should"), _col("must_not"),
-                         _col("exclude_ids"))
+                         _col("exclude_ids"), msm)
 
             def search(spec, lg):
-                m, s, n, ex = spec
+                m, s, n, ex, mm = spec
                 return self.search_bool(m or [], s or [], n or [], lg,
-                                        exclude_ids=ex or [])
+                                        exclude_ids=ex or [],
+                                        min_should_match=int(mm or 0))
         elif self.query_kind == "filtered":
             # (query_id, query, dl_lo, dl_hi[, lang]): BM25 + doc-len range
             inputs = zip(batch["query"].to_pylist(),

@@ -497,13 +497,17 @@ WHERE r.rnk = 1"""
 
 def bool_topk_sql(
     specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
+    msm: dict[int, int] | None = None,
 ) -> str:
     """Boolean-query BM25 oracle (QueryEngine.search_bool replay).
 
     ``specs``: (query_id, must, should, must_not) with analyzer-normalized
     single tokens.  A doc qualifies iff it contains ALL must tokens and NO
     must_not token; its score is the summed quantized BM25 units of the
-    DISTINCT must+should tokens it contains (must_not never scores)."""
+    DISTINCT must+should tokens it contains (must_not never scores).
+    ``msm`` ({query_id: minimum_should_match}) additionally requires at
+    least that many DISTINCT should tokens present (ES
+    minimum_should_match; engine: search_bool(min_should_match=...))."""
     rows = []
     for qid, must, should, must_not in specs:
         for role, toks in ((0, must), (1, should), (2, must_not)):
@@ -517,6 +521,25 @@ def bool_topk_sql(
                 " CAST(NULL AS DOUBLE) AS score WHERE FALSE")
     lit = (f"bool_lit(query_id, term, role) AS "
            f"(SELECT * FROM (VALUES {','.join(rows)}))")
+    msm = {q: m for q, m in (msm or {}).items() if m > 0}
+    msm_ctes = ""
+    msm_pred = ""
+    if msm:
+        mrows = ",".join(f"({q}, {m})" for q, m in sorted(msm.items()))
+        msm_ctes = f""",
+msm_lit(query_id, msm) AS (SELECT * FROM (VALUES {mrows})),
+sh_ok AS (
+  SELECT b.query_id, p.doc_id
+  FROM bool_lit b JOIN postings p ON p.term = b.term
+  JOIN msm_lit m ON m.query_id = b.query_id
+  WHERE b.role = 1
+  GROUP BY b.query_id, p.doc_id, m.msm
+  HAVING count(DISTINCT b.term) >= m.msm
+)"""
+        msm_pred = ("\n    AND (q.query_id NOT IN (SELECT query_id FROM"
+                    " msm_lit)\n         OR EXISTS (SELECT 1 FROM sh_ok o"
+                    "\n                    WHERE o.query_id = q.query_id"
+                    " AND o.doc_id = p.doc_id))")
     body = f"""
 qterms AS (
   SELECT DISTINCT query_id, term, CAST(1 AS BIGINT) AS qtf
@@ -550,7 +573,7 @@ contribs AS (
          OR EXISTS (SELECT 1 FROM cand c
                     WHERE c.query_id = q.query_id AND c.doc_id = p.doc_id))
     AND NOT EXISTS (SELECT 1 FROM banned x
-                    WHERE x.query_id = q.query_id AND x.doc_id = p.doc_id)
+                    WHERE x.query_id = q.query_id AND x.doc_id = p.doc_id){msm_pred}
 ),
 scores AS (
   SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
@@ -564,7 +587,7 @@ ranked AS (
 )"""
     return (
         _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
-              STATS_CTE, lit, body)
+              STATS_CTE, lit + msm_ctes, body)
         + f"""
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        units / {_f(float(SCORE_SCALE))} AS score
@@ -1198,6 +1221,32 @@ def span_near_topk_sql(spans: list[tuple[int, list[str], int]],
         )
     phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
     lits = [(qid, " ".join(terms)) for qid, terms, _ in spans]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def span_first_topk_sql(specs: list[tuple[int, str, int]],
+                        k: int = 10) -> str:
+    """SpanFirstQuery oracle (pipelines.span_first_topk replay): term
+    within the first ``limit`` token positions (tokpos is 1-based:
+    pos <= limit == the engine's 0-based pos < limit)."""
+    q = _sql_quote
+    legs = [
+        f"SELECT {qid} AS query_id, doc_id FROM tokpos"
+        f"\n  WHERE term = {q(t)} AND pos <= {lim} GROUP BY doc_id"
+        for qid, t, lim in specs
+    ]
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    lits = [(qid, t) for qid, t, _ in specs]
     return (
         _with(
             CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,

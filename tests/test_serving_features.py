@@ -188,6 +188,55 @@ def test_synonym_empty_map_is_bm25(flat_dir):
         assert a[1].tolist() == b[1].tolist()
 
 
+# ------------------------------------------------- minimum_should_match ----
+
+def test_bool_min_should_match_matches_oracle(flat_dir, oracle):
+    e = QueryEngine(flat_dir, k=8)
+    cases = [
+        ([], ["merge", "window", "batch"], [], 2),
+        ([], ["merge", "window", "batch"], [], 3),
+        (["stream"], ["vector", "join", "filter"], [], 2),
+        ([], ["merge"], [], 2),           # msm > |should| -> empty
+        ([], ["merge", "batch"], ["the"], 1),
+        ([], ["merge", "window"], [], 0),  # msm=0 == plain bool
+    ]
+    for must, should, must_not, msm in cases:
+        got = [(int(d), int(u)) for d, u in
+               zip(*e.search_bool(must, should, must_not,
+                                  min_should_match=msm))]
+        want = [(d, round(s * 1e9)) for d, s in
+                oracle.search_bool(must, should, must_not, k=8,
+                                   min_should_match=msm)]
+        assert got == want, (must, should, must_not, msm)
+
+
+# ----------------------------------------------------------- span_first ----
+
+def test_span_first_matches_bruteforce(corpus_table, ray_session):
+    """Positional 'first' spec == brute-force token positions."""
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.build import build_index
+    from splade_ray.ids import doc_id63
+    from splade_ray.phrase import positional_units
+
+    idx = os.path.join(ROOT, "pos_first")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx,
+                positions=True, **KW)
+    rows = [dict(zip(corpus_table.column_names, vals))
+            for vals in zip(*[c.to_pylist() for c in corpus_table.columns])]
+    for term, limit in (("merge", 5), ("window", 1), ("batch", 12)):
+        specs = [{"qid": 0, "kind": "first", "term": term, "limit": limit}]
+        got = {r["doc_id"] for r in positional_units(
+            idx, specs, {0: [(term, 1.0)]}).take_all()}
+        want = set()
+        for r in rows:
+            toks = tokens_py(r.get("content") or "")
+            if term in toks[:limit]:
+                want.add(doc_id63(r["repo"], r["path"], r["commit"]))
+        assert got == want, (term, limit)
+
+
 # ----------------------------------------------------------------- rescore --
 
 def test_rescore_matches_bruteforce(flat_dir, oracle):
