@@ -262,6 +262,9 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.dl_histogram(SF_DIR).count()
     timings["dl_histogram_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.percolate(SF_DIR).count()
+    timings["percolate_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

@@ -71,7 +71,8 @@ def cmd_query(args) -> int:
             return 2
         synonyms[term.strip()] = [g.strip() for g in group.split(",") if g]
     engine = QueryEngine(args.index, k=args.k, scorer=args.scorer,
-                         synonyms=synonyms)
+                         synonyms=synonyms,
+                         rescore_window=getattr(args, "rescore", 0) or 50)
     lang = args.lang or None
     if getattr(args, "count", False):
         print(engine.count_hits(args.text, lang))
@@ -109,10 +110,13 @@ def cmd_query(args) -> int:
         ids, units = engine.search_wildcard(args.text, lang)
     elif getattr(args, "regexp", False):
         ids, units = engine.search_regexp(args.text, lang)
-    elif args.must or args.must_not:
+    elif getattr(args, "rescore", 0):
+        ids, units = engine.search_rescore(args.text, lang)
+    elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []
-        ids, units = engine.search_bool(args.must or [], should,
-                                        args.must_not or [], lang)
+        ids, units = engine.search_bool(
+            args.must or [], should, args.must_not or [], lang,
+            min_should_match=getattr(args, "msm", 0))
     elif synonyms:
         ids, units = engine.search_synonym(args.text, lang)
     else:
@@ -328,6 +332,12 @@ def main(argv=None) -> int:
                    metavar="TERM=A,B",
                    help="query-time synonym group (repeatable); implies "
                         "synonym expansion")
+    q.add_argument("--msm", type=int, default=0,
+                   help="boolean mode: minimum_should_match over the "
+                        "should clause")
+    q.add_argument("--rescore", type=int, metavar="WINDOW", default=0,
+                   help="two-phase rescore: BM25 top-WINDOW re-ranked by "
+                        "combined bm25+coordination units")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")
