@@ -1462,10 +1462,13 @@ def percolate(sf_dir: str):
 
         flat, parents = tokenize_flat(t["content"])
         n_rows = t.num_rows
-        toks = np.asarray(flat.to_pylist(), dtype=object)
-        pos = np.searchsorted(vocab, toks)
-        ok = pos < len(vocab)
-        ok[ok] = vocab[pos[ok]] == toks[ok]
+        # Arrow-native vocab matching: index_in returns each token's
+        # position in the (sorted) query vocabulary, null when absent —
+        # no per-token Python objects in this streaming hot path
+        hit = pc.index_in(flat, value_set=pa.array(vocab.tolist()))
+        ok = np.asarray(pc.is_valid(hit).to_numpy(zero_copy_only=False))
+        pos = hit.to_numpy(zero_copy_only=False)
+        pos = np.where(ok, pos, 0).astype(np.int64)
         m = np.zeros((n_rows, len(vocab)), dtype=bool)
         m[parents[ok], pos[ok]] = True
         ids = doc_id63_column(
