@@ -183,6 +183,38 @@ def test_compaction_preserves_langvals(flat_dir, sharded_dir, ray_session,
     assert np.array_equal(dst.docmap_array(), src.docmap_array()[keep])
 
 
+def test_merge_preserves_langvals_sharded_inputs(corpus_table, ray_session):
+    """merge gathers each generation's GLOBAL codes via langvals_array —
+    must hold when the generations use the SHARDED forward-array layout
+    (per-shard vocabularies remapped at read)."""
+    import json
+
+    from splade_ray.ids import doc_id63
+    from splade_ray.merge import merge_index_dirs
+
+    t = corpus_table
+    dirs = []
+    for name, part in (("sgen_a", t.slice(0, t.num_rows // 2)),
+                       ("sgen_b", t.slice(t.num_rows // 2))):
+        idx = os.path.join(ROOT, name)
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(rd.from_arrow(part).repartition(2), idx,
+                    ordinal_driver_threshold=10, **KW)
+        dirs.append(idx)
+    out = os.path.join(ROOT, "smerged")
+    shutil.rmtree(out, ignore_errors=True)
+    merge_index_dirs(dirs, out)
+    d = open_doc_arrays(out)
+    with open(os.path.join(out, "MANIFEST.json")) as f:
+        vocab = json.load(f)["langs"]
+    lang_of = {doc_id63(r, p, c): lg for r, p, c, lg in zip(
+        t["repo"].to_pylist(), t["path"].to_pylist(),
+        t["commit"].to_pylist(), t["lang"].to_pylist())}
+    codes = d.gather_langcodes(np.arange(d.n_docs))
+    for did, c in zip(d.docmap_array().tolist(), codes.tolist()):
+        assert vocab[c] == lang_of[did]
+
+
 def test_merge_preserves_langvals(corpus_table, ray_session):
     from splade_ray.ids import doc_id63
     from splade_ray.merge import merge_index_dirs
