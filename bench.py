@@ -265,6 +265,15 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.percolate(SF_DIR).count()
     timings["percolate_sec"] = round(time.perf_counter() - t0, 3)
+    from splade_ray.ops import assemble as ops_assemble
+
+    docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.perf_counter()
+    ops_assemble.stratified_sample(docs_ds).count()
+    timings["stratified_sample_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ops_assemble.pack_sequences(docs_ds).count()
+    timings["pack_sequences_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- hash-mode speedup: sha (oracle) vs mixer (scale path) ------------
     # measured on the BATCH functions directly (pipeline wall at this sf is

@@ -49,7 +49,9 @@ def stratified_partial_batch(t: pa.Table, *, n: int = STRAT_N,
                              id_col: str = "doc_id") -> pa.Table:
     """Per-batch partial: the n smallest (h63(text), doc_id) rows per group
     present in this batch — a correct partial because the global top-n per
-    group is contained in the union of per-batch top-ns."""
+    group is contained in the union of per-batch top-ns.  h63 is the
+    sha-derived oracle twin; a non-oracle deployment swaps in the
+    vectorized mixer like the other sha consumers (ops.dedup hash_mode)."""
     texts = t[text_col].to_pylist()
     h = np.fromiter((_h63(x or "") for x in texts), dtype=np.int64,
                     count=len(texts))
