@@ -111,6 +111,15 @@ def cmd_query(args) -> int:
     elif getattr(args, "regexp", False):
         ids, units = engine.search_regexp(args.text, lang)
     elif getattr(args, "rescore", 0):
+        if (args.must or args.must_not or getattr(args, "msm", 0)
+                or synonyms):
+            print("error: --rescore cannot combine with boolean/synonym "
+                  "flags (it reranks plain BM25 candidates)",
+                  file=sys.stderr)
+            return 2
+        if args.rescore < 1:
+            print("error: --rescore WINDOW must be >= 1", file=sys.stderr)
+            return 2
         ids, units = engine.search_rescore(args.text, lang)
     elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []
