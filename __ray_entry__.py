@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ordered=False),
         "span_near_topk": p.span_near_topk,
         "span_first_topk": p.span_first_topk,
+        "phrase_prefix_topk": p.phrase_prefix_topk,
         "span_near_unordered": lambda sf: p.span_near_topk(sf, ordered=False),
         # dictionary-rewrite queries through the same index (Lucene
         # PrefixQuery / BooleanQuery class, no Milvus analogue)
@@ -138,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "span_near_topk": sql.span_near_topk_sql(p.SPAN_QUERIES, TOP_K),
         "span_first_topk": sql.span_first_topk_sql(
             p.SPAN_FIRST_QUERIES, TOP_K),
+        "phrase_prefix_topk": sql.phrase_prefix_topk_sql(
+            p.PHRASE_PREFIX_QUERIES, TOP_K),
         "span_near_unordered": sql.span_near_topk_sql(
             p.SPAN_QUERIES, TOP_K, ordered=False),
         "prefix_topk": sql.prefix_topk_sql(p.norm_prefixes(), TOP_K),

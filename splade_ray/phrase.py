@@ -261,6 +261,35 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     ok_w = (minlast >= 0) & (keys - minlast <= win)
                     hit = keys[ok_w]
                     verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+            elif spec["kind"] == "phrase_prefix":
+                # ES match_phrase_prefix: tokens[:-1] exact-consecutive,
+                # the LAST position held by ANY dictionary term with the
+                # given prefix (the autocomplete rewrite).  Expansion uses
+                # the same sorted dictionary as the driver-side qterms, so
+                # the two sides cannot drift
+                toks = spec["tokens"]
+                exp = eng.expand_prefix(spec["prefix"])
+                if not exp:
+                    continue
+                union_parts = [_g(x)[3] for x in exp]
+                union_parts = [u for u in union_parts if len(u)]
+                if not union_parts:
+                    continue
+                union = np.unique(np.concatenate(union_parts))
+                if toks:
+                    s = _g(toks[0])[3]
+                    for tok in toks[1:]:
+                        if not len(s):
+                            break
+                        s = np.intersect1d(s + 1, _g(tok)[3],
+                                           assume_unique=True)
+                    if len(s):
+                        s = np.intersect1d(s + 1, union,
+                                           assume_unique=True)
+                    hit = s
+                else:
+                    hit = union
+                verified = np.unique(hit >> 32) if len(hit) else hit[:0]
             elif spec["kind"] == "first":
                 # SpanFirstQuery: the term occurs within the first
                 # ``limit`` tokens of the doc.  Engine positions are

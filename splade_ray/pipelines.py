@@ -1074,6 +1074,46 @@ SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
 ]
 
 
+# Phrase-prefix queries (ES match_phrase_prefix — autocomplete): the last
+# whitespace token is an OPEN prefix, everything before it exact-consecutive.
+# (2) single-token pure prefix; (4) miss.
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "spark win"),
+    (1, "hash jo"),
+    (2, "merg"),
+    (3, "customer filt"),
+    (4, "nonexistentzz pre"),
+]
+
+
+def phrase_prefix_topk(sf_dir: str, top_k: int = TOP_K):
+    """match_phrase_prefix (Elasticsearch — the autocomplete query):
+    tokens[:-1] must appear exact-consecutive, the next position held by
+    ANY dictionary term with the last token as prefix.  Answered entirely
+    from the positional sidecar: prefix expansion against the sorted
+    dictionary (one contiguous run), packed-key phrase chain, one union
+    intersect for the open position.  Scored as a qtf=1 BM25 bag over the
+    exact tokens + every expansion term (the uniform rewrite shared with
+    prefix/wildcard).  Rank-identical to sql.phrase_prefix_topk_sql."""
+    from .analyzer import tokens_py
+    from .query import QueryEngine
+
+    idx = _contract_index_pos(sf_dir)
+    eng = QueryEngine(idx, k=1)  # driver-side dictionary handle
+    specs, qterms = [], []
+    for qid, q in PHRASE_PREFIX_QUERIES:
+        toks = tokens_py(q)
+        if not toks:
+            continue
+        head, pre = toks[:-1], toks[-1]
+        specs.append({"qid": qid, "kind": "phrase_prefix", "tokens": head,
+                      "prefix": pre})
+        bag = dict.fromkeys(head)
+        bag.update(dict.fromkeys(eng.expand_prefix(pre)))
+        qterms.extend((qid, t, 1) for t in bag)
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 def span_first_topk(sf_dir: str, top_k: int = TOP_K):
     """SpanFirstQuery (Lucene): docs where the term occurs within the
     first ``limit`` token positions, BM25-ranked on that term — answered

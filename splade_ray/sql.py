@@ -1234,6 +1234,66 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def phrase_prefix_topk_sql(queries: list[tuple[int, str]],
+                           k: int = 10) -> str:
+    """match_phrase_prefix oracle (pipelines.phrase_prefix_topk replay):
+    head tokens exact-consecutive, the next position matched by any
+    dictionary term with the last token as prefix; scored qtf=1 over the
+    DISTINCT head + expansion terms."""
+    from .analyzer import tokens_py
+
+    q = _sql_quote
+    legs, lit_rows, pre_rows = [], [], []
+    for qid, text in queries:
+        toks = tokens_py(text)
+        if not toks:
+            continue
+        head, pre = toks[:-1], toks[-1]
+        pre_rows.append(f"({qid}, {q(pre + '%')})")
+        lit_rows.extend(f"({qid}, {q(t)})" for t in dict.fromkeys(head))
+        n = len(head)
+        if n == 0:
+            legs.append(
+                f"SELECT {qid} AS query_id, doc_id FROM tokpos"
+                f"\n  WHERE term LIKE {q(pre + '%')} GROUP BY doc_id")
+        else:
+            joins = "".join(
+                f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+                f" AND x{j}.pos = x0.pos + {j} AND x{j}.term = {q(head[j])}"
+                for j in range(1, n))
+            joins += (
+                f"\n  JOIN tokpos xp ON xp.doc_id = x0.doc_id"
+                f" AND xp.pos = x0.pos + {n} AND xp.term LIKE {q(pre + '%')}")
+            legs.append(
+                f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+                f"\n  WHERE x0.term = {q(head[0])} GROUP BY x0.doc_id")
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    lit_src = (f"SELECT * FROM (VALUES {','.join(lit_rows)})"
+               f" v(query_id, term)" if lit_rows
+               else "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)"
+                    " WHERE FALSE")
+    qterms = f"""
+pp_lit(query_id, pre) AS (SELECT * FROM (VALUES {','.join(pre_rows)})),
+qterms AS (
+  SELECT DISTINCT query_id, term, CAST(1 AS BIGINT) AS qtf FROM (
+    {lit_src}
+    UNION ALL
+    SELECT l.query_id, f.term FROM pp_lit l JOIN df f ON f.term LIKE l.pre
+  )
+)"""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            qterms, TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def span_first_topk_sql(specs: list[tuple[int, str, int]],
                         k: int = 10) -> str:
     """SpanFirstQuery oracle (pipelines.span_first_topk replay): term

@@ -237,6 +237,41 @@ def test_span_first_matches_bruteforce(corpus_table, ray_session):
         assert got == want, (term, limit)
 
 
+# --------------------------------------------------------- phrase_prefix ---
+
+def test_phrase_prefix_matches_bruteforce(corpus_table, ray_session):
+    """Positional phrase_prefix verification == brute force: head tokens
+    consecutive, next token starts with the prefix."""
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.build import build_index
+    from splade_ray.ids import doc_id63
+    from splade_ray.phrase import positional_units
+
+    idx = os.path.join(ROOT, "pos_pp")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx,
+                positions=True, **KW)
+    rows = [dict(zip(corpus_table.column_names, vals))
+            for vals in zip(*[c.to_pylist() for c in corpus_table.columns])]
+    for head, pre in ((["merge"], "wi"),
+                      (["vector", "join"], "ba"), (["the"], "zzz")):
+        specs = [{"qid": 0, "kind": "phrase_prefix", "tokens": head,
+                  "prefix": pre}]
+        w = {0: [(t, 1.0) for t in head]}
+        got = {r["doc_id"] for r in positional_units(
+            idx, specs, w).take_all()}
+        want = set()
+        for r in rows:
+            toks = tokens_py(r.get("content") or "")
+            n = len(head)
+            hit = any(
+                toks[i:i + n] == head and toks[i + n].startswith(pre)
+                for i in range(len(toks) - n))
+            if hit:
+                want.add(doc_id63(r["repo"], r["path"], r["commit"]))
+        assert got == want, (head, pre)
+
+
 # ----------------------------------------------------------------- rescore --
 
 def test_rescore_matches_bruteforce(flat_dir, oracle):
