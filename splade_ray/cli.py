@@ -70,9 +70,36 @@ def cmd_query(args) -> int:
                   file=sys.stderr)
             return 2
         synonyms[term.strip()] = [g.strip() for g in group.split(",") if g]
+    # mode flags are mutually exclusive — validate up front (not by elif
+    # precedence, which would silently ignore the losing flag) and BEFORE
+    # constructing the engine (so a bad --rescore window never reaches it)
+    rescore = getattr(args, "rescore", 0) or 0
+    modes = {
+        "--count": bool(getattr(args, "count", False)),
+        "--agg": bool(getattr(args, "agg", False)),
+        "--explain": getattr(args, "explain", None) is not None,
+        "--collapse": bool(getattr(args, "collapse", False)),
+        "--after": bool(getattr(args, "after", None)),
+        "--prefix": bool(args.prefix),
+        "--fuzzy": bool(args.fuzzy),
+        "--wildcard": bool(getattr(args, "wildcard", False)),
+        "--regexp": bool(getattr(args, "regexp", False)),
+        "--rescore": bool(rescore),
+        "--must/--must-not/--msm": bool(args.must or args.must_not
+                                        or getattr(args, "msm", 0)),
+        "--syn": bool(synonyms),
+    }
+    set_flags = sorted(k for k, v in modes.items() if v)
+    if len(set_flags) > 1:
+        print("error: conflicting query modes: " + " ".join(set_flags),
+              file=sys.stderr)
+        return 2
+    if rescore and rescore < 1:
+        print("error: --rescore WINDOW must be >= 1", file=sys.stderr)
+        return 2
     engine = QueryEngine(args.index, k=args.k, scorer=args.scorer,
                          synonyms=synonyms,
-                         rescore_window=getattr(args, "rescore", 0) or 50)
+                         rescore_window=rescore or 50)
     lang = args.lang or None
     if getattr(args, "count", False):
         print(engine.count_hits(args.text, lang))
@@ -110,16 +137,7 @@ def cmd_query(args) -> int:
         ids, units = engine.search_wildcard(args.text, lang)
     elif getattr(args, "regexp", False):
         ids, units = engine.search_regexp(args.text, lang)
-    elif getattr(args, "rescore", 0):
-        if (args.must or args.must_not or getattr(args, "msm", 0)
-                or synonyms):
-            print("error: --rescore cannot combine with boolean/synonym "
-                  "flags (it reranks plain BM25 candidates)",
-                  file=sys.stderr)
-            return 2
-        if args.rescore < 1:
-            print("error: --rescore WINDOW must be >= 1", file=sys.stderr)
-            return 2
+    elif rescore:
         ids, units = engine.search_rescore(args.text, lang)
     elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []

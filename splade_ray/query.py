@@ -852,11 +852,22 @@ class QueryEngine:
         at search time): each analyzed query token expands to its synonym
         group (self included); a token appearing via several expansions
         accumulates qtf.  The expanded bag scores as plain BM25 — Lucene's
-        SynonymQuery-as-BooleanQuery rewrite with per-term blended df."""
+        SynonymQuery-as-BooleanQuery rewrite with per-term blended df.
+
+        Lang-tagged indexes: _query_terms returns ``lg:tok`` keys, so the
+        synonym map (plain tokens, the ES synonym-file shape) is consulted
+        on the bare token and each expansion is re-tagged with the same
+        language — per-language variants score with their own df."""
         qterms = self._query_terms(query, lang)
         exp: dict[str, int] = {}
         for t, qtf in qterms.items():
-            for v in self.synonyms.get(t, (t,)):
+            if self.lang_tagged and LANG_SEP in t:
+                lg, _, tok = t.partition(LANG_SEP)
+                variants = [f"{lg}{LANG_SEP}{v}"
+                            for v in self.synonyms.get(tok, (tok,))]
+            else:
+                variants = self.synonyms.get(t, (t,))
+            for v in variants:
                 exp[v] = exp.get(v, 0) + qtf
         ids, units = self._score(exp)
         ids, units = self._topk(ids, units)
@@ -875,7 +886,13 @@ class QueryEngine:
         the corpus — the standard serving shape for costly second-phase
         models (cross-encoders, proximity boosts)."""
         qterms = self._query_terms(query, lang)
-        ords, units = self._score(qterms)
+        # COMPLETE sums for phase 1 (the same rule search_bool /
+        # search_filtered / search_after follow): the configured scorer
+        # (_score_taat dense path, _score_bmw) prunes candidates to top-k,
+        # which would silently truncate the window to ~k docs whenever
+        # rescore_window > k — docs bm25-ranked k+1..window would never be
+        # rescored, diverging from the rescore_topk_sql oracle.
+        ords, units = self._sparse_sums(qterms)
         # phase-1 cut at the window (same ties-by-ordinal rule as _topk)
         w = self.rescore_window
         if len(ords) > w:
@@ -1745,21 +1762,29 @@ def run_queries_sharded(
             }
         )
 
+    # select by the aggregate's GENERATED names (not positional rename):
+    # pyarrow's key-vs-aggregate column ordering in group_by().aggregate()
+    # output is a version-dependent implementation detail
+
     def _merge_lang_agg(g: pa.Table) -> pa.Table:
         # per-shard buckets are complete for their ordinal range: counts
         # add, best scores max
         t = (g.group_by(["query_id", "lang"])
              .aggregate([("n_hits", "sum"), ("best_score", "max")]))
-        return t.rename_columns(["query_id", "lang", "n_hits", "best_score"])
+        return t.select(["query_id", "lang", "n_hits_sum",
+                         "best_score_max"]).rename_columns(
+            ["query_id", "lang", "n_hits", "best_score"])
 
     def _merge_count(g: pa.Table) -> pa.Table:
         t = g.group_by("query_id").aggregate([("n_hits", "sum")])
-        return t.rename_columns(["query_id", "n_hits"])
+        return t.select(["query_id", "n_hits_sum"]).rename_columns(
+            ["query_id", "n_hits"])
 
     def _merge_dl_hist(g: pa.Table) -> pa.Table:
         t = (g.group_by(["query_id", "bucket"])
              .aggregate([("n_hits", "sum")]))
-        return t.rename_columns(["query_id", "bucket", "n_hits"])
+        return t.select(["query_id", "bucket", "n_hits_sum"]).rename_columns(
+            ["query_id", "bucket", "n_hits"])
 
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist}

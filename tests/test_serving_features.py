@@ -274,16 +274,20 @@ def test_phrase_prefix_matches_bruteforce(corpus_table, ray_session):
 
 # ----------------------------------------------------------------- rescore --
 
-def test_rescore_matches_bruteforce(flat_dir, oracle):
+@pytest.mark.parametrize("scorer", ["taat", "bmw"])
+def test_rescore_matches_bruteforce(flat_dir, oracle, scorer):
     """Two-phase rescore == brute force: BM25 top-window docs re-ranked by
-    combined (bm25 + idf-coordination) units, doc_id tiebreak."""
-    import math
+    combined (bm25 + idf-coordination) units, doc_id tiebreak.
 
+    scorer="bmw" is the regression for the phase-1 truncation bug: the
+    configured scorer prunes candidates to top-k, so phase 1 MUST use
+    complete sums (_sparse_sums) or docs bm25-ranked k+1..window are
+    silently never rescored whenever rescore_window > k."""
     from splade_ray.build import SCORE_SCALE
 
     for window in (3, 8, 10_000):
         e = QueryEngine(flat_dir, k=6, query_kind="rescore",
-                        rescore_window=window)
+                        rescore_window=window, scorer=scorer)
         for q in QUERIES:
             from splade_ray.analyzer import tokens_py
 
@@ -472,3 +476,50 @@ def test_regexp_lang_tagged_expansion(corpus_table, ray_session):
     assert got_all == want_all
     got_en = e.expand_regexp("merge?", lang="en")
     assert got_en == [t for t in want_all if t.startswith("en:")]
+
+
+def test_synonym_lang_tagged_expands(corpus_table, ray_session):
+    """Lang-tagged regression: _query_terms yields 'lg:tok' keys, so the
+    synonym lookup must strip the tag and re-tag the expansion — before the
+    fix every token fell through to (t,) and the query silently degraded to
+    plain BM25.  Expanding 'merge' with group {merge, join} must equal the
+    plain two-token query 'merge join' (same bag, same qtfs), and differ
+    from plain 'merge' whenever 'join' actually matches."""
+    idx = os.path.join(ROOT, "tagged_syn")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(rd.from_arrow(corpus_table).repartition(3), idx,
+                lang_tagged=True, n_shards=4)
+    syn = {"merge": ["merge", "config"], "config": ["config", "merge"]}
+    e = QueryEngine(idx, k=8, synonyms=syn)
+    plain = QueryEngine(idx, k=8)
+    for lang in (None, "py", "go"):
+        got = e.search_synonym("merge", lang)
+        want = plain.search_one("merge config", lang)
+        assert got[0].tolist() == want[0].tolist(), lang
+        assert got[1].tolist() == want[1].tolist(), lang
+    # and the expansion actually recruits docs plain 'merge' misses (docs
+    # containing 'config' but not 'merge' in some lang) — the broken path
+    # returned exactly the un-expanded hit set
+    big = QueryEngine(idx, k=100_000, synonyms=syn)
+    assert len(big.search_synonym("merge", None)[0]) > \
+        len(QueryEngine(idx, k=100_000).search_one("merge", None)[0])
+
+
+def test_cli_query_mode_flags_are_exclusive(ray_session):
+    """Conflicting query-mode flags error up front (rc 2) instead of
+    silently winning by elif precedence; a non-positive --rescore window
+    errors before the engine is ever constructed (dummy index path)."""
+    from splade_ray import cli
+
+    for argv in (
+        ["query", "x", "--index", "/nonexistent", "--prefix", "--fuzzy"],
+        ["query", "x", "--index", "/nonexistent", "--after", "1.0", "2",
+         "--syn", "a=a,b"],
+        ["query", "x", "--index", "/nonexistent", "--wildcard",
+         "--rescore", "20"],
+        ["query", "x", "--index", "/nonexistent", "--count", "--prefix"],
+        ["query", "x", "--index", "/nonexistent", "--rescore", "-5"],
+        ["query", "x", "--index", "/nonexistent", "--must", "a",
+         "--rescore", "20"],
+    ):
+        assert cli.main(argv) == 2, argv
