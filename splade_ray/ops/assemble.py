@@ -34,11 +34,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .textstats import _flat_tokens, _h63
+import pyarrow.compute as pc
+
+from .textstats import MASK63, _flat_tokens, _h63
 
 STRAT_N = 40
 PACK_BUDGET = 2048
 BUCKET_RANGE = 4096
+
+PACK_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("n_tokens", pa.int64()),
+                         ("pack_id", pa.int64())])
 
 
 # ------------------------------------------------------ stratified sample --
@@ -46,15 +52,34 @@ BUCKET_RANGE = 4096
 def stratified_partial_batch(t: pa.Table, *, n: int = STRAT_N,
                              text_col: str = "text",
                              group_col: str = "lang",
-                             id_col: str = "doc_id") -> pa.Table:
-    """Per-batch partial: the n smallest (h63(text), doc_id) rows per group
+                             id_col: str = "doc_id",
+                             hash_mode: str = "sha") -> pa.Table:
+    """Per-batch partial: the n smallest (h(text), doc_id) rows per group
     present in this batch — a correct partial because the global top-n per
-    group is contained in the union of per-batch top-ns.  h63 is the
-    sha-derived oracle twin; a non-oracle deployment swaps in the
-    vectorized mixer like the other sha consumers (ops.dedup hash_mode)."""
-    texts = t[text_col].to_pylist()
-    h = np.fromiter((_h63(x or "") for x in texts), dtype=np.int64,
-                    count=len(texts))
+    group is contained in the union of per-batch top-ns.
+
+    ``hash_mode="sha"``: per-row sha-derived h63 (DuckDB-reproducible; the
+    oracle contract runs this).  ``"mixer"``: ONE vectorized 64-bit hash
+    over the whole column (polars xxhash-family, zero-copy from Arrow,
+    masked to 63 bits so ordering semantics match) — the production path,
+    same sample-size/determinism guarantees, non-SQL hash values
+    (bench.py measures the speedup; tests assert count/shape parity)."""
+    texts_col = t[text_col]
+    if isinstance(texts_col, pa.ChunkedArray):
+        texts_col = texts_col.combine_chunks()
+    texts_col = pc.fill_null(texts_col, "")
+    if hash_mode == "mixer":
+        try:
+            import polars as pl
+
+            h = (pl.from_arrow(texts_col).hash(seed=1315423911)
+                 .to_numpy() & np.uint64(MASK63)).astype(np.int64)
+        except ImportError:  # pragma: no cover — polars is in the container
+            h = np.fromiter((_h63(x) for x in texts_col.to_pylist()),
+                            dtype=np.int64, count=len(texts_col))
+    else:
+        h = np.fromiter((_h63(x) for x in texts_col.to_pylist()),
+                        dtype=np.int64, count=len(texts_col))
     ids = t[id_col].to_numpy(zero_copy_only=False)
     # null group -> "" (one shared bucket; np.unique cannot sort
     # None-vs-str object arrays, and a null lang is still one stratum)
@@ -75,12 +100,13 @@ def stratified_partial_batch(t: pa.Table, *, n: int = STRAT_N,
     })
 
 
-def stratified_sample(ds, n: int = STRAT_N):
+def stratified_sample(ds, n: int = STRAT_N, hash_mode: str = "sha"):
     """n docs per lang by deterministic (content-hash, doc_id) order.
-    Returns (doc_id, lang) — sql: contract.stratified_sample_sql."""
+    Returns (doc_id, lang) — sql: contract.stratified_sample_sql (null
+    lang folds to the '' stratum on BOTH sides via COALESCE)."""
     partials = ds.map_batches(
         stratified_partial_batch, batch_format="pyarrow",
-        fn_kwargs={"n": n})
+        fn_kwargs={"n": n, "hash_mode": hash_mode})
 
     def _merge(g: pa.Table, n: int = n) -> pa.Table:
         h = g["h"].to_numpy(zero_copy_only=False)
@@ -141,6 +167,11 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
     # pass 2: each bucket is one group — local exclusive cumsum in doc_id
     # order plus the broadcast bucket offset
     def _assign(g: pa.Table, budget: int = budget) -> pa.Table:
+        if g.num_rows == 0:
+            # keep the declared schema on empty groups: a schema-less empty
+            # table makes Ray Data log a RefBundle schema mismatch and can
+            # break downstream union/write_parquet at scale
+            return PACK_SCHEMA.empty_table()
         offs = ray.get(off_ref)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         toks = g["n_tokens"].to_numpy(zero_copy_only=False)
@@ -164,8 +195,12 @@ def stratified_sample_sql(n: int = STRAT_N) -> str:
     from .contract import H63
 
     h = H63.format(expr="coalesce(text, '')")
+    # COALESCE(lang, '') mirrors the engine partial's null->'' stratum fold
+    # (the oracle would otherwise keep NULL as its own partition and emit
+    # NULL rows — a row/value mismatch on any corpus with null langs)
     return f"""
-WITH hd AS (SELECT doc_id, lang, {h} AS h FROM documents),
+WITH hd AS (SELECT doc_id, coalesce(lang, '') AS lang, {h} AS h
+            FROM documents),
 r AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
