@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     catalog.update({
+        # new this round (SpanOr / SpanNot complete the Lucene span class)
+        "span_or_topk": p.span_or_topk,
+        "span_not_topk": p.span_not_topk,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -132,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     catalog.update({
+        "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
+        "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -261,6 +261,58 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     ok_w = (minlast >= 0) & (keys - minlast <= win)
                     hit = keys[ok_w]
                     verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+            elif spec["kind"] == "span_or":
+                # SpanOrQuery (Lucene): the union of the clause spans — a
+                # doc verifies when ANY clause phrase occurs.  Each clause
+                # runs the same packed-key consecutive-position chain as
+                # "phrase" (a 1-token clause degenerates to term presence);
+                # the verified sets union
+                parts = []
+                for toks in spec["clauses"]:
+                    if not toks:
+                        continue
+                    s = _g(toks[0])[3]
+                    for tok in toks[1:]:
+                        if not len(s):
+                            break
+                        s = np.intersect1d(s + 1, _g(tok)[3],
+                                           assume_unique=True)
+                    if len(s):
+                        parts.append(np.unique(s >> 32))
+                verified = (np.unique(np.concatenate(parts)) if parts
+                            else np.empty(0, dtype=np.int64))
+            elif spec["kind"] == "span_not":
+                # SpanNotQuery (Lucene): include-phrase matches whose span,
+                # widened by ``pre`` positions before and ``post`` after,
+                # contains NO occurrence of the exclude term.  The include
+                # chain yields the key of each match's LAST token; the
+                # exclusion test is two searchsorted calls against the
+                # exclude term's sorted keys.  The window lo is clamped to
+                # the match's doc (packed keys: doc start = ordinal << 32),
+                # mirroring SQL's "no token at pos < 1"
+                toks = spec["tokens"]
+                if not toks:
+                    continue
+                s = _g(toks[0])[3]
+                for tok in toks[1:]:
+                    if not len(s):
+                        break
+                    s = np.intersect1d(s + 1, _g(tok)[3],
+                                       assume_unique=True)
+                if not len(s):
+                    continue
+                start = s - (len(toks) - 1)
+                ke = _g(spec["exclude"])[3]
+                if len(ke):
+                    lo_k = np.maximum(start - int(spec["pre"]),
+                                      start & ~np.int64(0xFFFFFFFF))
+                    hi_k = np.minimum(
+                        s + int(spec["post"]),
+                        (start | np.int64(0xFFFFFFFF)))
+                    n_ex = (np.searchsorted(ke, hi_k, side="right")
+                            - np.searchsorted(ke, lo_k, side="left"))
+                    s = s[n_ex == 0]
+                verified = np.unique(s >> 32) if len(s) else s[:0]
             elif spec["kind"] == "phrase_prefix":
                 # ES match_phrase_prefix: tokens[:-1] exact-consecutive,
                 # the LAST position held by ANY dictionary term with the

@@ -1114,6 +1114,72 @@ def phrase_prefix_topk(sf_dir: str, top_k: int = TOP_K):
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 
+# SpanOr queries: (qid, [clause, ...]) — each clause a token-phrase; a doc
+# matches when ANY clause occurs (Lucene SpanOrQuery).  (3) dead first
+# clause rescued by the second; (4) total miss.
+SPAN_OR_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["spark", "window"], ["hash", "join"]]),
+    (1, [["merge", "sort"], ["order"]]),
+    (2, [["customer", "filter"], ["batch", "stream"]]),
+    (3, [["nonexistentzzterm", "join"], ["batch"]]),
+    (4, [["nonexistentzzterm"]]),
+]
+
+# SpanNot queries: (qid, include-tokens, exclude-term, pre, post) — an
+# include-phrase match survives iff no exclude occurrence lies within
+# ``pre`` positions before its start or ``post`` after its end (Lucene
+# SpanNotQuery).  (4) include never matches.
+SPAN_NOT_QUERIES: list[tuple[int, list[str], str, int, int]] = [
+    (0, ["spark", "window"], "join", 2, 2),
+    (1, ["merge"], "sort", 0, 3),
+    (2, ["hash", "join"], "order", 1, 1),
+    (3, ["customer"], "filter", 4, 4),
+    (4, ["nonexistentzzterm"], "join", 1, 1),
+]
+
+
+def span_or_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanOrQuery (Lucene): union of clause spans — a doc qualifies when
+    ANY clause token-phrase occurs, answered entirely from the positional
+    sidecar (each clause runs the packed-key consecutive-position chain;
+    verified sets union).  Scored as the BM25 bag over ALL clause tokens
+    (qtf = multiplicity across clauses) restricted to verified docs — terms
+    of a non-matching clause absent from the doc contribute nothing, the
+    Lucene SpanOr-as-disjunction weight shape.  Rank-identical to
+    sql.span_or_topk_sql."""
+    specs = [{"qid": qid, "kind": "span_or", "clauses": clauses}
+             for qid, clauses in SPAN_OR_QUERIES]
+    qterms: list[tuple[int, str, int]] = []
+    for qid, clauses in SPAN_OR_QUERIES:
+        tf: dict[str, int] = {}
+        for toks in clauses:
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+        qterms.extend((qid, t, n) for t, n in tf.items())
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
+def span_not_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanNotQuery (Lucene): include token-phrase matches whose span,
+    widened by ``pre``/``post`` positions, contains NO occurrence of the
+    exclude term; a doc qualifies when at least one match survives.
+    Answered entirely from the positional sidecar (phrase chain + two
+    searchsorted calls against the exclude term's packed keys).  Scored as
+    the BM25 bag over the INCLUDE tokens only (the exclusion never scores
+    — Lucene SpanNotQuery.scorer semantics).  Rank-identical to
+    sql.span_not_topk_sql."""
+    specs = [{"qid": qid, "kind": "span_not", "tokens": toks,
+              "exclude": ex, "pre": pre, "post": post}
+             for qid, toks, ex, pre, post in SPAN_NOT_QUERIES]
+    qterms: list[tuple[int, str, int]] = []
+    for qid, toks, _ex, _pre, _post in SPAN_NOT_QUERIES:
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        qterms.extend((qid, t, n) for t, n in tf.items())
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 def span_first_topk(sf_dir: str, top_k: int = TOP_K):
     """SpanFirstQuery (Lucene): docs where the term occurs within the
     first ``limit`` token positions, BM25-ranked on that term — answered

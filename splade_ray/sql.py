@@ -1320,6 +1320,90 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def span_or_topk_sql(specs: list[tuple[int, list[list[str]]]],
+                     k: int = 10) -> str:
+    """SpanOrQuery oracle (pipelines.span_or_topk replay; Lucene
+    SpanOrQuery): a doc verifies when ANY clause token-phrase occurs
+    (consecutive positions; 1-token clause = presence).  DISTINCT over the
+    clause legs — a doc matching several clauses must join the scoring CTE
+    once.  Scored over the multiplicity bag of all clause tokens."""
+    q = _sql_quote
+    legs = []
+    for qid, clauses in specs:
+        for toks in clauses:
+            if not toks:
+                continue
+            joins = "".join(
+                f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+                f" AND x{j}.pos = x0.pos + {j} AND x{j}.term = {q(toks[j])}"
+                for j in range(1, len(toks))
+            )
+            legs.append(
+                f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+                f"\n  WHERE x0.term = {q(toks[0])} GROUP BY x0.doc_id"
+            )
+    phrase_ok = ("phrase_ok AS (SELECT DISTINCT query_id, doc_id FROM ("
+                 + "\nUNION ALL\n".join(legs) + "))")
+    lits = [(qid, " ".join(t for toks in clauses for t in toks))
+            for qid, clauses in specs]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def span_not_topk_sql(specs: list[tuple[int, list[str], str, int, int]],
+                      k: int = 10) -> str:
+    """SpanNotQuery oracle (pipelines.span_not_topk replay; Lucene
+    SpanNotQuery): an include token-phrase match at positions
+    [p, p+n-1] survives iff no exclude occurrence lies in
+    [p-pre, p+n-1+post]; a doc verifies when any match survives.  tokpos
+    is 1-based but the window arithmetic is relative, so the offsets are
+    identical to the engine's 0-based packed keys (and "no token at
+    pos < 1" mirrors the engine's doc-start clamp).  Scored over the
+    include tokens only."""
+    q = _sql_quote
+    legs = []
+    for qid, toks, ex, pre, post in specs:
+        if not toks:
+            continue
+        n = len(toks)
+        joins = "".join(
+            f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+            f" AND x{j}.pos = x0.pos + {j} AND x{j}.term = {q(toks[j])}"
+            for j in range(1, n)
+        )
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+            f"\n  WHERE x0.term = {q(toks[0])} AND NOT EXISTS ("
+            f"\n    SELECT 1 FROM tokpos e WHERE e.doc_id = x0.doc_id"
+            f" AND e.term = {q(ex)}"
+            f"\n      AND e.pos >= x0.pos - {int(pre)}"
+            f" AND e.pos <= x0.pos + {n - 1 + int(post)})"
+            f"\n  GROUP BY x0.doc_id"
+        )
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    lits = [(qid, " ".join(toks)) for qid, toks, _ex, _pre, _post in specs]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def scorer_eval_sql(queries: list[tuple[int, str]], k: int = 10,
                     dead_pred: str = "FALSE") -> str:
     """Retrieval-quality harness oracle (reference eval.py:238-247 computes

@@ -491,3 +491,102 @@ def test_near_identical_terms_rejected(built):
               "slop": 3, "ordered": False}]
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         positional_units(IDX, specs, {1: [("def", 1.0)]}).take_all()
+
+
+def _brute_span_or_docs(toks: dict[int, list[str]],
+                        clauses: list[list[str]]) -> set[int]:
+    out: set[int] = set()
+    for c in clauses:
+        out |= _brute_phrase_docs(toks, c)
+    return out
+
+
+def _brute_span_not_docs(toks: dict[int, list[str]], inc: list[str],
+                         ex: str, pre: int, post: int) -> set[int]:
+    n = len(inc)
+    out = set()
+    for o, ts in toks.items():
+        epos = {i for i, t in enumerate(ts) if t == ex}
+        for i in range(len(ts) - n + 1):
+            if ts[i:i + n] != inc:
+                continue
+            lo, hi = i - pre, i + n - 1 + post
+            if not any(lo <= e <= hi for e in epos):
+                out.add(o)
+                break
+    return out
+
+
+def _bag_weights(idx: str, bags: dict[int, list[tuple[str, int]]]):
+    import math
+
+    n_docs, _, dfs = index_stats(
+        idx, sorted({t for b in bags.values() for t, _ in b}))
+    return {q: [(t, c * math.log(1.0 + (n_docs - dfs[t] + 0.5)
+                                 / (dfs[t] + 0.5)))
+                for t, c in bag if t in dfs]
+            for q, bag in bags.items()}
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3])
+def test_positional_span_or_matches_bruteforce(built, n_ranges):
+    """SpanOrQuery: union of clause phrase matches; scored over the full
+    clause-token bag restricted to verified docs."""
+    tbl, _ = built
+    toks = _ordinal_tokens(tbl)
+    docs = open_doc_arrays(IDX)
+    cases = {1: [["def", "main"], ["import", "numpy"]],
+             2: [["return"], ["zzqq", "missing"]],
+             3: [["the", "the"], ["def"]],
+             4: [["zzqq"]]}
+    specs = [{"qid": q, "kind": "span_or", "clauses": c}
+             for q, c in cases.items()]
+    bags = {}
+    for q, c in cases.items():
+        tf: dict[str, int] = {}
+        for toks_c in c:
+            for t in toks_c:
+                tf[t] = tf.get(t, 0) + 1
+        bags[q] = list(tf.items())
+    got = _units_by_qid_doc(IDX, specs, _bag_weights(IDX, bags),
+                            n_ranges=n_ranges)
+    want: dict[tuple[int, int], int] = {}
+    for q, c in cases.items():
+        verified = _brute_span_or_docs(toks, c)
+        want.update(_expected_units(toks, verified, q, bags[q], IDX, docs))
+    want = {k: v for k, v in want.items() if v}
+    got = {k: v for k, v in got.items() if v}
+    assert got == want
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3])
+def test_positional_span_not_matches_bruteforce(built, n_ranges):
+    """SpanNotQuery: include phrase matches surviving the pre/post exclude
+    window; the exclusion must actually kill docs (asserted) and windows
+    must clamp at doc starts."""
+    tbl, _ = built
+    toks = _ordinal_tokens(tbl)
+    docs = open_doc_arrays(IDX)
+    cases = {1: (["def"], "return", 3, 3),
+             2: (["import"], "def", 0, 2),
+             3: (["the"], "the", 2, 2),    # self-exclude: nonadjacent 'the'
+             4: (["def", "main"], "import", 1, 1)}
+    specs = [{"qid": q, "kind": "span_not", "tokens": inc, "exclude": ex,
+              "pre": pre, "post": post}
+             for q, (inc, ex, pre, post) in cases.items()]
+    bags = {q: [(t, inc.count(t)) for t in dict.fromkeys(inc)]
+            for q, (inc, *_r) in cases.items()}
+    got = _units_by_qid_doc(IDX, specs, _bag_weights(IDX, bags),
+                            n_ranges=n_ranges)
+    want: dict[tuple[int, int], int] = {}
+    killed_any = False
+    for q, (inc, ex, pre, post) in cases.items():
+        verified = _brute_span_not_docs(toks, inc, ex, pre, post)
+        plain = _brute_phrase_docs(toks, inc)
+        if plain - verified:
+            killed_any = True
+        want.update(_expected_units(toks, verified, q, bags[q], IDX, docs))
+    assert killed_any  # the exclusion is actually exercised
+    want = {k: v for k, v in want.items() if v}
+    got = {k: v for k, v in got.items() if v}
+    assert got == want
