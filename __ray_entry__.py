@@ -47,9 +47,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     catalog.update({
-        # new this round (SpanOr / SpanNot complete the Lucene span class)
+        # new this round (SpanOr / SpanNot complete the Lucene span class;
+        # stats / range aggs round out the doc-values agg family)
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
+        "stats_agg": p.stats_agg,
+        "range_agg": p.range_agg,
+        "stats_agg_sharded": p.stats_agg_sharded,
+        "range_agg_sharded": p.range_agg_sharded,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -137,6 +142,10 @@ def oracle_sql() -> dict[str, str]:
     catalog.update({
         "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
         "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
+        "stats_agg": sql.stats_agg_sql(DOC_QUERIES),
+        "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
+        "stats_agg_sharded": sql.stats_agg_sql(DOC_QUERIES),
+        "range_agg_sharded": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -1740,6 +1740,58 @@ def dl_histogram(sf_dir: str, width: int = HIST_WIDTH):
                        engine_kwargs={"hist_width": width})
 
 
+# Explicit [lo, hi) doc_len buckets for the range aggregation (ES range
+# agg shape: ascending, last unbounded).  Chosen so the sf corpora populate
+# every bucket.
+DL_RANGES: list[tuple[int, "int | None"]] = [(0, 40), (40, 70), (70, None)]
+
+
+def stats_agg(sf_dir: str):
+    """Stats aggregation over the FULL hit set (Elasticsearch ``stats``
+    agg on a numeric doc-value): per DOC_QUERIES entry, (n_hits, min, max,
+    sum, avg) of doc_len across every live matching doc — one forward-array
+    gather + four numpy reductions per query, hits never leave the actor.
+    Value-identical to sql.stats_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="stats")
+
+
+def range_agg(sf_dir: str):
+    """Range aggregation over the FULL hit set (Elasticsearch ``range``
+    agg on a numeric doc-value): per DOC_QUERIES entry and DL_RANGES
+    bucket, the live matching-doc count (empty buckets omitted, like the
+    GROUP BY oracle).  Value-identical to sql.range_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="range",
+                       engine_kwargs={"dl_ranges": DL_RANGES})
+
+
+def stats_agg_sharded(sf_dir: str):
+    """stats_agg through the doc-range fan-out (counts/sums add, mins min,
+    maxs max, avg recomputed from exact integer sums) — same oracle as
+    stats_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="stats")
+
+
+def range_agg_sharded(sf_dir: str):
+    """range_agg through the doc-range fan-out (per-bucket counts sum
+    across ranges) — same oracle as range_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="range",
+        engine_kwargs={"dl_ranges": DL_RANGES})
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

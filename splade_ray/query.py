@@ -81,7 +81,8 @@ class QueryEngine:
                  query_kind: str = "text",
                  synonyms: "dict[str, list[str]] | None" = None,
                  rescore_window: int = 50,
-                 hist_width: int = 16):
+                 hist_width: int = 16,
+                 dl_ranges: "list[tuple[int, int | None]] | None" = None):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -116,7 +117,8 @@ class QueryEngine:
         if query_kind not in ("text", "prefix", "fuzzy", "fuzzy2",
                               "wildcard", "bool", "filtered", "collapse",
                               "lang_agg", "count", "search_after", "explain",
-                              "synonym", "regexp", "rescore", "dl_hist"):
+                              "synonym", "regexp", "rescore", "dl_hist",
+                              "stats", "range"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -124,6 +126,13 @@ class QueryEngine:
         self.synonyms = synonyms or {}
         self.rescore_window = rescore_window  # phase-1 cut for search_rescore
         self.hist_width = hist_width  # bucket width for search_dl_hist
+        # explicit [lo, hi) doc_len buckets for search_range (ES range agg;
+        # hi=None = unbounded) — validated ascending, non-overlapping
+        self.dl_ranges = [(int(lo), None if hi is None else int(hi))
+                          for lo, hi in (dl_ranges or [])]
+        for (lo, hi) in self.dl_ranges:
+            if hi is not None and hi <= lo:
+                raise ValueError(f"empty dl_range [{lo}, {hi})")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -783,6 +792,43 @@ class QueryEngine:
         vals, counts = np.unique(buckets, return_counts=True)
         return vals.astype(np.int64), counts.astype(np.int64)
 
+    def search_stats(self, query: str, lang: str | None = None):
+        """Stats aggregation over the FULL hit set (Elasticsearch ``stats``
+        agg on a numeric doc-value): (n_hits, min, max, sum) of doc_len
+        across every live matching doc — one gather over the resident
+        forward array, four numpy reductions, hits never leave the actor.
+        Returns (0, 0, 0, 0) for a zero-hit query (the caller decides row
+        emission); avg derives as sum/n at the output layer."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return 0, 0, 0, 0
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        return (int(len(dls)), int(dls.min()), int(dls.max()),
+                int(dls.sum()))
+
+    def search_range(self, query: str, lang: str | None = None):
+        """Range aggregation over the FULL hit set (Elasticsearch ``range``
+        agg on a numeric doc-value): per configured [lo, hi) doc_len
+        bucket (``dl_ranges``), the live matching-doc count.  Served like
+        search_dl_hist (one gather + vectorized compares); empty buckets
+        are omitted, mirroring the GROUP BY oracle."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        out_b, out_n = [], []
+        if len(ords) and self.dl_ranges:
+            dls = self.docs.gather_lens(ords).astype(np.int64)
+            for i, (lo, hi) in enumerate(self.dl_ranges):
+                m = dls >= lo if hi is None else (dls >= lo) & (dls < hi)
+                n = int(m.sum())
+                if n:
+                    out_b.append(i)
+                    out_n.append(n)
+        return (np.asarray(out_b, dtype=np.int64),
+                np.asarray(out_n, dtype=np.int64))
+
     def count_hits(self, query: str, lang: str | None = None) -> int:
         """Total live matching docs (ES ``track_total_hits``): the size of
         the tombstone-masked union of the query terms' posting lists with a
@@ -1395,6 +1441,43 @@ class QueryEngine:
                 "bucket": pa.array(out_b, type=pa.int64()),
                 "n_hits": pa.array(out_n, type=pa.int64()),
             })
+        if self.query_kind == "stats":
+            # one row per query WITH hits (zero-hit queries emit nothing,
+            # mirroring the GROUP-BY oracle); avg derives from the exact
+            # integer sum so shard merges can recompute it losslessly
+            out = {"query_id": [], "n_hits": [], "min_dl": [], "max_dl": [],
+                   "sum_dl": [], "avg_dl": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n, lo, hi, s = self.search_stats(q or "", lg or None)
+                if not n:
+                    continue
+                out["query_id"].append(qid)
+                out["n_hits"].append(n)
+                out["min_dl"].append(lo)
+                out["max_dl"].append(hi)
+                out["sum_dl"].append(s)
+                out["avg_dl"].append(s / n)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "n_hits": pa.array(out["n_hits"], type=pa.int64()),
+                "min_dl": pa.array(out["min_dl"], type=pa.int64()),
+                "max_dl": pa.array(out["max_dl"], type=pa.int64()),
+                "sum_dl": pa.array(out["sum_dl"], type=pa.int64()),
+                "avg_dl": pa.array(out["avg_dl"], type=pa.float64()),
+            })
+        if self.query_kind == "range":
+            out_qid, out_b, out_n = [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                buckets, counts = self.search_range(q or "", lg or None)
+                for b, n in zip(buckets, counts):
+                    out_qid.append(qid)
+                    out_b.append(int(b))
+                    out_n.append(int(n))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+            })
         if self.query_kind == "count":
             return pa.table({
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -1694,7 +1777,8 @@ def run_queries_sharded(
     # loudly rather than silently merging wrong shapes.
     _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
                   "filtered", "synonym", "regexp", "search_after",
-                  "collapse", "lang_agg", "count", "dl_hist"}
+                  "collapse", "lang_agg", "count", "dl_hist", "stats",
+                  "range"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -1786,8 +1870,23 @@ def run_queries_sharded(
         return t.select(["query_id", "bucket", "n_hits_sum"]).rename_columns(
             ["query_id", "bucket", "n_hits"])
 
+    def _merge_stats(g: pa.Table) -> pa.Table:
+        # per-shard partials are complete for their ordinal range: counts
+        # and sums add, mins min, maxs max; avg recomputes from the exact
+        # integer sums (never averaged across shards)
+        t = (g.group_by("query_id")
+             .aggregate([("n_hits", "sum"), ("min_dl", "min"),
+                         ("max_dl", "max"), ("sum_dl", "sum")]))
+        t = t.select(["query_id", "n_hits_sum", "min_dl_min", "max_dl_max",
+                      "sum_dl_sum"]).rename_columns(
+            ["query_id", "n_hits", "min_dl", "max_dl", "sum_dl"])
+        n = t["n_hits"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("avg_dl", pa.array(s / n, type=pa.float64()))
+
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
-               "count": _merge_count, "dl_hist": _merge_dl_hist}
+               "count": _merge_count, "dl_hist": _merge_dl_hist,
+               "stats": _merge_stats, "range": _merge_dl_hist}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

@@ -898,6 +898,56 @@ GROUP BY r.query_id, (d.doc_len // {width}) * {width}"""
     )
 
 
+def stats_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Stats-agg oracle (pipelines.stats_agg replay; ES ``stats`` agg):
+    per query, count/min/max/sum of doc_len over EVERY hit, avg from the
+    exact integer sum (one float division — identical IEEE op to the
+    engine's).  Zero-hit queries emit no row (GROUP BY over no rows)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+SELECT r.query_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(d.doc_len) AS BIGINT) AS min_dl,
+       CAST(max(d.doc_len) AS BIGINT) AS max_dl,
+       CAST(sum(d.doc_len) AS BIGINT) AS sum_dl,
+       CAST(sum(d.doc_len) AS DOUBLE) / count(*) AS avg_dl
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id"""
+    )
+
+
+def range_agg_sql(queries: list[tuple[int, str]],
+                  ranges: "list[tuple[int, int | None]]") -> str:
+    """Range-agg oracle (pipelines.range_agg replay; ES ``range`` agg):
+    per (query, [lo, hi) doc_len bucket) live matching-doc count; hits
+    outside every range and empty buckets are omitted on both sides."""
+    cases = " ".join(
+        f"WHEN d.doc_len >= {int(lo)}"
+        + ("" if hi is None else f" AND d.doc_len < {int(hi)}")
+        + f" THEN {i}"
+        for i, (lo, hi) in enumerate(ranges)
+    )
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, bucketed AS (
+  SELECT r.query_id, CASE {cases} ELSE NULL END AS bucket
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+)
+SELECT query_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM bucketed WHERE bucket IS NOT NULL
+GROUP BY query_id, bucket"""
+    )
+
+
 def total_hits_sql(queries: list[tuple[int, str]]) -> str:
     """track_total_hits oracle (pipelines.total_hits replay): matching-doc
     count per query; LEFT JOIN from the query literals keeps zero-hit

@@ -329,16 +329,21 @@ def test_sharded_docvalue_kinds_match_pool(flat_dir, n_shards, ray_session):
     def _norm(df, cols):
         return df.sort_values(cols).reset_index(drop=True)
 
-    for kind, cols in (("collapse", ["query_id", "rank"]),
-                       ("lang_agg", ["query_id", "lang"]),
-                       ("count", ["query_id"]),
-                       ("dl_hist", ["query_id", "bucket"])):
+    rng_kw = {"dl_ranges": [(0, 25), (25, 60), (60, None)]}
+    for kind, cols, ekw in (("collapse", ["query_id", "rank"], None),
+                            ("lang_agg", ["query_id", "lang"], None),
+                            ("count", ["query_id"], None),
+                            ("dl_hist", ["query_id", "bucket"], None),
+                            ("stats", ["query_id"], None),
+                            ("range", ["query_id", "bucket"], rng_kw)):
         base = _norm(run_queries(rd.from_arrow(tbl), flat_dir, k=6,
-                                 concurrency=2, query_kind=kind).to_pandas(),
+                                 concurrency=2, query_kind=kind,
+                                 engine_kwargs=ekw).to_pandas(),
                      cols)
         shard = _norm(run_queries_sharded(
             rd.from_arrow(tbl), flat_dir, k=6, n_query_shards=n_shards,
-            concurrency_per_shard=1, query_kind=kind).to_pandas(), cols)
+            concurrency_per_shard=1, query_kind=kind,
+            engine_kwargs=ekw).to_pandas(), cols)
         assert base.to_dict("list") == shard.to_dict("list"), (kind, n_shards)
 
     # search_after: cursor at rank 4 of a k=12 page, both paths
@@ -523,3 +528,44 @@ def test_cli_query_mode_flags_are_exclusive(ray_session):
          "--rescore", "20"],
     ):
         assert cli.main(argv) == 2, argv
+
+
+def test_stats_and_range_agg_match_bruteforce(flat_dir, oracle, corpus_table):
+    """stats / range aggregation kinds vs a brute-force pass over the
+    corpus token streams: full-hit-set doc_len reductions and explicit
+    [lo, hi) bucket counts."""
+    from splade_ray.analyzer import tokens_py
+
+    dl, lang_of = {}, {}
+    from splade_ray.ids import doc_id63
+    for r in corpus_table.to_pylist():
+        txt = r["content"]
+        if txt is None or not txt.strip():
+            continue
+        dl[doc_id63(r["repo"], r["path"], r["commit"])] = len(tokens_py(txt))
+    ranges = [(0, 25), (25, 60), (60, None)]
+    e_stats = QueryEngine(flat_dir, query_kind="stats")
+    e_rng = QueryEngine(flat_dir, query_kind="range", dl_ranges=ranges)
+    big = QueryEngine(flat_dir, k=10**6)
+    for q in QUERIES:
+        ids, units = big.search_one(q)
+        hits = [dl[int(d)] for d in ids]
+        n, lo, hi, s = e_stats.search_stats(q)
+        if not hits:
+            assert n == 0
+            continue
+        assert (n, lo, hi, s) == (len(hits), min(hits), max(hits),
+                                  sum(hits)), q
+        buckets, counts = e_rng.search_range(q)
+        want = {}
+        for i, (rlo, rhi) in enumerate(ranges):
+            c = sum(1 for d in hits
+                    if d >= rlo and (rhi is None or d < rhi))
+            if c:
+                want[i] = c
+        assert dict(zip(buckets.tolist(), counts.tolist())) == want, q
+
+
+def test_range_agg_rejects_empty_range(flat_dir):
+    with pytest.raises(ValueError, match="empty dl_range"):
+        QueryEngine(flat_dir, query_kind="range", dl_ranges=[(10, 10)])
