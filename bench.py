@@ -83,13 +83,22 @@ def main() -> None:
     # stages run clean; see BASELINE.md round-3 noise note), so a single
     # sample is not a measurement.  The scaling harness already runs
     # best-of-3 per level for the same reason.
+    # GRAFT_BENCH_CHECKPOINT=none runs the fused single-shot build (staging
+    # pinned in the object store, no corpus-scale disk round-trip) — the
+    # scaling harness inherits it via the child env
+    ckpt = os.environ.get("GRAFT_BENCH_CHECKPOINT", "parquet")
+    if not os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        # the full bench's query/pipeline stages need the docs table, which
+        # a fused index intentionally lacks — honor the knob only in
+        # build-only (scaling) mode and report the fused line separately
+        ckpt = "parquet"
     build_runs, stage_runs = [], []
     for _ in range(3 if not os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(
             rd.read_parquet(corpus_dir), idx, lang_tagged=True,
-            n_shards=n_shards,
+            n_shards=n_shards, checkpoint=ckpt,
         )
         build_runs.append(time.perf_counter() - t0)
         stage_runs.append(dict(manifest.get("timings", {})))
@@ -99,6 +108,20 @@ def main() -> None:
     timings["build_runs_sec"] = [round(x, 3) for x in build_runs]
     timings["build_files_per_sec"] = round(n_files / build_sec, 1)
     timings["build_n_postings"] = manifest["n_postings"]
+    timings["build_checkpoint"] = ckpt
+    if ckpt == "parquet" and not os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        # one fused-mode run for the checkpoint="none" comparison line
+        # (same corpus, separate index dir; queries below use the parquet
+        # index — the fused one has no docs table by design)
+        fidx = idx + "_fused"
+        shutil.rmtree(fidx, ignore_errors=True)
+        t0 = time.perf_counter()
+        fman = build_index(rd.read_parquet(corpus_dir), fidx,
+                           lang_tagged=True, n_shards=n_shards,
+                           checkpoint="none")
+        timings["build_fused_sec"] = round(time.perf_counter() - t0, 3)
+        timings["build_fused_stage_sec"] = dict(fman.get("timings", {}))
+        shutil.rmtree(fidx, ignore_errors=True)
     # per-stage wall of the best run (MANIFEST.json["timings"]): the shuffle
     # stage is the one that scales with nodes on a real cluster, so the
     # scaling harness derives a shuffle-only efficiency from these

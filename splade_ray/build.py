@@ -420,6 +420,7 @@ def build_index(
     ordinal_driver_bytes_budget: int = 256 * 2**20,
     corpus_fp: str | None = None,
     positions: bool = False,
+    checkpoint: str = "parquet",
 ) -> dict:
     """Build (or resume) the inverted index; returns the final manifest.
 
@@ -433,14 +434,36 @@ def build_index(
     then answer ENTIRELY from the index (phrase.positional_topk) — no
     candidate content fetch.  Costs ~1 extra byte per token in staging,
     the shuffle, and the segments; off by default.
+
+    ``checkpoint`` picks the staging strategy:
+
+      * ``"parquet"`` (default): tokenize once into a staging parquet —
+        the resume checkpoint the north rule requires (a killed build
+        skips valid staging + segments on rerun) AND the index's docs
+        table (read_docs / highlight / bm25_topk_docs read it with column
+        pruning).  Costs one corpus-scale write + read.
+      * ``"none"``: single-shot fused build — the tokenized batches are
+        pinned in the OBJECT STORE (``materialize()``, ~190 B/doc,
+        spillable) and every downstream pass (stats, ordinals, hot
+        detection, shuffle) reads them zero-copy; nothing corpus-scale
+        touches disk except the segments.  No resume (a killed build
+        restarts) and no docs table (read_docs raises — serve those from
+        the source corpus).  The right mode for throwaway / benchmark
+        builds and for pipelines whose source is already a resumable
+        checkpoint one stage upstream.
     """
     import time as _time
 
+    if checkpoint not in ("parquet", "none"):
+        raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
+    fused = checkpoint == "none"
     timings: dict[str, float] = {}
     _t = _time.perf_counter
     os.makedirs(index_dir, exist_ok=True)
 
-    if overwrite:
+    if overwrite or fused:
+        # a fused build is single-shot by definition: leftover artifacts
+        # (possibly from a different corpus) must not be resumed into
         for sub in ("staging", "segments", "docs", "docmap", "tombstones.d"):
             p = os.path.join(index_dir, sub)
             if os.path.exists(p):
@@ -456,7 +479,7 @@ def build_index(
 
     staging_dir = os.path.join(index_dir, "staging")
     t0 = _t()
-    if corpus_fp is None:
+    if corpus_fp is None and not fused:
         corpus_fp = _corpus_fingerprint(corpus)
 
     # FAST full-resume: a finished index (manifest bound to this corpus
@@ -464,13 +487,35 @@ def build_index(
     # immediately.  Without this, every re-entrant build pays ~3 Dataset
     # pipelines of re-validation (stats, hot-detect, shuffle-skip) — fixed
     # seconds that dominate warm serving paths like the phrase candidates.
-    if not overwrite and corpus_fp is not None:
+    if not overwrite and not fused and corpus_fp is not None:
         man = _finished_manifest(index_dir, corpus_fp, lang_tagged=lang_tagged,
                                  n_shards=n_shards, salt_bits=salt_bits,
                                  positions=positions)
         if man is not None:
             return man
-    if not _staging_valid(index_dir, corpus_fp, positions):
+    if fused:
+        import ray as _ray_mod
+
+        n_input = corpus.count()
+        staged_ds = corpus.map_batches(
+            prepare_batch, batch_format="pyarrow",
+            fn_kwargs={"lang_tagged": lang_tagged, "positions": positions},
+        ).materialize()
+        # coalesce fine-grained prepare output (one block per corpus read
+        # task): every downstream exchange pays O(blocks x partitions)
+        # intermediate objects, so 240 tiny blocks through a 64-shard
+        # groupby cost more than the repartition pass that merges them
+        tgt = max(16, int(_ray_mod.cluster_resources().get("CPU", 16)) * 2)
+        if staged_ds.num_blocks() > 2 * tgt:
+            staged_ds = staged_ds.repartition(tgt).materialize()
+        n_docs = staged_ds.count()  # block metadata, no pass
+        if n_docs == 0:
+            raise ValueError("no indexable documents (all rows empty?)")
+        n_dropped = n_input - n_docs
+
+        def _staging_read(columns: list[str]):
+            return staged_ds.select_columns(columns)
+    elif not _staging_valid(index_dir, corpus_fp, positions):
         # stale/absent staging: every derived artifact (segments, docmap,
         # manifest) came from that staging — drop them too, or a fingerprint
         # mismatch would rebuild staging yet keep serving stale segments
@@ -495,10 +540,12 @@ def build_index(
             json.dump({"ok": True, "n_input_rows": n_input,
                        "lang_tagged": lang_tagged, "corpus_fp": corpus_fp,
                        "positions": positions}, f)
-    with open(os.path.join(index_dir, "STAGING.json")) as f:
-        staging_meta = json.load(f)
-    if staging_meta.get("lang_tagged") != lang_tagged:
-        raise ValueError("index_dir was staged with a different lang_tagged setting")
+    if not fused:
+        with open(os.path.join(index_dir, "STAGING.json")) as f:
+            staging_meta = json.load(f)
+        if staging_meta.get("lang_tagged") != lang_tagged:
+            raise ValueError(
+                "index_dir was staged with a different lang_tagged setting")
     timings["staging_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
@@ -507,17 +554,21 @@ def build_index(
     # pass below, fused with the ordinal pass when one is needed: each
     # separate Dataset pass costs ~0.5-1s of fixed startup that Amdahl turns
     # straight into lost scaling efficiency.
-    import pyarrow.parquet as _pq
+    if not fused:
+        import pyarrow.parquet as _pq
 
-    staging_files = sorted(
-        os.path.join(staging_dir, f)
-        for f in os.listdir(staging_dir)
-        if f.endswith(".parquet")
-    )
-    n_docs = sum(_pq.read_metadata(f).num_rows for f in staging_files)
-    if n_docs == 0:
-        raise ValueError("no indexable documents (all rows empty?)")
-    n_dropped = staging_meta["n_input_rows"] - n_docs
+        staging_files = sorted(
+            os.path.join(staging_dir, f)
+            for f in os.listdir(staging_dir)
+            if f.endswith(".parquet")
+        )
+        n_docs = sum(_pq.read_metadata(f).num_rows for f in staging_files)
+        if n_docs == 0:
+            raise ValueError("no indexable documents (all rows empty?)")
+        n_dropped = staging_meta["n_input_rows"] - n_docs
+
+        def _staging_read(columns: list[str]):
+            return ray.data.read_parquet(staging_dir, columns=columns)
     timings["stats_sec"] = round(_t() - t0, 3)
     t0 = _t()
 
@@ -576,7 +627,7 @@ def build_index(
             )
 
         for r in (
-            ray.data.read_parquet(staging_dir, columns=["doc_len", "lang"])
+            _staging_read(["doc_len", "lang"])
             .map_batches(_stats_partial, batch_format="pyarrow")
             .take_all()
         ):
@@ -590,8 +641,8 @@ def build_index(
         # than blowing the driver heap)
         id_chunks, dl_chunks, lv_chunks, acc_bytes = [], [], [], 0
         fits = True
-        for batch in ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "doc_len", "lang"]
+        for batch in _staging_read(
+            ["doc_id", "doc_len", "lang"]
         ).iter_batches(batch_size=262144, batch_format="pyarrow"):
             _absorb_stats(batch)
             ic = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -643,9 +694,8 @@ def build_index(
             id_chunks = dl_chunks = lv_chunks = None
             total_len = 0
             langset.clear()
-            sorted_ds = ray.data.read_parquet(
-                staging_dir, columns=["doc_id", "doc_len", "lang"]
-            ).sort("doc_id")
+            sorted_ds = _staging_read(
+                ["doc_id", "doc_len", "lang"]).sort("doc_id")
             stats = write_sharded(sorted_ds, index_dir, n_docs)
             total_len += stats["total_len"]
             langset |= stats["langs"]
@@ -653,9 +703,8 @@ def build_index(
         # distributed range-partition sort; the sort's output tasks write
         # the per-range shard layout themselves and return one summary row
         # each — stats are absorbed from the same rows (no extra pipeline)
-        sorted_ds = ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "doc_len", "lang"]
-        ).sort("doc_id")
+        sorted_ds = _staging_read(
+            ["doc_id", "doc_len", "lang"]).sort("doc_id")
         stats = write_sharded(sorted_ds, index_dir, n_docs)
         total_len += stats["total_len"]
         langset |= stats["langs"]
@@ -677,16 +726,31 @@ def build_index(
     # of the bytes.  Only load balance (salting) depends on this estimate,
     # never correctness.
     hot_threshold = max(hot_df_min, int(hot_df_frac * n_docs))
-    sample_files = staging_files[:: max(1, sample_mod)] or staging_files[:1]
-    sampled_df = (
-        ray.data.read_parquet(sample_files, columns=["doc_id", "terms"])
-        .map_batches(_sample_df_batch, batch_format="pyarrow",
-                     fn_kwargs={"sample_mod": 1})
-        .groupby("term")
-        .aggregate(Sum("pdf", alias_name="pdf"))
-    )
-    sample_frac = len(sample_files) / max(1, len(staging_files))
-    est_min = max(1, int(hot_threshold * sample_frac))
+    if fused:
+        # object-store staging has no file boundaries: fall back to the
+        # deterministic row sample (doc_id % sample_mod) inside the batch —
+        # the blocks are already decoded, so there is no decompress tax to
+        # dodge
+        sampled_df = (
+            _staging_read(["doc_id", "terms"])
+            .map_batches(_sample_df_batch, batch_format="pyarrow",
+                         fn_kwargs={"sample_mod": sample_mod})
+            .groupby("term")
+            .aggregate(Sum("pdf", alias_name="pdf"))
+        )
+        est_min = max(1, hot_threshold // max(1, sample_mod))
+    else:
+        sample_files = staging_files[:: max(1, sample_mod)] \
+            or staging_files[:1]
+        sampled_df = (
+            ray.data.read_parquet(sample_files, columns=["doc_id", "terms"])
+            .map_batches(_sample_df_batch, batch_format="pyarrow",
+                         fn_kwargs={"sample_mod": 1})
+            .groupby("term")
+            .aggregate(Sum("pdf", alias_name="pdf"))
+        )
+        sample_frac = len(sample_files) / max(1, len(staging_files))
+        est_min = max(1, int(hot_threshold * sample_frac))
     hot_rows = sampled_df.filter(
         lambda r, m=est_min: r["pdf"] >= m
     ).take_all()
@@ -712,9 +776,7 @@ def build_index(
         shuffle_cols = ["doc_id", "terms", "tfs"]
         if positions:
             shuffle_cols.append("positions")
-        postings = ray.data.read_parquet(
-            staging_dir, columns=shuffle_cols
-        ).map_batches(
+        postings = _staging_read(shuffle_cols).map_batches(
             explode_postings_batch, batch_format="pyarrow",
             fn_kwargs={
                 "n_shards": n_shards, "hot_terms": hot_terms,
@@ -749,6 +811,7 @@ def build_index(
         "langs": langs,
         "lang_tagged": lang_tagged,
         "corpus_fp": corpus_fp,
+        "checkpoint": checkpoint,
         "n_shards": n_shards,
         "salt_bits": salt_bits,
         "doc_ordinals": True,  # postings store dense ranks; see docmap.bin
@@ -795,7 +858,14 @@ def read_docs(index_dir: str, columns: list[str] | None = None,
     staging = os.path.join(index_dir, "staging")
     if not os.path.isdir(staging):
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
-            sources = json.load(f).get("docs_sources", [])
+            man = json.load(f)
+        sources = man.get("docs_sources", [])
+        if not sources and man.get("checkpoint") == "none":
+            raise ValueError(
+                "index was built with checkpoint='none' (object-store "
+                "staging, nothing corpus-scale on disk): it has no docs "
+                "table — serve identity/content columns from the source "
+                "corpus, or rebuild with checkpoint='parquet'")
         files = [
             os.path.join(d, f)
             for d in sources

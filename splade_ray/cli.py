@@ -318,9 +318,13 @@ def main(argv=None) -> int:
     b.add_argument("--lang-tagged", action="store_true")
     b.add_argument("--n-shards", type=int, default=32)
     b.add_argument("--overwrite", action="store_true")
-    b.add_argument("--positions", action="store_true",
-                   help="store per-posting token positions (enables the "
-                        "index-native `phrase` command)")
+    b.add_argument("--positions", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="store per-posting token positions (default ON for "
+                        "serving builds: enables the index-native `phrase` "
+                        "/ NEAR / span commands at ~1 byte/token and <=10%% "
+                        "build cost; --no-positions for pure-BM25 batch "
+                        "builds)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")

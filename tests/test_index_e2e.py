@@ -244,3 +244,39 @@ def test_ordinal_bytes_budget_forces_distributed(corpus_table, ray_session):
     assert abs(m_b["avgdl"] - m_drv["avgdl"]) < 1e-12
     assert m_b["langs"] == m_drv["langs"]
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_fused_checkpoint_none_build_parity(index_dir, corpus_table,
+                                            ray_session):
+    """checkpoint='none' (single-shot fused build: staging pinned in the
+    object store, no corpus-scale disk round-trip) must produce an index
+    with identical stats and rank/score-identical query answers to the
+    parquet-checkpointed build.  It has no docs table by design —
+    read_docs raises the documented error — and no resume (a rerun
+    rebuilds)."""
+    from splade_ray.build import read_docs
+
+    fidx = "/tmp/splade_ray_test_idx_fused"
+    ds = rd.from_arrow(corpus_table).repartition(4)
+    m = build_index(ds, fidx, lang_tagged=True, n_shards=8, hot_df_min=40,
+                    hot_df_frac=0.05, sample_mod=3, checkpoint="none")
+    import json as _json
+
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        base = _json.load(f)
+    assert m["n_docs"] == base["n_docs"]
+    assert m["n_postings"] == base["n_postings"]
+    assert m["avgdl"] == base["avgdl"]
+    assert m["langs"] == base["langs"]
+    assert m["checkpoint"] == "none"
+    assert not os.path.isdir(os.path.join(fidx, "staging"))
+    a, b = QueryEngine(index_dir, k=10), QueryEngine(fidx, k=10)
+    for row in generate_queries().to_pylist():
+        ra = a.search_one(row["query"], row["lang"] or None)
+        rb = b.search_one(row["query"], row["lang"] or None)
+        assert ra[0].tolist() == rb[0].tolist(), row
+        assert ra[1].tolist() == rb[1].tolist(), row
+    with pytest.raises(ValueError, match="checkpoint='none'"):
+        read_docs(fidx)
+    with pytest.raises(ValueError, match="unknown checkpoint"):
+        build_index(ds, fidx + "_x", checkpoint="zzz")
