@@ -320,11 +320,12 @@ def main(argv=None) -> int:
     b.add_argument("--overwrite", action="store_true")
     b.add_argument("--positions", action=argparse.BooleanOptionalAction,
                    default=True,
-                   help="store per-posting token positions (default ON for "
-                        "serving builds: enables the index-native `phrase` "
-                        "/ NEAR / span commands at ~1 byte/token and <=10%% "
-                        "build cost; --no-positions for pure-BM25 batch "
-                        "builds)")
+                   help="store per-posting token positions (default ON — "
+                        "the Lucene/ES serving profile: enables the "
+                        "index-native `phrase` / NEAR / span commands at "
+                        "~1 byte/token; measured build-cost +40%% at 200k "
+                        "files, see BASELINE.md r5 — pass --no-positions "
+                        "for pure-BM25 batch builds)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
