@@ -168,7 +168,25 @@ def cmd_phrase(args) -> int:
     from .phrase import index_stats, positional_units
 
     _ensure_ray()
-    if getattr(args, "span", None):
+    if getattr(args, "span_or", None):
+        clauses = [tokens_py(c) for c in args.span_or]
+        clauses = [c for c in clauses if c]
+        if not clauses:
+            print("no results (empty clauses)")
+            return 0
+        spec = {"qid": 0, "kind": "span_or", "clauses": clauses}
+        terms = [t for c in clauses for t in c]
+    elif getattr(args, "span_not", None) is not None:
+        toks = tokens_py(args.text)
+        ex = tokens_py(args.span_not)
+        if not toks or len(ex) != 1:
+            print("error: --span-not needs a phrase in TEXT and exactly "
+                  "one exclude term", file=sys.stderr)
+            return 2
+        spec = {"qid": 0, "kind": "span_not", "tokens": toks,
+                "exclude": ex[0], "pre": args.pre, "post": args.post}
+        terms = toks
+    elif getattr(args, "span", None):
         terms = [t for s in args.span for t in tokens_py(s)]
         if len(set(terms)) != len(terms) or len(terms) < 2:
             print("error: --span needs >= 2 distinct terms", file=sys.stderr)
@@ -385,6 +403,19 @@ def main(argv=None) -> int:
     ph.add_argument("--span", nargs="+", metavar="TERM",
                     help="span-NEAR: every term within --window positions "
                          "(ordered unless --unordered)")
+    ph.add_argument("--span-or", action="append", dest="span_or",
+                    metavar="CLAUSE",
+                    help="SpanOr: repeatable clause phrases; a doc matches "
+                         "when ANY clause occurs (TEXT ignored)")
+    ph.add_argument("--span-not", dest="span_not", metavar="EXCLUDE",
+                    default=None,
+                    help="SpanNot: TEXT is the include phrase; matches "
+                         "with EXCLUDE within --pre/--post positions of "
+                         "the span are dropped")
+    ph.add_argument("--pre", type=int, default=0,
+                    help="SpanNot window before the include span")
+    ph.add_argument("--post", type=int, default=0,
+                    help="SpanNot window after the include span")
     ph.add_argument("--window", type=int, default=8)
     ph.add_argument("--unordered", action="store_true",
                     help="NEAR in either order (default: A before B)")

@@ -154,6 +154,20 @@ def test_cli_positional_build_and_phrase(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert len(r.stdout.strip().splitlines()) > 0
+    # span_or: single-token clause guarantees hits; span_not with a
+    # never-adjacent exclude keeps the include hits
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "phrase", "x", "--index",
+         idx, "--span-or", toks[0], "--span-or", "zzqq missing"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0 and "no results" not in r.stdout, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "phrase", toks[0],
+         "--index", idx, "--span-not", "zzqqmissing", "--post", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0 and "no results" not in r.stdout, r.stderr
 
 
 @pytest.mark.timeout(300)
