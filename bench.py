@@ -307,9 +307,11 @@ def main() -> None:
     from splade_ray.ops import textstats as ops_textstats
 
     doc_tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
-                            columns=["doc_id", "text"])
+                            columns=["doc_id", "text", "lang"])
     for label, fn in (("fingerprints", ops_textstats.fingerprint_batch),
-                      ("minhash_bands", ops_dedup.minhash_bands_batch)):
+                      ("minhash_bands", ops_dedup.minhash_bands_batch),
+                      ("stratified_partial",
+                       ops_assemble.stratified_partial_batch)):
         for mode in ("sha", "mixer"):
             fn(doc_tbl, hash_mode=mode)  # warm
             # best-of-3: round 3's recorded fingerprints_mixer_speedup of 0.9
