@@ -251,9 +251,15 @@ def merge_index_dirs(index_dirs: list[str], out_dir: str) -> dict:
             {"corpus_fp": m.get("corpus_fp"), "n_docs": m["n_docs"]}
             for m in manifests
         ],
-        # docs table = the union of the inputs' staging tables
-        "docs_sources": [os.path.join(os.path.abspath(d), "staging")
-                         for d in index_dirs],
+        # docs table = the union of the inputs' staging tables.  A
+        # checkpoint="none" input has no staging dir — drop it from the
+        # list so read_docs fails loudly (its docs live only in the source
+        # corpus) instead of erroring on a missing path
+        "docs_sources": [
+            p for p in (os.path.join(os.path.abspath(d), "staging")
+                        for d in index_dirs)
+            if os.path.isdir(p)
+        ],
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -112,3 +112,29 @@ def test_add_generation_inherits_base_settings(ray_session):
         got = e_add.search_one(query, lang or None)
         as_l = lambda r: [(int(d), int(u)) for d, u in zip(*r)]
         assert as_l(got) == as_l(want), query
+
+
+def test_merge_drops_fused_input_docs_source(ray_session, tmp_path):
+    """A checkpoint='none' input has no staging dir: the merged manifest's
+    docs_sources must omit it (read_docs then serves the parquet-backed
+    inputs only) while queries over the merged index stay complete."""
+    import ray.data as rd
+
+    from splade_ray.build import build_index, read_docs
+    from splade_ray.corpus import generate_corpus
+    from splade_ray.merge import merge_index_dirs
+    from splade_ray.query import QueryEngine
+
+    a, b, out = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    build_index(rd.from_arrow(generate_corpus(200, seed=3)), a,
+                lang_tagged=False, n_shards=4)
+    build_index(rd.from_arrow(generate_corpus(200, seed=4)), b,
+                lang_tagged=False, n_shards=4, checkpoint="none")
+    m = merge_index_dirs([a, b], out)
+    assert len(m["docs_sources"]) == 1
+    assert m["docs_sources"][0].startswith(a)
+    ids, _ = QueryEngine(out, k=5).search_one("merge")
+    assert len(ids)
+    # docs table covers only the parquet-backed input
+    assert read_docs(out).count() == m["n_docs"] - \
+        QueryEngine(b, k=1).n_docs
