@@ -860,7 +860,9 @@ def read_docs(index_dir: str, columns: list[str] | None = None,
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
             man = json.load(f)
         sources = man.get("docs_sources", [])
-        if not sources and man.get("checkpoint") == "none":
+        if not sources:
+            # built (or derived via merge/compact) from checkpoint='none'
+            # inputs: object-store staging, nothing corpus-scale on disk
             raise ValueError(
                 "index was built with checkpoint='none' (object-store "
                 "staging, nothing corpus-scale on disk): it has no docs "

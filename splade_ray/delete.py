@@ -607,9 +607,13 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         "source_fps": [{"corpus_fp": man.get("corpus_fp"),
                         "n_docs": n_docs,
                         "tombstones_fp": tombstones_fingerprint(index_dir)}],
-        "docs_sources": man.get("docs_sources",
-                                [os.path.join(os.path.abspath(index_dir),
-                                              "staging")]),
+        # a checkpoint="none" base has no staging dir — keep the list empty
+        # so read_docs raises its documented error rather than failing on a
+        # missing path (compaction itself never reads the docs table)
+        "docs_sources": man.get(
+            "docs_sources",
+            [p for p in [os.path.join(os.path.abspath(index_dir), "staging")]
+             if os.path.isdir(p)]),
     }
     # the compacted index has NO tombstones (remove any stale artifacts of
     # either layout from a reused out_dir), but its docs table

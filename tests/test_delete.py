@@ -440,3 +440,30 @@ def test_reshard_tombstones_preserves_set(ray_session):
     shard_tombstones(idx, shard_size=64)  # re-shard within the sharded layout
     assert read_tombstones(idx).tolist() == want
     assert not os.path.exists(os.path.join(idx, "tombstones.bin"))
+
+
+def test_compact_fused_index_empty_docs_sources(ray_session, tmp_path):
+    """delete+compact over a checkpoint='none' index: compaction never
+    reads the docs table, so it succeeds; the compacted manifest keeps
+    docs_sources empty and read_docs raises the documented error."""
+    import numpy as np
+    import ray.data as rd
+
+    from splade_ray.build import build_index, read_docs
+    from splade_ray.corpus import generate_corpus
+    from splade_ray.delete import compact_index, delete_docs
+    from splade_ray.docmap import open_doc_arrays
+    from splade_ray.query import QueryEngine
+
+    idx, out = str(tmp_path / "i"), str(tmp_path / "o")
+    build_index(rd.from_arrow(generate_corpus(300, seed=9)), idx,
+                lang_tagged=False, n_shards=4, checkpoint="none")
+    dead = np.sort(open_doc_arrays(idx).docmap_array())[::5]
+    delete_docs(idx, dead)
+    m = compact_index(idx, out)
+    assert m["docs_sources"] == []
+    ids, _ = QueryEngine(out, k=5).search_one("merge")
+    assert len(ids)
+    assert not (set(ids.tolist()) & set(dead.tolist()))
+    with pytest.raises(ValueError, match="checkpoint='none'"):
+        read_docs(out)
