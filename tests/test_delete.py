@@ -16,6 +16,7 @@ import shutil
 
 import numpy as np
 import pyarrow.compute as pc
+import pytest
 import ray.data as rd
 
 from splade_ray.build import build_index
