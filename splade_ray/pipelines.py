@@ -471,6 +471,70 @@ def bool_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+# DisjunctionMax queries: (qid, [clause strings]) — each clause scores as
+# its own BM25 bag; combined = best + tie x rest.  (2) single clause ==
+# plain BM25; (3) one dead clause; (4) total miss.
+DISMAX_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark window", "hash join"]),
+    (1, ["merge sort", "customer filter", "stream"]),
+    (2, ["the"]),
+    (3, ["nonexistentzzterm", "batch vector"]),
+    (4, ["nonexistentzzterm"]),
+]
+DISMAX_TIE = (3, 10)  # tie_breaker 0.3 as an exact rational
+
+# Boosting queries: (qid, positive, negative) — negative matches demote
+# (x NEG_BOOST), never exclude.  (3) negative misses entirely == plain
+# BM25; (4) positive misses == empty.
+BOOSTING_QUERIES: list[tuple[int, str, str]] = [
+    (0, "spark window", "join"),
+    (1, "merge sort", "the"),
+    (2, "customer filter", "batch stream"),
+    (3, "hash join", "nonexistentzzterm"),
+    (4, "nonexistentzzterm", "merge"),
+]
+NEG_BOOST = (1, 2)  # negative_boost 0.5 as an exact rational
+
+
+def dis_max_topk(sf_dir: str, top_k: int = TOP_K):
+    """Disjunction-max search (Lucene DisjunctionMaxQuery / ES dis_max):
+    per DISMAX_QUERIES row, each clause scores as its own complete BM25
+    bag; per doc, combined = best clause + DISMAX_TIE x (sum of the other
+    clauses), evaluated in integer units with floor division
+    (QueryEngine.search_dis_max).  Rank-identical to
+    sql.dis_max_topk_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in DISMAX_QUERIES],
+                             type=pa.int64()),
+        "clauses": pa.array([c for _, c in DISMAX_QUERIES],
+                            type=pa.list_(pa.string())),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="dis_max",
+                      engine_kwargs={"dismax_tie": DISMAX_TIE})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def boosting_topk(sf_dir: str, top_k: int = TOP_K):
+    """Boosting query (Lucene BoostingQuery / ES boosting): BM25 over the
+    positive bag, docs also matching the negative bag demoted by
+    NEG_BOOST (exact rational, floor division), never excluded
+    (QueryEngine.search_boosting).  Rank-identical to
+    sql.boosting_topk_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _, _ in BOOSTING_QUERIES],
+                             type=pa.int64()),
+        "query": pa.array([p for _, p, _ in BOOSTING_QUERIES]),
+        "negative": pa.array([n for _, _, n in BOOSTING_QUERIES]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="boosting",
+                      engine_kwargs={"negative_boost": NEG_BOOST})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 # --------------------------------------------------------- wider coverage --
 
 def _qterms_py() -> list[tuple[int, str, int]]:

@@ -82,7 +82,9 @@ class QueryEngine:
                  synonyms: "dict[str, list[str]] | None" = None,
                  rescore_window: int = 50,
                  hist_width: int = 16,
-                 dl_ranges: "list[tuple[int, int | None]] | None" = None):
+                 dl_ranges: "list[tuple[int, int | None]] | None" = None,
+                 dismax_tie: "tuple[int, int]" = (3, 10),
+                 negative_boost: "tuple[int, int]" = (1, 2)):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -118,7 +120,7 @@ class QueryEngine:
                               "wildcard", "bool", "filtered", "collapse",
                               "lang_agg", "count", "search_after", "explain",
                               "synonym", "regexp", "rescore", "dl_hist",
-                              "stats", "range"):
+                              "stats", "range", "dis_max", "boosting"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -133,6 +135,14 @@ class QueryEngine:
         for (lo, hi) in self.dl_ranges:
             if hi is not None and hi <= lo:
                 raise ValueError(f"empty dl_range [{lo}, {hi})")
+        # exact rationals (num, den), evaluated in integer units with floor
+        # division on BOTH the engine and SQL sides — float tie_breakers
+        # would break bit-identical rank parity on .5 rounding boundaries
+        self.dismax_tie = (int(dismax_tie[0]), int(dismax_tie[1]))
+        self.negative_boost = (int(negative_boost[0]),
+                               int(negative_boost[1]))
+        if self.dismax_tie[1] <= 0 or self.negative_boost[1] <= 0:
+            raise ValueError("tie/boost denominators must be positive")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -966,6 +976,66 @@ class QueryEngine:
         order = np.lexsort((ords, -comb))[: self.k]
         return self.docs.gather_ids(ords[order]), comb[order]
 
+    # ------------------------------------------------------------- dis_max --
+    def search_dis_max(self, clauses: "list[str]", lang: str | None = None):
+        """Disjunction-max scoring (Lucene DisjunctionMaxQuery / ES
+        ``dis_max``): each clause string scores as its own BM25 bag
+        (COMPLETE sums — per-doc maxima need every clause's full score);
+        per doc, combined = best clause + tie_breaker x (sum of the other
+        clauses).  tie_breaker is the exact rational ``dismax_tie``
+        evaluated in integer units with floor division, so ranks are
+        bit-identical to sql.dis_max_topk_sql."""
+        per = []
+        for c in clauses:
+            o, u = self._sparse_sums(self._query_terms(c, lang))
+            keep = u > 0
+            if keep.any():
+                per.append((o[keep], u[keep]))
+        if not per:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        cat_o = np.concatenate([o for o, _ in per])
+        cat_u = np.concatenate([u for _, u in per])
+        uniq, inv = np.unique(cat_o, return_inverse=True)
+        total = np.bincount(inv, weights=cat_u.astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64)
+        best = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(best, inv, cat_u)
+        tn, td = self.dismax_tie
+        comb = best + (tn * (total - best)) // td
+        ords, units = self._topk(uniq, comb)
+        if len(ords):
+            ords = self.docs.gather_ids(ords)
+        return ords, units
+
+    # ------------------------------------------------------------ boosting --
+    def search_boosting(self, positive: str, negative: str,
+                        lang: str | None = None):
+        """Boosting query (Lucene BoostingQuery / ES ``boosting``): docs
+        matching the positive bag rank by BM25, but any doc ALSO matching
+        the negative bag is demoted — units x negative_boost (an exact
+        rational, floor division) — never excluded.  Rank-identical to
+        sql.boosting_topk_sql."""
+        from .docmap import sorted_member
+
+        pos_o, pos_u = self._sparse_sums(self._query_terms(positive, lang))
+        keep = pos_u > 0
+        pos_o, pos_u = pos_o[keep], pos_u[keep]
+        if not len(pos_o):
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        neg_o, neg_u = self._sparse_sums(self._query_terms(negative, lang))
+        neg_set = neg_o[neg_u > 0]
+        units = pos_u.copy()
+        if len(neg_set):
+            demote, _ = sorted_member(np.sort(neg_set), pos_o)
+            bn, bd = self.negative_boost
+            units[demote] = (bn * units[demote]) // bd
+        ords, units = self._topk(pos_o, units)
+        if len(ords):
+            ords = self.docs.gather_ids(ords)
+        return ords, units
+
     # -------------------------------------------------------------- regexp --
     _REGEXP_ALLOWED = r"[a-z0-9\*\+\?\.\[\]\(\)\|\-\^]+"
 
@@ -1561,6 +1631,20 @@ class QueryEngine:
             def search(spec, lg):
                 q, lo, hi = spec
                 return self.search_filtered(q or "", int(lo), int(hi), lg)
+        elif self.query_kind == "dis_max":
+            # (query_id, clauses list<string>[, lang])
+            inputs = iter(batch["clauses"].to_pylist())
+
+            def search(cl, lg):
+                return self.search_dis_max(cl or [], lg)
+        elif self.query_kind == "boosting":
+            # (query_id, query, negative[, lang])
+            inputs = zip(batch["query"].to_pylist(),
+                         batch["negative"].to_pylist())
+
+            def search(spec, lg):
+                q, neg = spec
+                return self.search_boosting(q or "", neg or "", lg)
         else:
             inputs = iter(batch["query"].to_pylist())
             by_kind = {"text": self.search_one,
@@ -1778,7 +1862,7 @@ def run_queries_sharded(
     _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
-                  "range"}
+                  "range", "dis_max", "boosting"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "

@@ -1370,6 +1370,85 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def dis_max_topk_sql(specs: "list[tuple[int, list[str]]]", k: int = 10,
+                     tie: "tuple[int, int]" = (3, 10)) -> str:
+    """Disjunction-max oracle (pipelines.dis_max_topk replay; Lucene
+    DisjunctionMaxQuery): each clause scores as its own BM25 bag (encoded
+    as sub-query id = qid*100 + clause index through the standard chain),
+    then per (query, doc): best clause + tie x (sum of the others), the
+    tie_breaker an exact integer rational (floor division — matches the
+    engine bit-for-bit)."""
+    if any(len(clauses) > 100 for _, clauses in specs):
+        raise ValueError("sub-id encoding supports at most 100 clauses")
+    sub = [(qid * 100 + ci, clause)
+           for qid, clauses in specs
+           for ci, clause in enumerate(clauses)]
+    tn, td = int(tie[0]), int(tie[1])
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(sub), _bm25_ranked_cte(),
+        )
+        + f"""
+, dm AS (
+  SELECT CAST(query_id // 100 AS BIGINT) AS query_id, doc_id,
+         CAST(max(units)
+              + ({tn} * (sum(units) - max(units))) // {td} AS BIGINT)
+           AS units
+  FROM scores WHERE units > 0
+  GROUP BY query_id // 100, doc_id
+),
+dm_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM dm
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM dm_ranked WHERE rnk <= {k}"""
+    )
+
+
+def boosting_topk_sql(specs: "list[tuple[int, str, str]]", k: int = 10,
+                      nb: "tuple[int, int]" = (1, 2)) -> str:
+    """Boosting-query oracle (pipelines.boosting_topk replay; Lucene
+    BoostingQuery): positive bag ranks by BM25; docs also matching the
+    negative bag are demoted by the exact rational ``nb`` (floor
+    division), never excluded.  Sub-id encoding: qid*2 positive,
+    qid*2+1 negative, through the standard chain."""
+    sub = []
+    for qid, pos, neg in specs:
+        sub.append((qid * 2, pos))
+        sub.append((qid * 2 + 1, neg))
+    bn, bd = int(nb[0]), int(nb[1])
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(sub), _bm25_ranked_cte(),
+        )
+        + f"""
+, boosted AS (
+  SELECT CAST(p.query_id // 2 AS BIGINT) AS query_id, p.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL
+              THEN ({bn} * p.units) // {bd} ELSE p.units END AS units
+  FROM scores p
+  LEFT JOIN scores n ON n.query_id = p.query_id + 1
+                    AND n.doc_id = p.doc_id AND n.units > 0
+  WHERE p.query_id % 2 = 0 AND p.units > 0
+),
+b_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM boosted
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM b_ranked WHERE rnk <= {k}"""
+    )
+
+
 def span_or_topk_sql(specs: list[tuple[int, list[list[str]]]],
                      k: int = 10) -> str:
     """SpanOrQuery oracle (pipelines.span_or_topk replay; Lucene

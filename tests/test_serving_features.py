@@ -569,3 +569,102 @@ def test_stats_and_range_agg_match_bruteforce(flat_dir, oracle, corpus_table):
 def test_range_agg_rejects_empty_range(flat_dir):
     with pytest.raises(ValueError, match="empty dl_range"):
         QueryEngine(flat_dir, query_kind="range", dl_ranges=[(10, 10)])
+
+
+def test_dis_max_matches_bruteforce(flat_dir, oracle):
+    """DisjunctionMax: per doc, best clause units + (tn*(rest))//td over
+    complete per-clause sums — vs a brute-force replay via the oracle's
+    accumulator; single clause degrades to plain BM25."""
+    from splade_ray.analyzer import tokens_py
+
+    e = QueryEngine(flat_dir, k=8, dismax_tie=(3, 10))
+    cases = [["merge window", "customer filter"],
+             ["the", "stream", "vector join batch"],
+             ["merge window"],
+             ["nonexistentzzterm", "stream"]]
+    for clauses in cases:
+        per = []
+        for c in clauses:
+            tf = {}
+            for tok in tokens_py(c):
+                tf[tok] = tf.get(tok, 0) + 1
+            per.append({d: u for d, u in oracle._acc_units(tf).items()
+                        if u > 0})
+        docs = set().union(*per)
+        comb = {}
+        for d in docs:
+            us = [p.get(d, 0) for p in per]
+            comb[d] = max(us) + (3 * (sum(us) - max(us))) // 10
+        want = sorted(((u, d) for d, u in comb.items()),
+                      key=lambda x: (-x[0], x[1]))[:8]
+        ids, units = e.search_dis_max(clauses)
+        assert list(zip(units.tolist(), ids.tolist())) == want, clauses
+    # the tie-break combine actually fires: single-term clauses over
+    # co-occurring terms give max + 0.3*rest, which differs from the plain
+    # union bag's full sum whenever a doc matches both clauses
+    a = e.search_dis_max(["merge", "config"])  # co-occur in this corpus
+    b = QueryEngine(flat_dir, k=8).search_one("merge config")
+    assert a[1].tolist() != b[1].tolist()
+
+
+def test_boosting_matches_bruteforce(flat_dir, oracle):
+    """Boosting: positive BM25 with negative-matching docs demoted by
+    (bn*u)//bd, never excluded — vs brute force; and the demotion must
+    actually reorder something."""
+    from splade_ray.analyzer import tokens_py
+
+    e = QueryEngine(flat_dir, k=8, negative_boost=(1, 2))
+    plain = QueryEngine(flat_dir, k=8)
+    demoted_any = False
+    for pos, neg in [("merge window", "the"),
+                     ("customer filter", "stream"),
+                     ("the", "merge"),
+                     ("merge", "nonexistentzzterm")]:
+        ptf, ntf = {}, {}
+        for tok in tokens_py(pos):
+            ptf[tok] = ptf.get(tok, 0) + 1
+        for tok in tokens_py(neg):
+            ntf[tok] = ntf.get(tok, 0) + 1
+        pu = {d: u for d, u in oracle._acc_units(ptf).items() if u > 0}
+        nset = {d for d, u in oracle._acc_units(ntf).items() if u > 0}
+        comb = {d: (u // 2 if d in nset else u) for d, u in pu.items()}
+        want = sorted(((u, d) for d, u in comb.items()),
+                      key=lambda x: (-x[0], x[1]))[:8]
+        ids, units = e.search_boosting(pos, neg)
+        got = list(zip(units.tolist(), ids.tolist()))
+        assert got == want, (pos, neg)
+        if got and got != list(zip(*[x.tolist() for x in
+                                     plain.search_one(pos)]))[:0] and \
+                any(d in nset for d in pu):
+            demoted_any = True
+    assert demoted_any
+
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_dis_max_boosting_sharded_match_pool(flat_dir, n_shards,
+                                             ray_session):
+    import pyarrow as pa
+
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    dm_tbl = pa.table({
+        "query_id": pa.array([0, 1], type=pa.int64()),
+        "clauses": pa.array([["merge window", "customer filter"],
+                             ["the", "stream"]],
+                            type=pa.list_(pa.string())),
+    })
+    bo_tbl = pa.table({
+        "query_id": pa.array([0, 1], type=pa.int64()),
+        "query": pa.array(["merge window", "the"]),
+        "negative": pa.array(["the", "merge"]),
+    })
+    for kind, tbl in (("dis_max", dm_tbl), ("boosting", bo_tbl)):
+        base = run_queries(rd.from_arrow(tbl), flat_dir, k=6, concurrency=2,
+                           query_kind=kind).to_pandas()
+        shard = run_queries_sharded(
+            rd.from_arrow(tbl), flat_dir, k=6, n_query_shards=n_shards,
+            concurrency_per_shard=1, query_kind=kind).to_pandas()
+        cols = ["query_id", "rank"]
+        b = base.sort_values(cols).reset_index(drop=True)
+        s = shard.sort_values(cols).reset_index(drop=True)
+        assert b.to_dict("list") == s.to_dict("list"), (kind, n_shards)
