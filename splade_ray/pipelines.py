@@ -535,6 +535,37 @@ def boosting_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+TOP_HITS_N = 3  # per-lang-bucket size for the top_hits aggregation
+
+
+def top_hits_agg(sf_dir: str, group_n: int = TOP_HITS_N):
+    """Per-bucket top hits (Elasticsearch ``terms`` agg + ``top_hits``
+    sub-agg / Lucene grouping TopGroups): per DOC_QUERIES entry and lang
+    doc-value bucket, the best ``group_n`` docs over the FULL hit set —
+    served from the resident lang sidecar like collapse (one gather, no
+    postings re-read).  Value-identical to sql.top_hits_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                      query_kind="top_hits",
+                      engine_kwargs={"group_n": group_n})
+    return res.map_batches(lambda t: _i64(t, ["grank"]),
+                           batch_format="pyarrow")
+
+
+def top_hits_agg_sharded(sf_dir: str, group_n: int = TOP_HITS_N):
+    """top_hits_agg through the doc-range fan-out (per-shard bucket pages
+    re-ranked and re-cut in the merge) — same oracle as top_hits_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="top_hits",
+        engine_kwargs={"group_n": group_n})
+    return res.map_batches(lambda t: _i64(t, ["grank"]),
+                           batch_format="pyarrow")
+
+
 # --------------------------------------------------------- wider coverage --
 
 def _qterms_py() -> list[tuple[int, str, int]]:

@@ -84,7 +84,8 @@ class QueryEngine:
                  hist_width: int = 16,
                  dl_ranges: "list[tuple[int, int | None]] | None" = None,
                  dismax_tie: "tuple[int, int]" = (3, 10),
-                 negative_boost: "tuple[int, int]" = (1, 2)):
+                 negative_boost: "tuple[int, int]" = (1, 2),
+                 group_n: int = 3):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -120,7 +121,8 @@ class QueryEngine:
                               "wildcard", "bool", "filtered", "collapse",
                               "lang_agg", "count", "search_after", "explain",
                               "synonym", "regexp", "rescore", "dl_hist",
-                              "stats", "range", "dis_max", "boosting"):
+                              "stats", "range", "dis_max", "boosting",
+                              "top_hits"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -143,6 +145,9 @@ class QueryEngine:
                                int(negative_boost[1]))
         if self.dismax_tie[1] <= 0 or self.negative_boost[1] <= 0:
             raise ValueError("tie/boost denominators must be positive")
+        self.group_n = int(group_n)  # per-bucket size for search_top_hits
+        if self.group_n < 1:
+            raise ValueError("group_n must be >= 1")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -763,6 +768,33 @@ class QueryEngine:
         reps = order[np.sort(first)][: min(self.k, len(first))]
         return (self.docs.gather_ids(ords[reps]), units[reps],
                 self._lang_of_codes(codes[reps]))
+
+    def search_top_hits(self, query: str, lang: str | None = None):
+        """Per-bucket top hits (Elasticsearch ``terms`` agg with a
+        ``top_hits`` sub-agg / Lucene grouping TopGroups): rank ALL
+        matching live docs, keep the best ``group_n`` per lang doc-value
+        bucket (every bucket returned — buckets are bounded by the lang
+        vocabulary, not the corpus).  Same resident-sidecar economics as
+        search_collapse: one gather, no postings re-read."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        ords, units = ords[keep], units[keep]
+        e = np.empty(0, dtype=np.int64)
+        if not len(ords):
+            return e, e, [], e
+        codes = self.docs.gather_langcodes(ords)
+        order = np.lexsort((ords, -units))
+        csorted = codes[order]
+        sel, granks = [], []
+        for c in np.unique(codes):
+            rows = order[csorted == c][: self.group_n]
+            sel.append(rows)
+            granks.append(np.arange(1, len(rows) + 1, dtype=np.int64))
+        sel = np.concatenate(sel)
+        granks = np.concatenate(granks)
+        return (self.docs.gather_ids(ords[sel]), units[sel],
+                self._lang_of_codes(codes[sel]), granks)
 
     def search_lang_agg(self, query: str, lang: str | None = None):
         """Terms aggregation over the FULL hit set (Elasticsearch
@@ -1483,6 +1515,25 @@ class QueryEngine:
                 "score": pa.array(out_score, type=pa.float64()),
                 "lang": pa.array(out_lang, type=pa.string()),
             })
+        if self.query_kind == "top_hits":
+            out = {"query_id": [], "lang": [], "grank": [], "doc_id": [],
+                   "score": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, units, lgs, granks = self.search_top_hits(
+                    q or "", lg or None)
+                for d, u, lv, gr in zip(ids, units, lgs, granks):
+                    out["query_id"].append(qid)
+                    out["lang"].append(lv)
+                    out["grank"].append(int(gr))
+                    out["doc_id"].append(int(d))
+                    out["score"].append(u / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "grank": pa.array(out["grank"], type=pa.int32()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            })
         if self.query_kind == "lang_agg":
             out_qid, out_lang, out_n, out_best = [], [], [], []
             for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
@@ -1862,7 +1913,7 @@ def run_queries_sharded(
     _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
-                  "range", "dis_max", "boosting"}
+                  "range", "dis_max", "boosting", "top_hits"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -1954,6 +2005,31 @@ def run_queries_sharded(
         return t.select(["query_id", "bucket", "n_hits_sum"]).rename_columns(
             ["query_id", "bucket", "n_hits"])
 
+    def _merge_top_hits(g: pa.Table) -> pa.Table:
+        # exact: each doc lives in exactly one ordinal range, so per-shard
+        # per-(query, lang) top-group_n rows cover the global top-group_n;
+        # merge = re-rank per lang over the union and re-cut
+        gn = int((engine_kwargs or {}).get("group_n", 3))
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        lgs = np.asarray(g["lang"].to_pylist(), dtype=object)
+        qcol = g["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))
+        sel, granks = [], []
+        for lv in np.unique(lgs):
+            rows = order[lgs[order] == lv][:gn]
+            sel.append(rows)
+            granks.append(np.arange(1, len(rows) + 1, dtype=np.int32))
+        sel = np.concatenate(sel)
+        granks = np.concatenate(granks)
+        return pa.table({
+            "query_id": pa.array(qcol[sel], type=pa.int64()),
+            "lang": pa.array(lgs[sel].tolist(), type=pa.string()),
+            "grank": pa.array(granks),
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "score": pa.array(scores[sel], type=pa.float64()),
+        })
+
     def _merge_stats(g: pa.Table) -> pa.Table:
         # per-shard partials are complete for their ordinal range: counts
         # and sums add, mins min, maxs max; avg recomputes from the exact
@@ -1970,7 +2046,8 @@ def run_queries_sharded(
 
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist,
-               "stats": _merge_stats, "range": _merge_dl_hist}
+               "stats": _merge_stats, "range": _merge_dl_hist,
+               "top_hits": _merge_top_hits}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

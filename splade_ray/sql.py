@@ -863,6 +863,29 @@ FROM creps WHERE rnk2 <= {k}"""
     )
 
 
+def top_hits_sql(queries: list[tuple[int, str]], group_n: int = 3) -> str:
+    """Per-bucket top-hits oracle (pipelines.top_hits_agg replay; ES terms
+    agg + top_hits sub-agg): best ``group_n`` docs per (query, lang)
+    bucket over every hit, bucket-local rank (units DESC, doc_id ASC)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+            """
+th AS (
+  SELECT r.query_id, d.lang, r.doc_id, r.units,
+         row_number() OVER (PARTITION BY r.query_id, d.lang
+                            ORDER BY r.units DESC, r.doc_id ASC) AS grank
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+)""",
+        )
+        + f"""
+SELECT query_id, lang, CAST(grank AS BIGINT) AS grank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM th WHERE grank <= {group_n}"""
+    )
+
+
 def lang_terms_agg_sql(queries: list[tuple[int, str]]) -> str:
     """Full-hit-set terms-agg oracle (pipelines.lang_terms_agg replay):
     per (query, lang) bucket over EVERY matching doc (units > 0), count +

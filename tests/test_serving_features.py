@@ -668,3 +668,50 @@ def test_dis_max_boosting_sharded_match_pool(flat_dir, n_shards,
         b = base.sort_values(cols).reset_index(drop=True)
         s = shard.sort_values(cols).reset_index(drop=True)
         assert b.to_dict("list") == s.to_dict("list"), (kind, n_shards)
+
+
+def test_top_hits_matches_bruteforce_and_sharded(flat_dir, oracle,
+                                                 corpus_table, ray_session):
+    """top_hits: best group_n docs per (query, lang) bucket over the full
+    hit set — vs brute force via the oracle accumulator; sharded fan-out
+    must re-cut to the identical pages."""
+    import pyarrow as pa
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    lang_of = {doc_id63(r["repo"], r["path"], r["commit"]): r["lang"]
+               for r in corpus_table.to_pylist()
+               if r["content"] and r["content"].strip()}
+    e = QueryEngine(flat_dir, query_kind="top_hits", group_n=2)
+    for q in QUERIES:
+        tf = {}
+        for tok in tokens_py(q):
+            tf[tok] = tf.get(tok, 0) + 1
+        acc = {d: u for d, u in oracle._acc_units(tf).items() if u > 0}
+        want = {}
+        for d in sorted(acc, key=lambda d: (-acc[d], d)):
+            b = want.setdefault(lang_of[d], [])
+            if len(b) < 2:
+                b.append((d, acc[d]))
+        ids, units, lgs, granks = e.search_top_hits(q)
+        got = {}
+        for d, u, lv, gr in zip(ids.tolist(), units.tolist(), lgs, granks):
+            got.setdefault(lv, []).append((d, u))
+        assert got == want, q
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+    kw = {"group_n": 2}
+    base = run_queries(rd.from_arrow(tbl), flat_dir, concurrency=2,
+                       query_kind="top_hits", engine_kwargs=kw).to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(tbl), flat_dir, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="top_hits",
+        engine_kwargs=kw).to_pandas()
+    cols = ["query_id", "lang", "grank"]
+    b = base.sort_values(cols).reset_index(drop=True)
+    s = shard.sort_values(cols).reset_index(drop=True)
+    assert b.to_dict("list") == s.to_dict("list")
