@@ -288,6 +288,24 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.percolate(SF_DIR).count()
     timings["percolate_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.span_or_topk(SF_DIR).count()
+    timings["span_or_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.span_not_topk(SF_DIR).count()
+    timings["span_not_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.dis_max_topk(SF_DIR).count()
+    timings["dis_max_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.boosting_topk(SF_DIR).count()
+    timings["boosting_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.stats_agg(SF_DIR).count()
+    timings["stats_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.top_hits_agg(SF_DIR).count()
+    timings["top_hits_agg_sec"] = round(time.perf_counter() - t0, 3)
     from splade_ray.ops import assemble as ops_assemble
 
     docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))

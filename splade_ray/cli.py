@@ -88,6 +88,8 @@ def cmd_query(args) -> int:
         "--must/--must-not/--msm": bool(args.must or args.must_not
                                         or getattr(args, "msm", 0)),
         "--syn": bool(synonyms),
+        "--clause": bool(getattr(args, "clause", None)),
+        "--negative": bool(getattr(args, "negative", None)),
     }
     set_flags = sorted(k for k, v in modes.items() if v)
     if len(set_flags) > 1:
@@ -139,6 +141,10 @@ def cmd_query(args) -> int:
         ids, units = engine.search_regexp(args.text, lang)
     elif rescore:
         ids, units = engine.search_rescore(args.text, lang)
+    elif getattr(args, "clause", None):
+        ids, units = engine.search_dis_max(args.clause, lang)
+    elif getattr(args, "negative", None):
+        ids, units = engine.search_boosting(args.text, args.negative, lang)
     elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []
         ids, units = engine.search_bool(
@@ -388,6 +394,14 @@ def main(argv=None) -> int:
     q.add_argument("--rescore", type=int, metavar="WINDOW", default=0,
                    help="two-phase rescore: BM25 top-WINDOW re-ranked by "
                         "combined bm25+coordination units")
+    q.add_argument("--clause", action="append", default=[],
+                   metavar="QUERY",
+                   help="dis_max mode: repeatable clause queries; per doc "
+                        "best clause + tie_breaker x rest (TEXT ignored)")
+    q.add_argument("--negative", default="",
+                   metavar="QUERY",
+                   help="boosting mode: docs matching this bag are demoted "
+                        "(x negative_boost), never excluded")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")
