@@ -22,6 +22,7 @@ at exit.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -219,11 +220,30 @@ def cmd_phrase(args) -> int:
     qtf: dict[str, int] = {}
     for t in terms:
         qtf[t] = qtf.get(t, 0) + 1
+    # lang-tagged indexes store 'lg:tok' terms: expand the spec into one
+    # per-language variant (same qid — a doc is single-language, so at
+    # most one variant verifies it), mirroring analyze_query's expansion;
+    # --lang scopes to that language only
+    import json as _json
+
+    from .phrase import tag_spec
+
+    with open(os.path.join(args.index, "MANIFEST.json")) as f:
+        man = _json.load(f)
+    if man.get("lang_tagged"):
+        from .analyzer import LANG_SEP
+
+        lgs = ([args.lang] if getattr(args, "lang", "") else man["langs"])
+        specs = [tag_spec(spec, lg) for lg in lgs]
+        qtf = {f"{lg}{LANG_SEP}{t}": c
+               for lg in lgs for t, c in qtf.items()}
+    else:
+        specs = [spec]
     n_docs, _avgdl, dfs = index_stats(args.index, sorted(qtf))
     weights = {0: [
         (t, c * math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
         for t, c in qtf.items() if t in dfs]}
-    res = (positional_units(args.index, [spec], weights)
+    res = (positional_units(args.index, specs, weights)
            .groupby(["query_id", "doc_id"]).sum("units").to_pandas())
     if res.empty:
         print("no results")
@@ -410,6 +430,9 @@ def main(argv=None) -> int:
     ph.add_argument("--index", required=True,
                     help="index built with --positions")
     ph.add_argument("--k", type=int, default=10)
+    ph.add_argument("--lang", default="",
+                    help="lang-tagged indexes: scope the phrase to one "
+                         "language (default: match in any language)")
     ph.add_argument("--near", nargs=2, metavar=("A", "B"),
                     help="proximity instead of phrase: terms A and B "
                          "within --slop tokens")

@@ -397,6 +397,39 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
     })
 
 
+def tag_spec(spec: dict, lg: str) -> dict:
+    """Rewrite an untagged positional spec's tokens to ``lg:tok`` keys —
+    the per-language variant for a lang-tagged index.  Variants of one
+    spec can SHARE its qid: a doc is single-language, so at most one
+    variant can verify it (other languages' terms have no postings in it),
+    and its term units are appended exactly once."""
+    from .analyzer import LANG_SEP
+
+    def t(tok: str) -> str:
+        return f"{lg}{LANG_SEP}{tok}"
+
+    out = dict(spec)
+    kind = spec["kind"]
+    if kind in ("phrase", "phrase_prefix"):
+        out["tokens"] = [t(x) for x in spec["tokens"]]
+        if kind == "phrase_prefix":
+            out["prefix"] = t(spec["prefix"])
+    elif kind == "near":
+        out["a"], out["b"] = t(spec["a"]), t(spec["b"])
+    elif kind == "span":
+        out["terms"] = [t(x) for x in spec["terms"]]
+    elif kind == "span_or":
+        out["clauses"] = [[t(x) for x in c] for c in spec["clauses"]]
+    elif kind == "span_not":
+        out["tokens"] = [t(x) for x in spec["tokens"]]
+        out["exclude"] = t(spec["exclude"])
+    elif kind == "first":
+        out["term"] = t(spec["term"])
+    else:
+        raise ValueError(f"unknown positional spec kind {kind!r}")
+    return out
+
+
 def positional_units(index_dir: str, specs: list[dict],
                      weights: dict[int, list[tuple[str, float]]],
                      n_ranges: int | None = None):

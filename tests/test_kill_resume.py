@@ -106,6 +106,15 @@ def test_cli_build_query_eval(tmp_path):
          "--index", idx], capture_output=True, text=True, env=env, timeout=300,
     )
     assert r.returncode == 0 and len(r.stdout.strip().splitlines()) > 0
+    # lang-tagged positional phrase: specs expand per language ('lg:tok'
+    # keys) instead of silently matching nothing; --lang scopes it
+    r = subprocess.run(
+        [sys.executable, "-m", "splade_ray.cli", "phrase", "parse",
+         "--index", idx], capture_output=True, text=True, env=env,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no results" not in r.stdout, r.stdout
     qcsv = tmp_path / "q.csv"
     qcsv.write_text("query_id,query\n0,parse token\n1,zzznope\n")
     out = tmp_path / "r.csv"
