@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg_sharded": p.range_agg_sharded,
         "top_hits_agg": p.top_hits_agg,
         "top_hits_agg_sharded": p.top_hits_agg_sharded,
+        "sort_topk": p.sort_topk,
+        "sort_topk_sharded": p.sort_topk_sharded,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "range_agg_sharded": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "top_hits_agg": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "top_hits_agg_sharded": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
+        "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
+        "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -535,6 +535,33 @@ def boosting_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+def sort_topk(sf_dir: str, top_k: int = TOP_K, ascending: bool = False):
+    """Field sort (Elasticsearch ``sort: [{doc_len: desc}]`` / Lucene
+    SortField): per DOC_QUERIES entry, the query filters and the page
+    orders by the doc_len doc-value (doc_id tiebreak) — no relevance
+    scoring, one forward-array gather per query.  Value-identical to
+    sql.sort_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="sort",
+                      engine_kwargs={"sort_ascending": ascending})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def sort_topk_sharded(sf_dir: str, top_k: int = TOP_K,
+                      ascending: bool = False):
+    """sort_topk through the doc-range fan-out (per-shard pages re-sorted
+    on the same key and re-cut) — same oracle as sort_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="sort",
+        engine_kwargs={"sort_ascending": ascending})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 TOP_HITS_N = 3  # per-lang-bucket size for the top_hits aggregation
 
 

@@ -85,7 +85,8 @@ class QueryEngine:
                  dl_ranges: "list[tuple[int, int | None]] | None" = None,
                  dismax_tie: "tuple[int, int]" = (3, 10),
                  negative_boost: "tuple[int, int]" = (1, 2),
-                 group_n: int = 3):
+                 group_n: int = 3,
+                 sort_ascending: bool = False):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -122,7 +123,7 @@ class QueryEngine:
                               "lang_agg", "count", "search_after", "explain",
                               "synonym", "regexp", "rescore", "dl_hist",
                               "stats", "range", "dis_max", "boosting",
-                              "top_hits"):
+                              "top_hits", "sort"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -148,6 +149,7 @@ class QueryEngine:
         self.group_n = int(group_n)  # per-bucket size for search_top_hits
         if self.group_n < 1:
             raise ValueError("group_n must be >= 1")
+        self.sort_ascending = bool(sort_ascending)  # search_sort direction
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -768,6 +770,24 @@ class QueryEngine:
         reps = order[np.sort(first)][: min(self.k, len(first))]
         return (self.docs.gather_ids(ords[reps]), units[reps],
                 self._lang_of_codes(codes[reps]))
+
+    def search_sort(self, query: str, lang: str | None = None,
+                    ascending: bool = False):
+        """Field sort (Elasticsearch ``sort: [{doc_len: desc}]`` / Lucene
+        SortField): the query acts as a FILTER (any matching live doc) and
+        the page orders by the doc_len doc-value — descending by default —
+        with doc_id ascending tiebreak, cut to k.  One forward-array
+        gather + one lexsort over the hit set; no relevance scoring."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        e = np.empty(0, dtype=np.int64)
+        if not len(ords):
+            return e, e
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        key = dls if ascending else -dls
+        order = np.lexsort((ords, key))[: self.k]
+        return self.docs.gather_ids(ords[order]), dls[order]
 
     def search_top_hits(self, query: str, lang: str | None = None):
         """Per-bucket top hits (Elasticsearch ``terms`` agg with a
@@ -1515,6 +1535,22 @@ class QueryEngine:
                 "score": pa.array(out_score, type=pa.float64()),
                 "lang": pa.array(out_lang, type=pa.string()),
             })
+        if self.query_kind == "sort":
+            out_qid, out_rank, out_doc, out_dl = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, dls = self.search_sort(q or "", lg or None,
+                                            ascending=self.sort_ascending)
+                for r, (d, dl) in enumerate(zip(ids, dls), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_dl.append(int(dl))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "doc_len": pa.array(out_dl, type=pa.int64()),
+            })
         if self.query_kind == "top_hits":
             out = {"query_id": [], "lang": [], "grank": [], "doc_id": [],
                    "score": []}
@@ -1913,7 +1949,7 @@ def run_queries_sharded(
     _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
-                  "range", "dis_max", "boosting", "top_hits"}
+                  "range", "dis_max", "boosting", "top_hits", "sort"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -2005,6 +2041,21 @@ def run_queries_sharded(
         return t.select(["query_id", "bucket", "n_hits_sum"]).rename_columns(
             ["query_id", "bucket", "n_hits"])
 
+    def _merge_sort(g: pa.Table) -> pa.Table:
+        # per-shard field-sorted pages are complete per ordinal range:
+        # merge = re-sort the union on the same key and re-cut
+        asc = bool((engine_kwargs or {}).get("sort_ascending", False))
+        dls = g["doc_len"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dls if asc else -dls))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "doc_len": pa.array(dls[order].astype(np.int64),
+                                type=pa.int64()),
+        })
+
     def _merge_top_hits(g: pa.Table) -> pa.Table:
         # exact: each doc lives in exactly one ordinal range, so per-shard
         # per-(query, lang) top-group_n rows cover the global top-group_n;
@@ -2047,7 +2098,7 @@ def run_queries_sharded(
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist,
                "stats": _merge_stats, "range": _merge_dl_hist,
-               "top_hits": _merge_top_hits}
+               "top_hits": _merge_top_hits, "sort": _merge_sort}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

@@ -863,6 +863,32 @@ FROM creps WHERE rnk2 <= {k}"""
     )
 
 
+def sort_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                  ascending: bool = False) -> str:
+    """Field-sort oracle (pipelines.sort_topk replay; ES sort by a numeric
+    doc-value): the query filters, the page orders by doc_len (doc_id
+    tiebreak), no relevance scoring."""
+    direction = "ASC" if ascending else "DESC"
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+            f"""
+fsort AS (
+  SELECT r.query_id, r.doc_id, d.doc_len,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY d.doc_len {direction},
+                                     r.doc_id ASC) AS rnk2
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk2 AS BIGINT) AS rank, doc_id,
+       CAST(doc_len AS BIGINT) AS doc_len
+FROM fsort WHERE rnk2 <= {k}"""
+    )
+
+
 def top_hits_sql(queries: list[tuple[int, str]], group_n: int = 3) -> str:
     """Per-bucket top-hits oracle (pipelines.top_hits_agg replay; ES terms
     agg + top_hits sub-agg): best ``group_n`` docs per (query, lang)

@@ -715,3 +715,45 @@ def test_top_hits_matches_bruteforce_and_sharded(flat_dir, oracle,
     b = base.sort_values(cols).reset_index(drop=True)
     s = shard.sort_values(cols).reset_index(drop=True)
     assert b.to_dict("list") == s.to_dict("list")
+
+
+def test_sort_kind_matches_bruteforce(flat_dir, oracle, corpus_table,
+                                      ray_session):
+    """Field sort: the query filters, the page orders by the doc_len
+    doc-value (doc_id tiebreak) — both directions, plus sharded parity."""
+    import pyarrow as pa
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    dl = {doc_id63(r["repo"], r["path"], r["commit"]):
+          len(tokens_py(r["content"]))
+          for r in corpus_table.to_pylist()
+          if r["content"] and r["content"].strip()}
+    for asc in (False, True):
+        e = QueryEngine(flat_dir, k=7, query_kind="sort",
+                        sort_ascending=asc)
+        for q in QUERIES:
+            tf = {}
+            for tok in tokens_py(q):
+                tf[tok] = tf.get(tok, 0) + 1
+            hits = [d for d, u in oracle._acc_units(tf).items() if u > 0]
+            want = sorted(hits, key=lambda d: (dl[d] if asc else -dl[d],
+                                               d))[:7]
+            ids, dls = e.search_sort(q, ascending=asc)
+            assert ids.tolist() == want, (q, asc)
+            assert dls.tolist() == [dl[d] for d in want], (q, asc)
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+    base = run_queries(rd.from_arrow(tbl), flat_dir, k=7, concurrency=2,
+                       query_kind="sort").to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(tbl), flat_dir, k=7, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="sort").to_pandas()
+    cols = ["query_id", "rank"]
+    b = base.sort_values(cols).reset_index(drop=True)
+    s = shard.sort_values(cols).reset_index(drop=True)
+    assert b.to_dict("list") == s.to_dict("list")
