@@ -207,6 +207,20 @@ def q_ann_cosine(sf_dir: str):
                                        concurrency=ANN_POOL)
 
 
+ANN_FILTER_LABEL = 3  # candidate predicate for the filtered-knn entry
+
+
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search (Milvus expr= / ES knn filter): exact cosine
+    top-k among candidates with label == ANN_FILTER_LABEL — the predicate
+    applies BEFORE the matmul inside each batch (pre-filtering), so the
+    answer is the true top-k of the qualifying subset."""
+    ids, mat = _query_vectors(sf_dir)
+    return similarity.brute_force_topk(
+        _emb_ds(sf_dir), ids, mat, k=ANN_K, concurrency=ANN_POOL,
+        label_filter=ANN_FILTER_LABEL)
+
+
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
@@ -239,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine,
+        "ann_filtered_topk": q_ann_filtered,
         "ann_ivf_topk": q_ann_ivf,  # approximate: rows-only driver check
         "embedding_neardup_pairs": q_embedding_neardup,
     }
@@ -468,6 +483,25 @@ SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
 FROM ranked WHERE rnk <= {ANN_K}"""
 
 
+def ann_filtered_sql() -> str:
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_vec_id, e.vec_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERY_VECS} AND e.label = {ANN_FILTER_LABEL}
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= {ANN_K}"""
+
+
 def ann_ivf_sql() -> str:
     """Exact replay of q_ann_ivf: same seeded unit centroids as literals,
     bucket = argmax dot (ties: lowest cid), probes = top nprobe centroids per
@@ -576,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": langid_sql(),
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),
+        "ann_filtered_topk": ann_filtered_sql(),
         "ann_ivf_topk": ann_ivf_sql(),
         "embedding_neardup_pairs": embedding_neardup_sql(),
     }

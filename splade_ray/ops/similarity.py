@@ -39,13 +39,26 @@ class CosineTopK:
     """Actor-pool stage: cosine top-k of each batch's vectors vs the broadcast
     query matrix; emits per-batch partial candidates."""
 
-    def __init__(self, queries_ref, k: int):
+    def __init__(self, queries_ref, k: int, label_filter: int | None = None):
         q = ray.get(queries_ref)  # broadcast once per actor, not per batch
         self.qids = q["ids"]
         self.qmat = _normalize(q["mat"])
         self.k = k
+        # filtered vector search (Milvus expr= / ES knn filter): the
+        # candidate predicate applies BEFORE the matmul (pre-filtering —
+        # exact top-k over the qualifying subset, never a post-cut that
+        # can return < k survivors)
+        self.label_filter = label_filter
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.label_filter is not None:
+            t = t.filter(pc.equal(t["label"], self.label_filter))
+            if t.num_rows == 0:
+                return pa.table({
+                    "query_vec_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                })
         mat = _normalize(_matrix(t, "embedding"))
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         sims = self.qmat @ mat.T  # (n_queries, batch)
@@ -114,13 +127,18 @@ def _merge_partials(partial_ds, k: int) -> pa.Table:
 
 
 def brute_force_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
-                     k: int = 10, concurrency: int = 4):
+                     k: int = 10, concurrency: int = 4,
+                     label_filter: int | None = None):
     """Global cosine top-k: broadcast queries, partial top-k per batch,
     distributed per-query merge.  Excludes self-matches.
+    ``label_filter`` restricts CANDIDATES to rows with that label — the
+    filtered-vector-search shape (pre-filter inside the batch scorer, so
+    the result is the exact top-k of the qualifying subset).
     Returns (query_vec_id, rank, vec_id, cosine)."""
     ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
     partial = ds.map_batches(
-        CosineTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k + 1},
+        CosineTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k + 1,
+                                           "label_filter": label_filter},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
     return _merge_partials(partial, k)

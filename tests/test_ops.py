@@ -388,3 +388,42 @@ def test_multimodal_pil_branch_requires_pil():
         }))
         assert feats["width"].to_pylist() == [6]
         assert feats["height"].to_pylist() == [4]
+
+
+def test_ann_filtered_restricts_candidates(ray_session):
+    """Filtered vector search: every returned candidate carries the filter
+    label; results equal brute-force top-k over the qualifying subset, and
+    a doc outside the label never appears even when it is the global
+    nearest neighbor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops import similarity
+
+    rng = np.random.default_rng(5)
+    n, dim = 120, 8
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in mat],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    qids = np.array([0, 1, 2])
+    qmat = mat[:3]
+    res = similarity.brute_force_topk(
+        rd.from_arrow(tbl).repartition(5), qids, qmat, k=5,
+        concurrency=2, label_filter=2)
+    rows = res.to_pylist()
+    assert rows
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        want_pool = [(i, float(norm[qi] @ norm[i]))
+                     for i in range(n) if labels[i] == 2 and i != qi]
+        want = sorted(want_pool, key=lambda x: (-round(x[1], 12), x[0]))[:5]
+        got_q = [(r["vec_id"], r["cosine"]) for r in rows
+                 if r["query_vec_id"] == qi]
+        assert [v for v, _ in got_q] == [v for v, _ in want], qi
+        assert all(labels[v] == 2 for v, _ in got_q)
