@@ -169,10 +169,14 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                            ) -> pa.Table:
     """One task per ordinal range: verify each spec from the positional
     sidecar, score verified docs, return (query_id, doc_id, units) rows.
-    ``specs``: {"qid", "kind": "phrase", "tokens"} or {"qid", "kind":
-    "near", "a", "b", "slop", "ordered" (a != b)}.  ``weights``: per qid the
-    (term, qtf*idf) rows (df from the whole index, computed once driver-side
-    via index_stats)."""
+
+    ``specs`` kinds: "phrase" {tokens}, "near" {a, b, slop, ordered;
+    a != b}, "span" {terms, window, ordered}, "span_or" {clauses},
+    "span_not" {tokens, exclude, pre, post}, "first" {term, limit},
+    "phrase_prefix" {tokens, prefix}.  Several specs may SHARE a qid (the
+    per-language expansion of tag_spec relies on it).  ``weights``: per
+    qid the (term, qtf*idf) rows (df from the whole index, computed once
+    driver-side via index_stats)."""
     from .build import SCORE_SCALE
     from .codecs import tf_saturation
     from .query import QueryEngine
