@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_agg_sharded": p.top_hits_agg_sharded,
         "sort_topk": p.sort_topk,
         "sort_topk_sharded": p.sort_topk_sharded,
+        "rescore_topk_sharded": p.rescore_topk_sharded,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -160,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "top_hits_agg_sharded": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
+        "rescore_topk_sharded": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
+                                                     p.RESCORE_WINDOW),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

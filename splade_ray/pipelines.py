@@ -1733,6 +1733,23 @@ def rescore_topk(sf_dir: str, top_k: int = TOP_K,
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+def rescore_topk_sharded(sf_dir: str, top_k: int = TOP_K,
+                         window: int = RESCORE_WINDOW):
+    """rescore_topk through the doc-range fan-out: each range runs the
+    window-partial (its complete-sums top-``window`` with bm25 AND coord
+    units); the merge re-cuts the GLOBAL window over the union and
+    combines — exact because per-range sums are complete, so per-range
+    windows cover the global one.  Same oracle as rescore_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="rescore",
+        engine_kwargs={"rescore_window": window})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 def explain_top1(sf_dir: str):
     """Score explanation (Lucene/ES ``explain`` API): per-term breakdown —
     (term, qtf, df, tf, contribution) — for each DOC_QUERIES entry's

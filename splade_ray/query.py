@@ -123,7 +123,7 @@ class QueryEngine:
                               "lang_agg", "count", "search_after", "explain",
                               "synonym", "regexp", "rescore", "dl_hist",
                               "stats", "range", "dis_max", "boosting",
-                              "top_hits", "sort"):
+                              "top_hits", "sort", "rescore_partial"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -993,13 +993,29 @@ class QueryEngine:
         tiebreak, cut to k.  The expensive scorer touches window docs, not
         the corpus — the standard serving shape for costly second-phase
         models (cross-encoders, proximity boosts)."""
+        ords, units, coord = self._rescore_window_units(query, lang)
+        if not len(ords):
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        comb = units + coord
+        order = np.lexsort((ords, -comb))[: self.k]
+        return self.docs.gather_ids(ords[order]), comb[order]
+
+    def _rescore_window_units(self, query: str, lang: str | None):
+        """Phase-1 window + phase-2 coordination units, before the final
+        combine: (window ORDINALS, bm25 units, coord units).
+
+        COMPLETE sums for phase 1 (the same rule search_bool /
+        search_filtered / search_after follow): the configured scorer
+        (_score_taat dense path, _score_bmw) prunes candidates to top-k,
+        which would silently truncate the window to ~k docs whenever
+        rescore_window > k — docs bm25-ranked k+1..window would never be
+        rescored, diverging from the rescore_topk_sql oracle.
+
+        Under ord_range the per-range window is complete for its docs, so
+        per-shard windows cover the global window — the sharded fan-out's
+        merge re-cuts the union (run_queries_sharded kind "rescore")."""
         qterms = self._query_terms(query, lang)
-        # COMPLETE sums for phase 1 (the same rule search_bool /
-        # search_filtered / search_after follow): the configured scorer
-        # (_score_taat dense path, _score_bmw) prunes candidates to top-k,
-        # which would silently truncate the window to ~k docs whenever
-        # rescore_window > k — docs bm25-ranked k+1..window would never be
-        # rescored, diverging from the rescore_topk_sql oracle.
         ords, units = self._sparse_sums(qterms)
         # phase-1 cut at the window (same ties-by-ordinal rule as _topk)
         w = self.rescore_window
@@ -1008,7 +1024,7 @@ class QueryEngine:
             ords, units = ords[order], units[order]
         if not len(ords):
             e = np.empty(0, dtype=np.int64)
-            return e, e
+            return e, e, e
         from .docmap import sorted_member
 
         coord = np.zeros(len(ords), dtype=np.int64)
@@ -1024,9 +1040,7 @@ class QueryEngine:
             if len(t_ids):
                 present, _ = sorted_member(np.sort(t_ids), ords)
                 coord[present] += cu
-        comb = units + coord
-        order = np.lexsort((ords, -comb))[: self.k]
-        return self.docs.gather_ids(ords[order]), comb[order]
+        return ords, units, coord
 
     # ------------------------------------------------------------- dis_max --
     def search_dis_max(self, clauses: "list[str]", lang: str | None = None):
@@ -1535,6 +1549,30 @@ class QueryEngine:
                 "score": pa.array(out_score, type=pa.float64()),
                 "lang": pa.array(out_lang, type=pa.string()),
             })
+        if self.query_kind == "rescore_partial":
+            # sharded rescore's per-range leg: the range-local phase-1
+            # window with bm25 AND coord units (both exact per doc at any
+            # partitioning); the merge re-cuts the global window and
+            # combines (run_queries_sharded._merge_rescore)
+            out = {"query_id": [], "doc_id": [], "bm25_units": [],
+                   "coord_units": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ords, units, coord = self._rescore_window_units(
+                    q or "", lg or None)
+                if not len(ords):
+                    continue
+                ids = self.docs.gather_ids(ords)
+                out["query_id"].extend([qid] * len(ids))
+                out["doc_id"].extend(int(d) for d in ids)
+                out["bm25_units"].extend(int(u) for u in units)
+                out["coord_units"].extend(int(c) for c in coord)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "bm25_units": pa.array(out["bm25_units"], type=pa.int64()),
+                "coord_units": pa.array(out["coord_units"],
+                                        type=pa.int64()),
+            })
         if self.query_kind == "sort":
             out_qid, out_rank, out_doc, out_dl = [], [], [], []
             for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
@@ -1942,19 +1980,23 @@ def run_queries_sharded(
     query — one tiny task per query, never a data-scale shuffle.
     """
     # kinds whose per-range answers compose exactly under a documented
-    # merge.  'rescore' is NOT shard-exact (the phase-1 window is a GLOBAL
-    # top-window; per-shard windows would rescore the wrong candidate set)
-    # and 'explain' rows have no rank/score columns to merge — refuse both
-    # loudly rather than silently merging wrong shapes.
+    # merge.  'rescore' runs each range as kind "rescore_partial" (the
+    # range-local phase-1 window with bm25 + coord units — per-shard
+    # windows COVER the global window because per-range sums are
+    # complete), merged by a global window re-cut + combine.  'explain'
+    # rows are per-(query, doc, term) facts owned by exactly one range —
+    # the merge is a plain union.
     _SHARDABLE = {"text", "prefix", "fuzzy", "fuzzy2", "wildcard", "bool",
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
-                  "range", "dis_max", "boosting", "top_hits", "sort"}
+                  "range", "dis_max", "boosting", "top_hits", "sort",
+                  "rescore", "explain"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
             f"(supported: {sorted(_SHARDABLE)}); run it through "
             "run_queries instead")
+    pool_kind = "rescore_partial" if query_kind == "rescore" else query_kind
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
     n_shards = max(1, min(n_query_shards, n_docs))
@@ -1968,7 +2010,7 @@ def run_queries_sharded(
             run_queries(
                 queries_ds, index_dir, k=k, scorer=scorer,
                 concurrency=concurrency_per_shard, batch_size=batch_size,
-                ord_range=(lo, hi), query_kind=query_kind,
+                ord_range=(lo, hi), query_kind=pool_kind,
                 engine_kwargs=engine_kwargs,
             )
         )
@@ -2041,6 +2083,34 @@ def run_queries_sharded(
         return t.select(["query_id", "bucket", "n_hits_sum"]).rename_columns(
             ["query_id", "bucket", "n_hits"])
 
+    def _merge_rescore(g: pa.Table, k: int = k) -> pa.Table:
+        # global phase-1 window over the union of per-range windows (same
+        # (-bm25, doc_id) rule as the engine's ordinal cut — ordinals are
+        # order-isomorphic to doc ids), then combine + final cut, exactly
+        # QueryEngine.search_rescore's tail
+        w = int((engine_kwargs or {}).get("rescore_window", 50))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        bm25 = g["bm25_units"].to_numpy(zero_copy_only=False)
+        coord = g["coord_units"].to_numpy(zero_copy_only=False)
+        win = np.lexsort((ids, -bm25))[:w]
+        comb = bm25[win] + coord[win]
+        order = np.lexsort((ids[win], -comb))[:k]
+        sel = win[order]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(sel)),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "score": pa.array(comb[order] / SCORE_SCALE,
+                              type=pa.float64()),
+        })
+
+    def _merge_explain(g: pa.Table) -> pa.Table:
+        # each (query, doc) lives in exactly one ordinal range: the union
+        # IS the answer (deterministic order for stable output)
+        idx = np.lexsort((np.asarray(g["term"].to_pylist(), dtype=object),
+                          g["doc_id"].to_numpy(zero_copy_only=False)))
+        return g.take(pa.array(idx))
+
     def _merge_sort(g: pa.Table) -> pa.Table:
         # per-shard field-sorted pages are complete per ordinal range:
         # merge = re-sort the union on the same key and re-cut
@@ -2098,7 +2168,8 @@ def run_queries_sharded(
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist,
                "stats": _merge_stats, "range": _merge_dl_hist,
-               "top_hits": _merge_top_hits, "sort": _merge_sort}
+               "top_hits": _merge_top_hits, "sort": _merge_sort,
+               "rescore": _merge_rescore, "explain": _merge_explain}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

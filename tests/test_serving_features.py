@@ -429,10 +429,56 @@ def test_sharded_rejects_unmergeable_kinds(flat_dir, ray_session):
 
     tbl = pa.table({"query_id": pa.array([0], type=pa.int64()),
                     "query": pa.array(["merge"])})
-    for kind in ("rescore", "explain"):
-        with pytest.raises(ValueError, match="not shard-mergeable"):
-            run_queries_sharded(rd.from_arrow(tbl), flat_dir,
-                                query_kind=kind)
+    with pytest.raises(ValueError, match="not shard-mergeable"):
+        run_queries_sharded(rd.from_arrow(tbl), flat_dir,
+                            query_kind="rescore_partial")
+
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_sharded_rescore_and_explain_match_pool(flat_dir, n_shards,
+                                                ray_session):
+    """Round 5 made the last two kinds shard-exact: rescore runs each
+    range as a window-partial (bm25 + coord units) with a global re-cut
+    in the merge; explain rows are owned by exactly one range, merge =
+    union."""
+    import pyarrow as pa
+
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+    kw = {"rescore_window": 40}
+    base = run_queries(rd.from_arrow(tbl), flat_dir, k=6, concurrency=2,
+                       query_kind="rescore", engine_kwargs=kw).to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(tbl), flat_dir, k=6, n_query_shards=n_shards,
+        concurrency_per_shard=1, query_kind="rescore",
+        engine_kwargs=kw).to_pandas()
+    cols = ["query_id", "rank"]
+    b = base.sort_values(cols).reset_index(drop=True)
+    s = shard.sort_values(cols).reset_index(drop=True)
+    assert b.to_dict("list") == s.to_dict("list"), n_shards
+
+    # explain: pair each query with its pool top-1 doc
+    e = QueryEngine(flat_dir, k=1)
+    rows = []
+    for qid, q in enumerate(QUERIES):
+        ids, _ = e.search_one(q)
+        if len(ids):
+            rows.append({"query_id": qid, "query": q,
+                         "doc_id": int(ids[0])})
+    ex_tbl = pa.Table.from_pylist(rows)
+    base = run_queries(rd.from_arrow(ex_tbl), flat_dir, concurrency=2,
+                       query_kind="explain").to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(ex_tbl), flat_dir, n_query_shards=n_shards,
+        concurrency_per_shard=1, query_kind="explain").to_pandas()
+    cols = ["query_id", "doc_id", "term"]
+    b = base.sort_values(cols).reset_index(drop=True)
+    s = shard.sort_values(cols).reset_index(drop=True)
+    assert b.to_dict("list") == s.to_dict("list"), n_shards
 
 
 def test_sharded_synonym_passthrough(flat_dir, ray_session):
