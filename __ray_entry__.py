@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk": p.sort_topk,
         "sort_topk_sharded": p.sort_topk_sharded,
         "rescore_topk_sharded": p.rescore_topk_sharded,
+        "dis_max_topk_sharded": p.dis_max_topk_sharded,
+        "boosting_topk_sharded": p.boosting_topk_sharded,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -163,6 +165,10 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "rescore_topk_sharded": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
                                                      p.RESCORE_WINDOW),
+        "dis_max_topk_sharded": sql.dis_max_topk_sql(p.DISMAX_QUERIES,
+                                                     TOP_K, tie=p.DISMAX_TIE),
+        "boosting_topk_sharded": sql.boosting_topk_sql(p.BOOSTING_QUERIES,
+                                                       TOP_K, nb=p.NEG_BOOST),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

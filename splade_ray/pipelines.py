@@ -593,6 +593,46 @@ def top_hits_agg_sharded(sf_dir: str, group_n: int = TOP_HITS_N):
                            batch_format="pyarrow")
 
 
+def dis_max_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """dis_max_topk through the doc-range fan-out (complete per-range
+    clause sums -> per-range combined pages, plain top-k merge) — same
+    oracle as dis_max_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in DISMAX_QUERIES],
+                             type=pa.int64()),
+        "clauses": pa.array([c for _, c in DISMAX_QUERIES],
+                            type=pa.list_(pa.string())),
+    })
+    res = run_queries_sharded(
+        rd.from_arrow(tbl), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="dis_max",
+        engine_kwargs={"dismax_tie": DISMAX_TIE})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def boosting_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """boosting_topk through the doc-range fan-out (the demotion is a
+    per-doc predicate over complete range sums, plain top-k merge) — same
+    oracle as boosting_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _, _ in BOOSTING_QUERIES],
+                             type=pa.int64()),
+        "query": pa.array([p_ for _, p_, _ in BOOSTING_QUERIES]),
+        "negative": pa.array([n for _, _, n in BOOSTING_QUERIES]),
+    })
+    res = run_queries_sharded(
+        rd.from_arrow(tbl), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="boosting",
+        engine_kwargs={"negative_boost": NEG_BOOST})
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 # --------------------------------------------------------- wider coverage --
 
 def _qterms_py() -> list[tuple[int, str, int]]:
