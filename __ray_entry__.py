@@ -55,15 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
         "range_agg": p.range_agg,
-        "stats_agg_sharded": p.stats_agg_sharded,
-        "range_agg_sharded": p.range_agg_sharded,
         "top_hits_agg": p.top_hits_agg,
-        "top_hits_agg_sharded": p.top_hits_agg_sharded,
         "sort_topk": p.sort_topk,
-        "sort_topk_sharded": p.sort_topk_sharded,
-        "rescore_topk_sharded": p.rescore_topk_sharded,
-        "dis_max_topk_sharded": p.dis_max_topk_sharded,
-        "boosting_topk_sharded": p.boosting_topk_sharded,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -79,6 +72,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": p.bm25_topk_merged,
         "bm25_topk_sharded": p.bm25_topk_sharded,
         "idf_coord_topk": p.idf_coord_topk,
+        # new-kind sharded twins (same oracles as the single-pool entries;
+        # pytest covers shard parity, so these rank below the distinct
+        # operators for the driver's ~50-entry cap)
+        "stats_agg_sharded": p.stats_agg_sharded,
+        "range_agg_sharded": p.range_agg_sharded,
+        "top_hits_agg_sharded": p.top_hits_agg_sharded,
+        "sort_topk_sharded": p.sort_topk_sharded,
+        "rescore_topk_sharded": p.rescore_topk_sharded,
+        "dis_max_topk_sharded": p.dis_max_topk_sharded,
+        "boosting_topk_sharded": p.boosting_topk_sharded,
         "bm25_topk_docs": p.bm25_topk_docs,
         "rrf_hybrid": p.rrf_hybrid,
         "rrf_dense_sparse": p.rrf_dense_sparse,
@@ -157,18 +160,8 @@ def oracle_sql() -> dict[str, str]:
                                                nb=p.NEG_BOOST),
         "stats_agg": sql.stats_agg_sql(DOC_QUERIES),
         "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
-        "stats_agg_sharded": sql.stats_agg_sql(DOC_QUERIES),
-        "range_agg_sharded": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "top_hits_agg": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
-        "top_hits_agg_sharded": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
-        "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
-        "rescore_topk_sharded": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
-                                                     p.RESCORE_WINDOW),
-        "dis_max_topk_sharded": sql.dis_max_topk_sql(p.DISMAX_QUERIES,
-                                                     TOP_K, tie=p.DISMAX_TIE),
-        "boosting_topk_sharded": sql.boosting_topk_sql(p.BOOSTING_QUERIES,
-                                                       TOP_K, nb=p.NEG_BOOST),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"
@@ -193,6 +186,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_merged": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "bm25_topk_sharded": sql.bm25_topk_sql(DOC_QUERIES, TOP_K),
         "idf_coord_topk": sql.idf_coord_topk_sql(DOC_QUERIES, TOP_K),
+        "stats_agg_sharded": sql.stats_agg_sql(DOC_QUERIES),
+        "range_agg_sharded": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
+        "top_hits_agg_sharded": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
+        "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
+        "rescore_topk_sharded": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
+                                                     p.RESCORE_WINDOW),
+        "dis_max_topk_sharded": sql.dis_max_topk_sql(p.DISMAX_QUERIES,
+                                                     TOP_K, tie=p.DISMAX_TIE),
+        "boosting_topk_sharded": sql.boosting_topk_sql(p.BOOSTING_QUERIES,
+                                                       TOP_K, nb=p.NEG_BOOST),
         "bm25_topk_docs": sql.bm25_topk_docs_sql(DOC_QUERIES, TOP_K),
         "rrf_hybrid": sql.rrf_hybrid_sql(DOC_QUERIES, TOP_K),
         "rrf_dense_sparse": sql.rrf_dense_sparse_sql(DOC_QUERIES, TOP_K),
