@@ -207,6 +207,25 @@ def q_ann_cosine(sf_dir: str):
                                        concurrency=ANN_POOL)
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination: TRAIN docs (doc_id % DECON_MOD != 0)
+    sharing a token 3-gram shingle with the TEST subset (== 0), flagged
+    with the distinct-shared-shingle count."""
+    return dedup.decontaminate(_docs_ds(sf_dir))
+
+
+def decontaminate_sql() -> str:
+    h = H63.format(expr="shingle")
+    return f"""
+WITH {_SHINGLES},
+sh AS (SELECT doc_id, {h} AS h FROM shd),
+test AS (SELECT DISTINCT h FROM sh WHERE doc_id % {dedup.DECON_MOD} = 0)
+SELECT s.doc_id, CAST(count(DISTINCT s.h) AS BIGINT) AS n_shared
+FROM sh s JOIN test t ON t.h = s.h
+WHERE s.doc_id % {dedup.DECON_MOD} <> 0
+GROUP BY s.doc_id"""
+
+
 ANN_FILTER_LABEL = 3  # candidate predicate for the filtered-knn entry
 
 
@@ -245,6 +264,7 @@ def q_embedding_neardup(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "decontaminate": q_decontaminate,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -602,6 +622,7 @@ WHERE {cos} >= {NEARDUP_COS!r}e0"""
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
+        "decontaminate": decontaminate_sql(),
         "minhash_lsh_pairs": minhash_lsh_pairs_sql(),
         "simhash": simhash_sql(),
         "ngram_jaccard_pairs": ngram_jaccard_pairs_sql(),

@@ -191,6 +191,96 @@ def exact_dedup_apply(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# -------------------------------------------------------- decontamination --
+
+DECON_MOD = 17  # doc_id % MOD == 0 is the held-out "test" subset
+
+
+def _shingle_hash(vocab: pa.Array, hash_mode: str) -> np.ndarray:
+    """63-bit hash per DISTINCT shingle (vocab is already deduplicated, so
+    the per-string cost is paid once per distinct shingle, not per pair).
+    sha = the DuckDB-replayable oracle mode; mixer = vectorized."""
+    if hash_mode == "mixer":
+        return (_string_hash63(vocab) & np.uint64(MASK63)).astype(np.int64)
+    return np.fromiter((_h63(v) for v in vocab.to_pylist()),
+                       dtype=np.int64, count=len(vocab))
+
+
+def _test_shingles_batch(t: pa.Table, *, text_col: str, id_col: str,
+                         mod: int, hash_mode: str) -> pa.Table:
+    """Distinct shingle hashes of this batch's TEST rows (doc_id % mod == 0)
+    — the small side the driver unions and broadcasts."""
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % mod == 0))
+    if t.num_rows == 0:
+        return pa.table({"h": pa.array([], type=pa.int64())})
+    _, _, vocab, _ = _shingle_pairs(t, text_col)
+    return pa.table({"h": pa.array(np.unique(_shingle_hash(vocab, hash_mode)),
+                                   type=pa.int64())})
+
+
+def decontaminate(ds, text_col: str = "text", id_col: str = "doc_id",
+                  mod: int = DECON_MOD, hash_mode: str = "sha"):
+    """Train/test decontamination (the GPT-3 / Llama n-gram overlap
+    practice): flag TRAIN docs (doc_id % mod != 0) sharing at least one
+    token 3-gram shingle with the held-out TEST subset (doc_id % mod ==
+    0).  Returns (doc_id, n_shared) with n_shared = distinct shared
+    shingle hashes, flagged docs only — sql: contract.decontaminate_sql.
+
+    Scale shape: the test set is the SMALL side by definition (eval sets
+    are tiny next to a pretraining corpus), so its distinct shingle
+    hashes broadcast once (ray.put) and the corpus streams through one
+    vectorized membership pass — no shuffle, no join, the corpus never
+    moves.  At 10^12 docs the broadcast stays |test shingles| * 8 bytes."""
+    import ray
+
+    rows = ds.map_batches(
+        _test_shingles_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "mod": mod,
+                   "hash_mode": hash_mode},
+    ).take_all()  # bounded: distinct test shingles (deduped per batch)
+    test_h = np.unique(np.fromiter((r["h"] for r in rows), dtype=np.int64,
+                                   count=len(rows)))
+    ref = ray.put(test_h)  # sorted by construction
+
+    def _flag(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        train = t.filter(pa.array(ids % mod != 0))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_shared": pa.array([], type=pa.int64())})
+        if train.num_rows == 0 or not len(th):
+            return empty
+        pair_parents, pair_codes, vocab, n_rows = _shingle_pairs(
+            train, text_col)
+        if not len(pair_parents):
+            return empty
+        vh = _shingle_hash(vocab, hash_mode)
+        pos = np.searchsorted(th, vh)
+        member_code = (pos < len(th)) & (th[np.minimum(pos, len(th) - 1)]
+                                         == vh)
+        hit = member_code[pair_codes]
+        if not hit.any():
+            return empty
+        # count DISTINCT shared hashes per row (collision-identical to the
+        # SQL count(DISTINCT h)): sort (parent, hash) pairs, count firsts
+        hp, hh = pair_parents[hit], vh[pair_codes[hit]]
+        order = np.lexsort((hh, hp))
+        hp, hh = hp[order], hh[order]
+        first = np.ones(len(hp), dtype=bool)
+        first[1:] = (hp[1:] != hp[:-1]) | (hh[1:] != hh[:-1])
+        counts = np.bincount(hp[first], minlength=n_rows)
+        train_ids = train[id_col].to_numpy(zero_copy_only=False)
+        flagged = np.nonzero(counts > 0)[0]
+        return pa.table({
+            "doc_id": pa.array(train_ids[flagged], type=pa.int64()),
+            "n_shared": pa.array(counts[flagged].astype(np.int64),
+                                 type=pa.int64()),
+        })
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- minhash --
 
 def minhash_signature(text: str) -> list[int]:

@@ -427,3 +427,42 @@ def test_ann_filtered_restricts_candidates(ray_session):
                  if r["query_vec_id"] == qi]
         assert [v for v, _ in got_q] == [v for v, _ in want], qi
         assert all(labels[v] == 2 for v, _ in got_q)
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """n-gram decontamination: flagged train docs == brute-force 3-gram
+    shingle intersection against the test subset; clean docs absent;
+    mixer mode flags the same doc set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops import dedup
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, rng.integers(3, 12)))}
+            for i in range(300)]
+    tbl = pa.Table.from_pylist(rows)
+    got = {r["doc_id"]: r["n_shared"]
+           for r in dedup.decontaminate(
+               rd.from_arrow(tbl).repartition(7), mod=10).take_all()}
+    test_sh = set()
+    for r in rows:
+        if r["doc_id"] % 10 == 0:
+            test_sh.update(dedup.shingles(r["text"]))
+    want = {}
+    for r in rows:
+        if r["doc_id"] % 10 == 0:
+            continue
+        n = len(set(dedup.shingles(r["text"])) & test_sh)
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want
+    assert want  # the overlap actually exists in this corpus
+    mix = {r["doc_id"]: r["n_shared"]
+           for r in dedup.decontaminate(
+               rd.from_arrow(tbl).repartition(3), mod=10,
+               hash_mode="mixer").take_all()}
+    assert mix == want
