@@ -90,6 +90,13 @@ def q_quality_score(sf_dir: str):
     return textstats.make_op(textstats.quality_score_batch)(_docs_ds(sf_dir))
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher/MassiveText repetition filters: per doc, the duplicate
+    token-bigram fraction and the single most frequent token's share."""
+    return textstats.make_op(
+        textstats.repetition_stats_batch)(_docs_ds(sf_dir))
+
+
 def q_langid(sf_dir: str):
     return textstats.make_op(textstats.langid_batch)(_docs_ds(sf_dir))
 
@@ -270,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine,
@@ -393,6 +401,37 @@ SELECT d.doc_id,
             AS BIGINT) AS n_ws_tokens,
        CAST(len(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def repetition_stats_sql() -> str:
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+topt AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top
+  FROM (SELECT doc_id, term, count(*) AS c FROM tok
+        GROUP BY doc_id, term)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tl WHERE len(toks) >= 2)
+),
+bgs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+         CAST(count(DISTINCT bigram) AS BIGINT) AS dstnct
+  FROM bg GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_tokens,
+       round(CASE WHEN coalesce(g.total, 0) > 0
+                  THEN 1e0 - CAST(g.dstnct AS DOUBLE) / g.total
+                  ELSE 0e0 END, 9) AS dup_bigram_frac,
+       round(CASE WHEN b.n > 0
+                  THEN CAST(coalesce(tp.top, 0) AS DOUBLE) / b.n
+                  ELSE 0e0 END, 9) AS top_token_frac
+FROM base b LEFT JOIN bgs g USING (doc_id) LEFT JOIN topt tp USING (doc_id)"""
 
 
 def quality_score_sql() -> str:
@@ -628,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs_sql(),
         "token_stats": token_stats_sql(),
         "quality_score": quality_score_sql(),
+        "repetition_stats": repetition_stats_sql(),
         "langid": langid_sql(),
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),

@@ -444,6 +444,62 @@ def _fingerprint_mixer_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Tabl
     )
 
 
+def repetition_stats_batch(t: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens, dup_bigram_frac, top_token_frac) — the
+    Gopher/MassiveText repetition filters: the fraction of token bigrams
+    that are repeats of an earlier bigram in the same doc
+    (1 - distinct/total, 0 when < 2 tokens) and the share of the single
+    most frequent token.  Vectorized: one flat tokenize, bigrams via a
+    shifted element-wise join, per-row distinct counts via np.unique over
+    packed (row, code) keys."""
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    n = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    dup_frac = np.zeros(n_rows, dtype=np.float64)
+    top_frac = np.zeros(n_rows, dtype=np.float64)
+    if len(flat):
+        # top token fraction: distinct (row, token-code) counts
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary) + 1
+        keys = parents * v + codes
+        uk, cnt = np.unique(keys, return_counts=True)
+        rows_k = (uk // v).astype(np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(top, rows_k, cnt)
+        top_frac = np.where(n > 0, top / np.where(n > 0, n, 1), 0.0)
+        # bigrams: join adjacent tokens within a row
+        if len(flat) >= 2:
+            m = len(flat) - 1
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, m), flat.slice(1, m), " ")
+            valid = parents[:m] == parents[1:]
+            bg = joined.filter(pa.array(valid))
+            bp = parents[:m][valid]
+            if len(bp):
+                enc2 = pc.dictionary_encode(
+                    bg.combine_chunks() if isinstance(bg, pa.ChunkedArray)
+                    else bg)
+                c2 = enc2.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                v2 = len(enc2.dictionary) + 1
+                total_bg = np.bincount(bp, minlength=n_rows).astype(np.int64)
+                distinct_bg = np.bincount(
+                    (np.unique(bp * v2 + c2) // v2).astype(np.int64),
+                    minlength=n_rows).astype(np.int64)
+                safe = np.where(total_bg > 0, total_bg, 1)
+                dup_frac = np.where(
+                    total_bg > 0, 1.0 - distinct_bg / safe, 0.0)
+    return pa.table({
+        "doc_id": pc.cast(t[id_col], pa.int64()),
+        "n_tokens": pa.array(n, type=pa.int64()),
+        "dup_bigram_frac": pa.array(np.round(dup_frac, 9),
+                                    type=pa.float64()),
+        "top_token_frac": pa.array(np.round(top_frac, 9),
+                                   type=pa.float64()),
+    })
+
+
 def make_op(batch_fn, text_col: str = "text", id_col: str = "doc_id"):
     def op(ds):
         return ds.map_batches(

@@ -125,6 +125,27 @@ def test_ivf_recall(emb_ds):
     assert np.mean(recalls) >= 0.9  # clustered geometry: nprobe=2 of 8 is ample
 
 
+def test_repetition_stats(ray_session):
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        # 4 tokens, bigrams: "a b","b a","a b" -> 1 - 2/3 dup; top tok 2/4
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "x y z"},      # all bigrams distinct
+        {"doc_id": 2, "text": "w"},          # <2 tokens -> dup_frac 0
+        {"doc_id": 3, "text": ""},           # empty -> both 0
+    ]))
+    out = textstats.make_op(textstats.repetition_stats_batch)(ds).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 4
+    assert abs(out.loc[0, "dup_bigram_frac"] - (1 - 2 / 3)) < 1e-9
+    assert abs(out.loc[0, "top_token_frac"] - 0.5) < 1e-9
+    assert out.loc[1, "dup_bigram_frac"] == 0.0
+    assert abs(out.loc[1, "top_token_frac"] - 1 / 3) < 1e-9
+    assert out.loc[2, "dup_bigram_frac"] == 0.0
+    assert out.loc[2, "top_token_frac"] == 1.0
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[3, "top_token_frac"] == 0.0
+
+
 def test_langid_markers(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist([
         {"doc_id": 0, "text": "the cat and the dog is in a house"},
