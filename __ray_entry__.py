@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg": p.range_agg,
         "top_hits_agg": p.top_hits_agg,
         "sort_topk": p.sort_topk,
+        "function_score_topk": p.function_score_topk,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg_sharded": p.range_agg_sharded,
         "top_hits_agg_sharded": p.top_hits_agg_sharded,
         "sort_topk_sharded": p.sort_topk_sharded,
+        "function_score_topk_sharded": p.function_score_topk_sharded,
         "rescore_topk_sharded": p.rescore_topk_sharded,
         "dis_max_topk_sharded": p.dis_max_topk_sharded,
         "boosting_topk_sharded": p.boosting_topk_sharded,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "top_hits_agg": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
+        "function_score_topk": sql.function_score_topk_sql(DOC_QUERIES,
+                                                           TOP_K),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"
@@ -190,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "range_agg_sharded": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "top_hits_agg_sharded": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "sort_topk_sharded": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
+        "function_score_topk_sharded": sql.function_score_topk_sql(
+            DOC_QUERIES, TOP_K),
         "rescore_topk_sharded": sql.rescore_topk_sql(DOC_QUERIES, TOP_K,
                                                      p.RESCORE_WINDOW),
         "dis_max_topk_sharded": sql.dis_max_topk_sql(p.DISMAX_QUERIES,

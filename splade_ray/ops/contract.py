@@ -97,6 +97,12 @@ def q_repetition_stats(sf_dir: str):
         textstats.repetition_stats_batch)(_docs_ds(sf_dir))
 
 
+def q_unigram_nll(sf_dir: str):
+    """CCNet-style unigram-LM perplexity quality score (mean negative
+    log-prob per doc; LM estimated from the corpus itself here)."""
+    return textstats.unigram_nll(_docs_ds(sf_dir), concurrency=2)
+
+
 def q_langid(sf_dir: str):
     return textstats.make_op(textstats.langid_batch)(_docs_ds(sf_dir))
 
@@ -278,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "unigram_nll": q_unigram_nll,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine,
@@ -432,6 +439,23 @@ SELECT b.doc_id, b.n AS n_tokens,
                   THEN CAST(coalesce(tp.top, 0) AS DOUBLE) / b.n
                   ELSE 0e0 END, 9) AS top_token_frac
 FROM base b LEFT JOIN bgs g USING (doc_id) LEFT JOIN topt tp USING (doc_id)"""
+
+
+def unigram_nll_sql() -> str:
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM cf),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tl),
+sc AS (
+  SELECT t.doc_id, avg(-ln(cf.c / tot.n)) AS m
+  FROM tok t JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       round(coalesce(s.m, 0e0), 6) AS mean_nll
+FROM base b LEFT JOIN sc s USING (doc_id)"""
 
 
 def quality_score_sql() -> str:
@@ -668,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": token_stats_sql(),
         "quality_score": quality_score_sql(),
         "repetition_stats": repetition_stats_sql(),
+        "unigram_nll": unigram_nll_sql(),
         "langid": langid_sql(),
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),

@@ -500,6 +500,96 @@ def repetition_stats_batch(t: pa.Table, text_col: str = "text",
     })
 
 
+# ------------------------------------------- unigram-LM quality scoring --
+
+def _term_count_partial(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial collection-frequency counts (term, c) — the
+    combiner side of the LM-estimation groupby, so the shuffle moves one
+    row per DISTINCT term per batch, not one per token."""
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())})
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+    return pa.table({"term": pa.array(enc.dictionary.to_pylist(),
+                                      type=pa.string()),
+                     "c": pa.array(cnt)})
+
+
+class _UnigramNLL:
+    """Actor-pool scorer: the unigram log-prob table is fetched from the
+    object store ONCE per actor (`ray.put` broadcast) and built into a
+    dict in ``__init__``; each batch does a unique-terms-only lookup and a
+    bincount-weighted per-doc sum.  The CCNet perplexity-filter shape
+    (Wenzek et al. 2020) with a unigram stand-in for KenLM — no model
+    downloads in this environment.  OOV terms (possible when the LM was
+    estimated on a sample) score ln(N), i.e. probability 1/N."""
+
+    def __init__(self, lm_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        terms, nll, total = ray.get(lm_ref)
+        self.lut = dict(zip(terms, nll.tolist()))
+        self.oov = float(np.log(total)) if total > 0 else 0.0
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = _flat_tokens(t, self.text_col)
+        n = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        s = np.zeros(n_rows, dtype=np.float64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab = enc.dictionary.to_pylist()
+            vals = np.fromiter((self.lut.get(v, self.oov) for v in vocab),
+                               dtype=np.float64, count=len(vocab))
+            s = np.bincount(parents, weights=vals[codes], minlength=n_rows)
+        mean_nll = np.where(n > 0, s / np.where(n > 0, n, 1), 0.0)
+        return pa.table({
+            "doc_id": pc.cast(t[self.id_col], pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "mean_nll": pa.array(np.round(mean_nll, 6), type=pa.float64()),
+        })
+
+
+def unigram_nll(ds, lm_ds=None, text_col: str = "text",
+                id_col: str = "doc_id", concurrency: int = 4):
+    """Per-doc mean negative log-probability under a corpus unigram LM —
+    the perplexity quality filter of CCNet-style pipelines.
+
+    Pass 1 estimates the LM: per-batch partial counts → a small
+    ``groupby(term)`` (rows = vocab size, SUBLINEAR in corpus bytes — at
+    100 TB pass a bounded sample as ``lm_ds`` instead of the full corpus,
+    exactly as CCNet trains its LM on a Wikipedia sample).  The table is
+    broadcast once via ``ray.put`` and pass 2 scores every doc through an
+    actor pool.  Returns (doc_id, n_tokens, mean_nll)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    src = ds if lm_ds is None else lm_ds
+    cf_rows = (
+        src.map_batches(_term_count_partial, batch_format="pyarrow",
+                        fn_kwargs={"text_col": text_col})
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: one row per distinct term
+    )
+    terms = [r["term"] for r in cf_rows]
+    counts = np.array([r["c"] for r in cf_rows], dtype=np.float64)
+    total = float(counts.sum())
+    nll = -np.log(counts / total) if total > 0 else counts
+    lm_ref = ray.put((terms, nll, total))
+    return ds.map_batches(
+        _UnigramNLL,
+        fn_constructor_kwargs={"lm_ref": lm_ref, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+
 def make_op(batch_fn, text_col: str = "text", id_col: str = "doc_id"):
     def op(ds):
         return ds.map_batches(

@@ -562,6 +562,32 @@ def sort_topk_sharded(sf_dir: str, top_k: int = TOP_K,
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+def function_score_topk(sf_dir: str, top_k: int = TOP_K):
+    """Function-score query (ES ``function_score`` with
+    ``field_value_factor`` on the doc_len doc-value, boost_mode multiply
+    / Lucene FunctionScoreQuery): per DOC_QUERIES entry, final units =
+    BM25 units x doc_len, integer-exact
+    (QueryEngine.search_function_score).  Rank- and score-identical to
+    sql.function_score_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="function_score")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
+def function_score_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """function_score_topk through the doc-range fan-out (per-range sums
+    are complete and the doc_len factor is per-doc, so per-shard units
+    are final; plain top-k merge) — same oracle as function_score_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="function_score")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 TOP_HITS_N = 3  # per-lang-bucket size for the top_hits aggregation
 
 

@@ -123,7 +123,8 @@ class QueryEngine:
                               "lang_agg", "count", "search_after", "explain",
                               "synonym", "regexp", "rescore", "dl_hist",
                               "stats", "range", "dis_max", "boosting",
-                              "top_hits", "sort", "rescore_partial"):
+                              "top_hits", "sort", "function_score",
+                              "rescore_partial"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -1102,6 +1103,28 @@ class QueryEngine:
             ords = self.docs.gather_ids(ords)
         return ords, units
 
+    # ------------------------------------------------------ function_score --
+    def search_function_score(self, query: str, lang: str | None = None):
+        """Function-score query (Elasticsearch ``function_score`` with a
+        ``field_value_factor`` on the doc_len doc-value, factor 1,
+        modifier none, boost_mode multiply / Lucene FunctionScoreQuery
+        over a LongValuesSource): final units = BM25 units x doc_len —
+        all integer arithmetic, so rank- and score-identical to
+        sql.function_score_topk_sql.  Sums are complete (_sparse_sums)
+        BEFORE the multiply so the cut sees final scores; the factor is
+        one resident forward-array gather (docmap.gather_lens), no
+        postings re-read."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        ords, units = ords[keep], units[keep]
+        if len(ords):
+            units = units * self.docs.gather_lens(ords).astype(np.int64)
+        ords, units = self._topk(ords, units)
+        if len(ords):
+            ords = self.docs.gather_ids(ords)
+        return ords, units
+
     # -------------------------------------------------------------- regexp --
     _REGEXP_ALLOWED = r"[a-z0-9\*\+\?\.\[\]\(\)\|\-\^]+"
 
@@ -1779,7 +1802,8 @@ class QueryEngine:
                        "wildcard": self.search_wildcard,
                        "synonym": self.search_synonym,
                        "regexp": self.search_regexp,
-                       "rescore": self.search_rescore}
+                       "rescore": self.search_rescore,
+                       "function_score": self.search_function_score}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)
@@ -1990,7 +2014,7 @@ def run_queries_sharded(
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
-                  "rescore", "explain"}
+                  "function_score", "rescore", "explain"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "

@@ -1498,6 +1498,34 @@ FROM b_ranked WHERE rnk <= {k}"""
     )
 
 
+def function_score_topk_sql(queries: list[tuple[int, str]],
+                            k: int = 10) -> str:
+    """Function-score oracle (QueryEngine.search_function_score replay;
+    ES ``function_score`` with ``field_value_factor`` on doc_len, factor
+    1, modifier none, boost_mode multiply / Lucene FunctionScoreQuery):
+    final units = summed BM25 units x doc_len — integer-exact, through
+    the standard ranked chain re-cut on the multiplied units."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, fs_ranked AS (
+  SELECT s.query_id, s.doc_id,
+         CAST(s.units * d.doc_len AS BIGINT) AS units,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.units * d.doc_len DESC,
+                                     s.doc_id ASC) AS rnk
+  FROM scores s JOIN docs d ON d.doc_id = s.doc_id
+  WHERE s.units > 0
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM fs_ranked WHERE rnk <= {k}"""
+    )
+
+
 def span_or_topk_sql(specs: list[tuple[int, list[list[str]]]],
                      k: int = 10) -> str:
     """SpanOrQuery oracle (pipelines.span_or_topk replay; Lucene

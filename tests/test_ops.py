@@ -146,6 +146,35 @@ def test_repetition_stats(ray_session):
     assert out.loc[3, "top_token_frac"] == 0.0
 
 
+def test_unigram_nll(ray_session):
+    import math
+
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "b"},
+        {"doc_id": 2, "text": ""},
+    ]))
+    out = textstats.unigram_nll(ds, concurrency=1).to_pandas()
+    out = out.set_index("doc_id")
+    # corpus counts: a=2, b=2, N=4 -> every token nll = ln(2)
+    assert abs(out.loc[0, "mean_nll"] - math.log(2)) < 1e-6
+    assert abs(out.loc[1, "mean_nll"] - math.log(2)) < 1e-6
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "mean_nll"] == 0.0
+
+
+def test_unigram_nll_sample_lm_oov(ray_session):
+    """LM estimated on a sample; OOV terms score ln(N) (prob 1/N)."""
+    import math
+
+    lm = rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 0, "text": "a a b c"}]))      # N=4: a=2, b=1, c=1
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 7, "text": "a zzz"}]))        # zzz is OOV
+    out = textstats.unigram_nll(ds, lm_ds=lm, concurrency=1).to_pandas()
+    want = (-math.log(2 / 4) + math.log(4)) / 2
+    assert abs(out.loc[0, "mean_nll"] - want) < 1e-6
+
+
 def test_langid_markers(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist([
         {"doc_id": 0, "text": "the cat and the dog is in a house"},

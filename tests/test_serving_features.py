@@ -803,3 +803,44 @@ def test_sort_kind_matches_bruteforce(flat_dir, oracle, corpus_table,
     b = base.sort_values(cols).reset_index(drop=True)
     s = shard.sort_values(cols).reset_index(drop=True)
     assert b.to_dict("list") == s.to_dict("list")
+
+
+def test_function_score_matches_bruteforce(flat_dir, oracle, corpus_table,
+                                           ray_session):
+    """function_score (field_value_factor on doc_len, boost_mode
+    multiply): final units = BM25 units x doc_len, integer-exact vs the
+    brute-force oracle; plus sharded parity."""
+    import pyarrow as pa
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    dl = {doc_id63(r["repo"], r["path"], r["commit"]):
+          len(tokens_py(r["content"]))
+          for r in corpus_table.to_pylist()
+          if r["content"] and r["content"].strip()}
+    e = QueryEngine(flat_dir, k=7, query_kind="function_score")
+    for q in QUERIES:
+        tf = {}
+        for tok in tokens_py(q):
+            tf[tok] = tf.get(tok, 0) + 1
+        units = {d: u * dl[d]
+                 for d, u in oracle._acc_units(tf).items() if u > 0}
+        want = sorted(units, key=lambda d: (-units[d], d))[:7]
+        ids, us = e.search_function_score(q)
+        assert ids.tolist() == want, q
+        assert us.tolist() == [units[d] for d in want], q
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+    base = run_queries(rd.from_arrow(tbl), flat_dir, k=7, concurrency=2,
+                       query_kind="function_score").to_pandas()
+    shard = run_queries_sharded(
+        rd.from_arrow(tbl), flat_dir, k=7, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="function_score").to_pandas()
+    cols = ["query_id", "rank"]
+    b = base.sort_values(cols).reset_index(drop=True)
+    s = shard.sort_values(cols).reset_index(drop=True)
+    assert b.to_dict("list") == s.to_dict("list")
