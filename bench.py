@@ -306,6 +306,17 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.top_hits_agg(SF_DIR).count()
     timings["top_hits_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.function_score_topk(SF_DIR).count()
+    timings["function_score_topk_sec"] = round(time.perf_counter() - t0, 3)
+    # training-data quality filters (late round 5): repetition stats,
+    # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
+    # train/test decontamination — walls over the documents table
+    _oq = ops_contract.queries()
+    for _nm in ("repetition_stats", "unigram_nll", "decontaminate"):
+        t0 = time.perf_counter()
+        _oq[_nm](SF_DIR).count()
+        timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)
     from splade_ray.ops import assemble as ops_assemble
 
     docs_ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
