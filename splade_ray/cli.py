@@ -91,6 +91,7 @@ def cmd_query(args) -> int:
         "--syn": bool(synonyms),
         "--clause": bool(getattr(args, "clause", None)),
         "--negative": bool(getattr(args, "negative", None)),
+        "--boost-by-len": bool(getattr(args, "boost_by_len", False)),
     }
     set_flags = sorted(k for k, v in modes.items() if v)
     if len(set_flags) > 1:
@@ -146,6 +147,8 @@ def cmd_query(args) -> int:
         ids, units = engine.search_dis_max(args.clause, lang)
     elif getattr(args, "negative", None):
         ids, units = engine.search_boosting(args.text, args.negative, lang)
+    elif getattr(args, "boost_by_len", False):
+        ids, units = engine.search_function_score(args.text, lang)
     elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []
         ids, units = engine.search_bool(
@@ -422,6 +425,9 @@ def main(argv=None) -> int:
                    metavar="QUERY",
                    help="boosting mode: docs matching this bag are demoted "
                         "(x negative_boost), never excluded")
+    q.add_argument("--boost-by-len", action="store_true", dest="boost_by_len",
+                   help="function_score mode: final score = BM25 x doc_len "
+                        "(ES field_value_factor, boost_mode multiply)")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")

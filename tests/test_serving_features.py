@@ -572,6 +572,8 @@ def test_cli_query_mode_flags_are_exclusive(ray_session):
         ["query", "x", "--index", "/nonexistent", "--rescore", "-5"],
         ["query", "x", "--index", "/nonexistent", "--must", "a",
          "--rescore", "20"],
+        ["query", "x", "--index", "/nonexistent", "--boost-by-len",
+         "--prefix"],
     ):
         assert cli.main(argv) == 2, argv
 
