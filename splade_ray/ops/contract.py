@@ -97,6 +97,13 @@ def q_repetition_stats(sf_dir: str):
         textstats.repetition_stats_batch)(_docs_ds(sf_dir))
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style composite quality filter decision: repetition stats
+    plus auditable (keep, reason) under fixed rule precedence."""
+    return textstats.make_op(
+        textstats.gopher_filter_batch)(_docs_ds(sf_dir))
+
+
 def q_unigram_nll(sf_dir: str):
     """CCNet-style unigram-LM perplexity quality score (mean negative
     log-prob per doc; LM estimated from the corpus itself here)."""
@@ -220,6 +227,18 @@ def q_ann_cosine(sf_dir: str):
                                        concurrency=ANN_POOL)
 
 
+ANN_RANGE_TAU = 0.25  # >=3e-5 from every actual cosine at sf0.001-0.1
+
+
+def q_ann_range(sf_dir: str):
+    """Milvus-style range search (radius=) / ES knn similarity threshold:
+    every (query, vector) pair with cosine >= ANN_RANGE_TAU — no top-k
+    heap, no merge; per-batch threshold emit."""
+    ids, mat = _query_vectors(sf_dir)
+    return similarity.range_search(_emb_ds(sf_dir), ids, mat,
+                                   tau=ANN_RANGE_TAU, concurrency=ANN_POOL)
+
+
 def q_decontaminate(sf_dir: str):
     """Train/test decontamination: TRAIN docs (doc_id % DECON_MOD != 0)
     sharing a token 3-gram shingle with the TEST subset (== 0), flagged
@@ -284,10 +303,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
         "unigram_nll": q_unigram_nll,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine,
+        "ann_range_search": q_ann_range,
         "ann_filtered_topk": q_ann_filtered,
         "ann_ivf_topk": q_ann_ivf,  # approximate: rows-only driver check
         "embedding_neardup_pairs": q_embedding_neardup,
@@ -441,6 +462,24 @@ SELECT b.doc_id, b.n AS n_tokens,
 FROM base b LEFT JOIN bgs g USING (doc_id) LEFT JOIN topt tp USING (doc_id)"""
 
 
+def gopher_filter_sql() -> str:
+    return f"""
+WITH rep AS ({repetition_stats_sql()})
+SELECT doc_id, n_tokens, dup_bigram_frac, top_token_frac,
+       (reason = 'ok') AS keep, reason
+FROM (
+  SELECT *,
+    CASE WHEN n_tokens < {textstats.GOPHER_MIN_TOKENS} THEN 'too_short'
+         WHEN n_tokens > {textstats.GOPHER_MAX_TOKENS} THEN 'too_long'
+         WHEN dup_bigram_frac > {textstats.GOPHER_MAX_DUP_BIGRAM}
+              THEN 'repetitive_bigrams'
+         WHEN top_token_frac > {textstats.GOPHER_MAX_TOP_TOKEN}
+              THEN 'dominant_token'
+         ELSE 'ok' END AS reason
+  FROM rep
+)"""
+
+
 def unigram_nll_sql() -> str:
     return f"""
 WITH tl AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
@@ -564,6 +603,18 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id,
        round(cos, 6) AS cosine
 FROM ranked WHERE rnk <= {ANN_K}"""
+
+
+def ann_range_sql() -> str:
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_vec_id, e.vec_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERY_VECS}
+)
+SELECT query_vec_id, vec_id, round(cos, 6) AS cosine
+FROM scored WHERE cos >= {ANN_RANGE_TAU}"""
 
 
 def ann_filtered_sql() -> str:
@@ -692,10 +743,12 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": token_stats_sql(),
         "quality_score": quality_score_sql(),
         "repetition_stats": repetition_stats_sql(),
+        "gopher_filter": gopher_filter_sql(),
         "unigram_nll": unigram_nll_sql(),
         "langid": langid_sql(),
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),
+        "ann_range_search": ann_range_sql(),
         "ann_filtered_topk": ann_filtered_sql(),
         "ann_ivf_topk": ann_ivf_sql(),
         "embedding_neardup_pairs": embedding_neardup_sql(),

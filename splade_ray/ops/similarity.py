@@ -79,6 +79,52 @@ class CosineTopK:
         )
 
 
+class CosineRange:
+    """Actor-pool stage: ALL batch vectors with cosine >= tau against the
+    broadcast query matrix — Milvus range search (``radius=``) / ES knn
+    with a ``similarity`` threshold (reference analogue: the Milvus store
+    behind retrievers.py supports range search natively).  Unlike top-k
+    there is NO merge stage at all: each batch emits its qualifying pairs
+    and the union IS the answer, so the operator streams at any corpus
+    size (output bounded by threshold selectivity, not a per-query heap).
+    Self-matches are dropped."""
+
+    def __init__(self, queries_ref, tau: float):
+        q = ray.get(queries_ref)  # broadcast once per actor
+        self.qids = np.asarray(q["ids"])
+        self.qmat = _normalize(np.asarray(q["mat"]))
+        self.tau = float(tau)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(t, "embedding"))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ mat.T  # (n_queries, batch)
+        qi, vi = np.nonzero(sims >= self.tau)
+        keep = self.qids[qi] != ids[vi]  # drop self-matches
+        qi, vi = qi[keep], vi[keep]
+        return pa.table(
+            {
+                "query_vec_id": pa.array(self.qids[qi], type=pa.int64()),
+                "vec_id": pa.array(ids[vi], type=pa.int64()),
+                "cosine": pa.array(np.round(sims[qi, vi], 6),
+                                   type=pa.float64()),
+            }
+        )
+
+
+def range_search(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 tau: float, concurrency: int = 4):
+    """Cosine range search: every (query, vector) pair with cosine >= tau.
+    Broadcast queries, one matmul + threshold per batch, no shuffle, no
+    merge — returns a streaming Dataset of (query_vec_id, vec_id,
+    cosine)."""
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    return ds.map_batches(
+        CosineRange, fn_constructor_kwargs={"queries_ref": ref, "tau": tau},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+
 def _finalize_topk(tbl: pa.Table, k: int) -> pa.Table:
     """Merge per-batch partial candidates (tiny: k+1 rows per query-batch)
     into the global per-query top-k.  Drops self-matches; ties by vec_id."""

@@ -500,6 +500,38 @@ def repetition_stats_batch(t: pa.Table, text_col: str = "text",
     })
 
 
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MAX_DUP_BIGRAM = 0.05
+GOPHER_MAX_TOP_TOKEN = 0.125
+
+
+def gopher_filter_batch(t: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Gopher/MassiveText-style composite quality FILTER decision: the
+    repetition stats plus an auditable (keep, reason) pair — reason is
+    the FIRST failing rule in fixed precedence (too_short, too_long,
+    repetitive_bigrams, dominant_token), 'ok' otherwise.  Emitting the
+    decision instead of dropping rows keeps the operator pure/auditable;
+    apply with a downstream filter on ``keep``.  Flags are computed on
+    the same rounded values the stats columns expose, so the decision is
+    reproducible from the output alone."""
+    r = repetition_stats_batch(t, text_col, id_col)
+    n = r["n_tokens"].to_numpy(zero_copy_only=False)
+    dup = r["dup_bigram_frac"].to_numpy(zero_copy_only=False)
+    top = r["top_token_frac"].to_numpy(zero_copy_only=False)
+    reason = np.full(len(n), "ok", dtype=object)
+    # assign in REVERSE precedence: later writes win, so too_short ends
+    # up strongest — matching the SQL CASE's first-match order
+    reason[top > GOPHER_MAX_TOP_TOKEN] = "dominant_token"
+    reason[dup > GOPHER_MAX_DUP_BIGRAM] = "repetitive_bigrams"
+    reason[n > GOPHER_MAX_TOKENS] = "too_long"
+    reason[n < GOPHER_MIN_TOKENS] = "too_short"
+    r = r.append_column("keep", pa.array(reason == "ok"))
+    return r.append_column("reason", pa.array(reason.tolist(),
+                                              type=pa.string()))
+
+
 # ------------------------------------------- unigram-LM quality scoring --
 
 def _term_count_partial(t: pa.Table, text_col: str = "text") -> pa.Table:

@@ -109,6 +109,25 @@ def test_brute_force_topk_exact(emb_ds):
         assert (got == want).all()
 
 
+def test_range_search_exact(emb_ds):
+    """Range search returns exactly the pairs with cosine >= tau (no
+    self-matches), independent of partitioning."""
+    tbl = emb_ds.to_pandas()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    qids = np.array([0, 1, 2])
+    tau = 0.9  # inside a cluster; well off any boundary
+    res = similarity.range_search(emb_ds, qids, mat[:3], tau=tau,
+                                  concurrency=2).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        sims = norm[qi] @ norm.T
+        sims[qi] = -2
+        want = set(np.flatnonzero(sims >= tau).tolist())
+        got = set(res[res.query_vec_id == qi]["vec_id"])
+        assert got == want, qi
+        assert len(want) > 0  # cluster geometry guarantees neighbours
+
+
 def test_ivf_recall(emb_ds):
     tbl = emb_ds.to_pandas()
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
@@ -144,6 +163,22 @@ def test_repetition_stats(ray_session):
     assert out.loc[2, "top_token_frac"] == 1.0
     assert out.loc[3, "n_tokens"] == 0
     assert out.loc[3, "top_token_frac"] == 0.0
+
+
+def test_gopher_filter_precedence(ray_session):
+    long_ok = " ".join(f"w{i}" for i in range(40))       # 40 distinct tokens
+    repetitive = "a b " * 20                              # dup bigrams, also top-heavy
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 0, "text": long_ok},
+        {"doc_id": 1, "text": "x y z"},                   # too_short wins
+        {"doc_id": 2, "text": repetitive.strip()},        # repetitive > dominant
+    ]))
+    out = textstats.make_op(textstats.gopher_filter_batch)(ds).to_pandas()
+    out = out.set_index("doc_id")
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "reason"] == "ok"
+    assert out.loc[1, "reason"] == "too_short" and not bool(out.loc[1, "keep"])
+    # doc 2 fails BOTH bigram and top-token rules; precedence picks bigrams
+    assert out.loc[2, "reason"] == "repetitive_bigrams"
 
 
 def test_unigram_nll(ray_session):
