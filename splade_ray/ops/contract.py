@@ -239,6 +239,20 @@ def q_ann_range(sf_dir: str):
                                    tau=ANN_RANGE_TAU, concurrency=ANN_POOL)
 
 
+ANN_GROUPS = 4
+
+
+def q_ann_grouped(sf_dir: str):
+    """Grouping vector search (Milvus group_by_field / ES knn collapse):
+    per query, the top ANN_GROUPS label groups by best cosine, one
+    representative vector each — per-batch per-label partials, tiny
+    per-query merge."""
+    ids, mat = _query_vectors(sf_dir)
+    return similarity.grouped_topk(_emb_ds(sf_dir), ids, mat,
+                                   n_groups=ANN_GROUPS,
+                                   concurrency=ANN_POOL)
+
+
 def q_decontaminate(sf_dir: str):
     """Train/test decontamination: TRAIN docs (doc_id % DECON_MOD != 0)
     sharing a token 3-gram shingle with the TEST subset (== 0), flagged
@@ -309,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine,
         "ann_range_search": q_ann_range,
+        "ann_grouped_topk": q_ann_grouped,
         "ann_filtered_topk": q_ann_filtered,
         "ann_ivf_topk": q_ann_ivf,  # approximate: rows-only driver check
         "embedding_neardup_pairs": q_embedding_neardup,
@@ -617,6 +632,30 @@ SELECT query_vec_id, vec_id, round(cos, 6) AS cosine
 FROM scored WHERE cos >= {ANN_RANGE_TAU}"""
 
 
+def ann_grouped_sql() -> str:
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_vec_id, e.label, e.vec_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERY_VECS}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id, label
+                               ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+),
+grp AS (
+  SELECT query_vec_id, label, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, label ASC) AS grank
+  FROM best WHERE rn = 1
+)
+SELECT query_vec_id, CAST(grank AS BIGINT) AS grank,
+       CAST(label AS BIGINT) AS label, vec_id, round(cos, 6) AS cosine
+FROM grp WHERE grank <= {ANN_GROUPS}"""
+
+
 def ann_filtered_sql() -> str:
     cos = _cos_sql("q.embedding", "e.embedding")
     return f"""
@@ -749,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": fingerprints_sql(),
         "ann_cosine_topk": ann_cosine_sql(),
         "ann_range_search": ann_range_sql(),
+        "ann_grouped_topk": ann_grouped_sql(),
         "ann_filtered_topk": ann_filtered_sql(),
         "ann_ivf_topk": ann_ivf_sql(),
         "embedding_neardup_pairs": embedding_neardup_sql(),

@@ -125,6 +125,83 @@ def range_search(ds, query_ids: np.ndarray, query_mat: np.ndarray,
     )
 
 
+class CosineGroupBest:
+    """Per-batch partial for GROUPING search (Milvus ``group_by_field`` /
+    ES collapse-on-knn): the best (cosine, vec_id) per (query, label) in
+    this batch.  The partial is complete for its rows, so the global best
+    per (query, label) is the max over batch partials — the shuffle moves
+    at most |queries| x |labels| rows per batch, never the vectors."""
+
+    def __init__(self, queries_ref):
+        q = ray.get(queries_ref)
+        self.qids = np.asarray(q["ids"])
+        self.qmat = _normalize(np.asarray(q["mat"]))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(t, "embedding"))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        sims = self.qmat @ mat.T
+        out_q, out_l, out_v, out_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi].copy()
+            row[ids == self.qids[qi]] = -2.0  # exclude self-match
+            order = np.lexsort((ids, -row))
+            _, first = np.unique(labels[order], return_index=True)
+            best = order[first]
+            best = best[row[best] > -2.0]
+            out_q.extend([self.qids[qi]] * len(best))
+            out_l.extend(labels[best].tolist())
+            out_v.extend(ids[best].tolist())
+            out_s.extend(row[best].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, type=pa.int64()),
+                "label": pa.array(out_l, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def _finalize_groups(g: pa.Table, n_groups: int) -> pa.Table:
+    """Merge per-batch (query, label) partials: best row per label (ties
+    by vec_id asc), then rank labels by their best cosine (ties by label
+    asc) and cut to n_groups."""
+    labels = g["label"].to_numpy(zero_copy_only=False)
+    ids = g["vec_id"].to_numpy(zero_copy_only=False)
+    cos = g["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos))
+    _, first = np.unique(labels[order], return_index=True)
+    best = order[first]  # one row per label, its global best
+    grp = best[np.lexsort((labels[best], -cos[best]))][:n_groups]
+    return pa.table(
+        {
+            "query_vec_id": g["query_vec_id"].take(pa.array(grp)),
+            "grank": pa.array(np.arange(1, len(grp) + 1, dtype=np.int64)),
+            "label": pa.array(labels[grp], type=pa.int64()),
+            "vec_id": pa.array(ids[grp], type=pa.int64()),
+            "cosine": pa.array(np.round(cos[grp], 6), type=pa.float64()),
+        }
+    )
+
+
+def grouped_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 n_groups: int = 4, concurrency: int = 4):
+    """Grouping vector search (Milvus group_by_field): per query, the top
+    ``n_groups`` label groups ranked by their best cosine, one
+    representative vector each.  Broadcast queries, per-batch per-label
+    partials, tiny per-query merge."""
+    ref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    partial = ds.map_batches(
+        CosineGroupBest, fn_constructor_kwargs={"queries_ref": ref},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+    merged = partial.groupby("query_vec_id").map_groups(
+        lambda g: _finalize_groups(g, n_groups), batch_format="pyarrow")
+    return merged
+
+
 def _finalize_topk(tbl: pa.Table, k: int) -> pa.Table:
     """Merge per-batch partial candidates (tiny: k+1 rows per query-batch)
     into the global per-query top-k.  Drops self-matches; ties by vec_id."""

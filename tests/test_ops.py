@@ -128,6 +128,37 @@ def test_range_search_exact(emb_ds):
         assert len(want) > 0  # cluster geometry guarantees neighbours
 
 
+def test_grouped_topk_exact(ray_session):
+    """Grouping search: top-G label groups per query by best cosine, one
+    representative each — exact vs a brute-force pass."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 16)) * 8
+    rows = [{"vec_id": i,
+             "embedding": (centers[i % 6] + rng.normal(size=16))
+             .astype(np.float32).tolist(),
+             "label": i % 6} for i in range(120)]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl).repartition(5)
+    mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qids = np.array([0, 1])
+    out = similarity.grouped_topk(ds, qids, mat[:2], n_groups=3,
+                                  concurrency=2).to_pandas()
+    labels = np.array([r["label"] for r in rows])
+    for qi in qids:
+        sims = norm[qi] @ norm.T
+        sims[qi] = -2
+        best = {}
+        for lb in range(6):
+            m = np.flatnonzero(labels == lb)
+            j = m[np.lexsort((m, -sims[m]))[0]]
+            best[lb] = (sims[j], j)
+        want = sorted(best, key=lambda lb: (-best[lb][0], lb))[:3]
+        got = out[out.query_vec_id == qi].sort_values("grank")
+        assert got["label"].tolist() == want, qi
+        assert got["vec_id"].tolist() == [best[lb][1] for lb in want], qi
+
+
 def test_ivf_recall(emb_ds):
     tbl = emb_ds.to_pandas()
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
