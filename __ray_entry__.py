@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_agg": p.top_hits_agg,
         "sort_topk": p.sort_topk,
         "function_score_topk": p.function_score_topk,
+        "weighted_hybrid": p.weighted_hybrid,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -166,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "function_score_topk": sql.function_score_topk_sql(DOC_QUERIES,
                                                            TOP_K),
+        "weighted_hybrid": sql.weighted_hybrid_sql(DOC_QUERIES, TOP_K,
+                                                   *p.W_HYBRID),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

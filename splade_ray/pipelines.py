@@ -2042,6 +2042,24 @@ def rrf_hybrid(sf_dir: str):
     return rrf_fuse([bm25_topk(sf_dir, scorer="taat"), idf_coord_topk(sf_dir)])
 
 
+# WeightedRanker weights for the hybrid contract entry (sparse leg heavier,
+# the usual lexical-primary hybrid configuration)
+W_HYBRID = (0.7, 0.3)
+
+
+def weighted_hybrid(sf_dir: str):
+    """Weighted-sum hybrid fusion (per-query min-max normalization, weights
+    0.7/0.3) of the BM25 and IDF-coordination top-10 legs — the reference's
+    OTHER Milvus ranker (pymilvus WeightedRanker, retrievers.py:9 /
+    main.py:17; ES 'linear' retriever analogue).  Value-identical to
+    sql.weighted_hybrid_sql."""
+    from .ops.fusion import weighted_fuse
+
+    return weighted_fuse(
+        [bm25_topk(sf_dir, scorer="taat"), idf_coord_topk(sf_dir)],
+        W_HYBRID)
+
+
 def bm25_topk_merged(sf_dir: str):
     """A9 (log-structured index merge) made driver-checkable: build two
     GENERATION indexes over disjoint halves of the corpus (raw-id parity

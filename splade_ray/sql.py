@@ -1047,6 +1047,60 @@ FROM rrf_ranked WHERE rnk <= {k}"""
     )
 
 
+def weighted_hybrid_sql(queries: list[tuple[int, str]], k: int = 10,
+                        w1: float = 0.7, w2: float = 0.3) -> str:
+    """WeightedRanker oracle (pipelines.weighted_hybrid replay): per-query
+    min-max normalization of each leg's integer score units over its top-k
+    hits (single-score leg -> 1.0), per-leg quantization to integer units
+    via floor(w*norm*scale + 0.5) — the half-up rule both sides share —
+    then an exact integer sum (reference: pymilvus WeightedRanker,
+    retrievers.py:9 / main.py:17)."""
+    scale = _f(float(SCORE_SCALE))
+
+    def leg(src: str, w: float) -> str:
+        return f"""
+    SELECT query_id, doc_id,
+           CAST(floor(({_f(w)} * norm) * {scale} + 0.5e0) AS BIGINT) AS cu
+    FROM (
+      SELECT query_id, doc_id,
+             CASE WHEN maxu = minu THEN 1e0
+                  ELSE CAST(units - minu AS DOUBLE)
+                       / CAST(maxu - minu AS DOUBLE)
+             END AS norm
+      FROM (
+        SELECT query_id, doc_id, units,
+               min(units) OVER (PARTITION BY query_id) AS minu,
+               max(units) OVER (PARTITION BY query_id) AS maxu
+        FROM {src} WHERE rnk <= {k}
+      )
+    )"""
+
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), _coord_ranked_cte(),
+            f"""
+wsum AS (
+  SELECT query_id, doc_id, CAST(sum(cu) AS BIGINT) AS units FROM (
+{leg('ranked', w1)}
+    UNION ALL
+{leg('coord_ranked', w2)}
+  ) GROUP BY query_id, doc_id
+),
+w_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM wsum
+)""",
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {scale} AS weighted_score
+FROM w_ranked WHERE rnk <= {k}"""
+    )
+
+
 def chunk_docs_sql(chunk_size: int = 1000, overlap: int = 100) -> str:
     """Fixed-window chunker oracle (M1; reference chunk params ingest.py:90-91)."""
     step = chunk_size - overlap

@@ -17,6 +17,7 @@ FAST_KEYS = [
     "corpus_docs", "postings", "term_df", "corpus_stats", "top_terms",
     "token_stats", "quality_score", "langid", "dedup_exact", "simhash",
     "chunk_docs", "idf_coord_topk", "bm25_topk_taat", "rrf_hybrid",
+    "weighted_hybrid",
     "neardup_clusters",
     # round 2
     "chunk_docs_recursive", "bpe_token_count", "sample_by_content",

@@ -582,3 +582,30 @@ def test_decontaminate_matches_bruteforce(ray_session):
                rd.from_arrow(tbl).repartition(3), mod=10,
                hash_mode="mixer").take_all()}
     assert mix == want
+
+
+def test_weighted_fuse_semantics(ray_session):
+    """WeightedRanker semantics: per-(query, leg) min-max norm, weighted
+    integer-unit sum, tie-break by doc_id; a single-score leg normalizes
+    to 1.0; docs present in only one leg get only that leg's contribution."""
+    from splade_ray.ops import fusion
+
+    def leg(rows):
+        return rd.from_arrow(pa.Table.from_pylist(
+            [{"query_id": q, "rank": r, "doc_id": d, "score": s}
+             for q, r, d, s in rows]))
+
+    # q1: leg0 has docs 1(3.0) 2(1.0); leg1 has docs 2(5.0) 3(5.0) (tie ->
+    # both norm via max==min -> 1.0).  q2: single doc in leg0 only.
+    a = leg([(1, 1, 1, 3.0), (1, 2, 2, 1.0), (2, 1, 9, 2.0)])
+    b = leg([(1, 1, 2, 5.0), (1, 2, 3, 5.0)])
+    out = fusion.weighted_fuse([a, b], (0.7, 0.3)).to_pandas()
+    q1 = out[out.query_id == 1].sort_values("rank")
+    # doc1: 0.7*1.0 = 0.7 ; doc2: 0.7*0.0 + 0.3*1.0 = 0.3 ; doc3: 0.3*1.0
+    assert list(q1.doc_id) == [1, 2, 3]
+    assert np.allclose(list(q1.weighted_score), [0.7, 0.3, 0.3])
+    # doc2 vs doc3 tie on 0.3 -> doc_id ascending
+    q2 = out[out.query_id == 2]
+    assert list(q2.doc_id) == [9]
+    # single-score leg -> norm 1.0 -> full weight
+    assert np.allclose(list(q2.weighted_score), [0.7])
