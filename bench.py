@@ -309,6 +309,9 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.function_score_topk(SF_DIR).count()
     timings["function_score_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.weighted_hybrid(SF_DIR).count()
+    timings["weighted_hybrid_sec"] = round(time.perf_counter() - t0, 3)
     # training-data quality filters (late round 5): repetition stats,
     # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
     # train/test decontamination — walls over the documents table

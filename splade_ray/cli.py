@@ -4,6 +4,7 @@
     python -m splade_ray.cli query  --index DIR "free text query" [--lang py]
     python -m splade_ray.cli phrase --index DIR "exact phrase" | --near A B --slop N
     python -m splade_ray.cli eval   --index DIR --queries Q.csv --out R.csv
+    python -m splade_ray.cli fuse   A.csv B.csv --ranker weighted --weights 0.7,0.3
     python -m splade_ray.cli merge  --index A --index B --out DIR
     python -m splade_ray.cli delete --index DIR --ids 1,2,3 | --ids-file F
     python -m splade_ray.cli compact --index DIR --out DIR2
@@ -295,6 +296,59 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_fuse(args) -> int:
+    """Fuse N result lists into one ranking — the reference's --hybrid mode
+    (main.py:190-192) with both Milvus rankers: RRFRanker (``--ranker rrf``,
+    retrievers.py:135) and WeightedRanker (``--ranker weighted``,
+    retrievers.py:9).  Inputs are ``eval``-shaped result files
+    (query_id, rank, doc_id[, score]) in CSV or parquet."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from .ops.fusion import rrf_fuse, weighted_fuse
+
+    _ensure_ray()
+    legs = []
+    for path in args.results:
+        t = (pacsv.read_csv(path) if path.endswith(".csv")
+             else pq.read_table(path))
+        missing = {"query_id", "rank", "doc_id"} - set(t.column_names)
+        if missing:
+            print(f"error: {path} lacks columns {sorted(missing)}",
+                  file=sys.stderr)
+            return 2
+        if args.ranker == "weighted" and "score" not in t.column_names:
+            print(f"error: --ranker weighted needs a score column in {path}",
+                  file=sys.stderr)
+            return 2
+        legs.append(rd.from_arrow(t))
+    if len(legs) < 2:
+        print("error: fuse needs at least 2 result files", file=sys.stderr)
+        return 2
+    if args.ranker == "rrf":
+        fused = rrf_fuse(legs, k=args.rrf_k, top_k=args.k)
+    else:
+        weights = ([float(w) for w in args.weights.split(",") if w]
+                   if args.weights else [1.0 / len(legs)] * len(legs))
+        if len(weights) != len(legs):
+            print("error: --weights count must match result-file count",
+                  file=sys.stderr)
+            return 2
+        fused = weighted_fuse(legs, weights, top_k=args.k)
+    df = fused.to_pandas().sort_values(["query_id", "rank"])
+    if args.out:
+        if args.out.endswith(".csv"):
+            df.to_csv(args.out, index=False)
+        else:
+            fused.write_parquet(args.out)
+        print(f"wrote fused results -> {args.out}")
+    else:
+        print(df.to_string(index=False))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from .merge import merge_index_dirs
 
@@ -472,6 +526,20 @@ def main(argv=None) -> int:
     e.add_argument("--scorer", default="taat", choices=["taat", "daat", "bmw"])
     e.add_argument("--concurrency", type=int, default=4)
     e.set_defaults(fn=cmd_eval)
+
+    fu = sub.add_parser("fuse")
+    fu.add_argument("results", nargs="+",
+                    help="2+ eval-shaped result files (csv/parquet) with "
+                         "query_id,rank,doc_id[,score]")
+    fu.add_argument("--ranker", default="rrf", choices=["rrf", "weighted"])
+    fu.add_argument("--weights", default="",
+                    help="comma list, one per file (weighted ranker; "
+                         "default: equal)")
+    fu.add_argument("--k", type=int, default=10)
+    fu.add_argument("--rrf-k", type=int, default=60, dest="rrf_k")
+    fu.add_argument("--out", default="",
+                    help="output .csv or parquet dir (default: print)")
+    fu.set_defaults(fn=cmd_fuse)
 
     m = sub.add_parser("merge")
     m.add_argument("--index", action="append", required=True)

@@ -846,3 +846,42 @@ def test_function_score_matches_bruteforce(flat_dir, oracle, corpus_table,
     b = base.sort_values(cols).reset_index(drop=True)
     s = shard.sort_values(cols).reset_index(drop=True)
     assert b.to_dict("list") == s.to_dict("list")
+
+
+def test_cli_fuse_rankers(ray_session, tmp_path, capsys):
+    """`fuse` fuses two eval-shaped CSVs with either Milvus ranker; bad
+    inputs (single file, weight-count mismatch, weighted without scores)
+    error with rc 2."""
+    import pandas as pd
+
+    from splade_ray import cli
+
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    pd.DataFrame({"query_id": [1, 1], "rank": [1, 2], "doc_id": [10, 20],
+                  "score": [3.0, 1.0]}).to_csv(a, index=False)
+    pd.DataFrame({"query_id": [1, 1], "rank": [1, 2], "doc_id": [20, 30],
+                  "score": [5.0, 4.0]}).to_csv(b, index=False)
+    out = tmp_path / "fused.csv"
+
+    assert cli.main(["fuse", str(a), str(b), "--ranker", "weighted",
+                     "--weights", "0.7,0.3", "--out", str(out)]) == 0
+    got = pd.read_csv(out)
+    # doc10: 0.7*1.0; doc20: 0.7*0 + 0.3*1.0; doc30: 0.3*0
+    assert got.sort_values("rank").doc_id.tolist() == [10, 20, 30]
+    assert abs(got[got.doc_id == 10].weighted_score.iloc[0] - 0.7) < 1e-9
+
+    assert cli.main(["fuse", str(a), str(b), "--out", str(out)]) == 0
+    got = pd.read_csv(out)  # rrf: doc20 in both legs wins
+    assert got.sort_values("rank").doc_id.iloc[0] == 20
+
+    capsys.readouterr()
+    assert cli.main(["fuse", str(a)]) == 2
+    assert cli.main(["fuse", str(a), str(b), "--ranker", "weighted",
+                     "--weights", "0.7"]) == 2
+    noscore = tmp_path / "ns.csv"
+    pd.DataFrame({"query_id": [1], "rank": [1],
+                  "doc_id": [10]}).to_csv(noscore, index=False)
+    assert cli.main(["fuse", str(noscore), str(b),
+                     "--ranker", "weighted"]) == 2
+    capsys.readouterr()
