@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stats / range aggs round out the doc-values agg family)
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
+        "span_containing_topk": p.span_containing_topk,
+        "span_within_topk": p.span_within_topk,
         "dis_max_topk": p.dis_max_topk,
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
@@ -157,6 +159,10 @@ def oracle_sql() -> dict[str, str]:
     catalog.update({
         "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
         "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
+        "span_containing_topk": sql.span_contain_topk_sql(
+            p.SPAN_CONTAIN_QUERIES, TOP_K, score="big"),
+        "span_within_topk": sql.span_contain_topk_sql(
+            p.SPAN_CONTAIN_QUERIES, TOP_K, score="little"),
         "dis_max_topk": sql.dis_max_topk_sql(p.DISMAX_QUERIES, TOP_K,
                                              tie=p.DISMAX_TIE),
         "boosting_topk": sql.boosting_topk_sql(p.BOOSTING_QUERIES, TOP_K,

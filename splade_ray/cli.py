@@ -179,7 +179,18 @@ def cmd_phrase(args) -> int:
     from .phrase import index_stats, positional_units
 
     _ensure_ray()
-    if getattr(args, "span_or", None):
+    if getattr(args, "containing", None):
+        a, b = args.containing
+        toks = tokens_py(args.text)
+        if a == b or not toks:
+            print("error: --containing needs two distinct big terms and a "
+                  "little phrase in TEXT", file=sys.stderr)
+            return 2
+        spec = {"qid": 0, "kind": "contain", "big_a": a, "big_b": b,
+                "window": args.window, "tokens": toks}
+        # SpanContaining scores the big side, SpanWithin the little side
+        terms = [a, b] if args.score_side == "big" else toks
+    elif getattr(args, "span_or", None):
         clauses = [tokens_py(c) for c in args.span_or]
         clauses = [c for c in clauses if c]
         if not clauses:
@@ -513,6 +524,15 @@ def main(argv=None) -> int:
                     help="SpanNot window before the include span")
     ph.add_argument("--post", type=int, default=0,
                     help="SpanNot window after the include span")
+    ph.add_argument("--containing", nargs=2, metavar=("A", "B"),
+                    default=None,
+                    help="SpanContaining/Within: TEXT is the little "
+                         "phrase; it must lie inside an (A ... B) pair "
+                         "spanning <= --window positions")
+    ph.add_argument("--score-side", dest="score_side", default="big",
+                    choices=["big", "little"],
+                    help="--containing scoring: 'big' = SpanContaining "
+                         "(A/B terms), 'little' = SpanWithin (TEXT terms)")
     ph.add_argument("--window", type=int, default=8)
     ph.add_argument("--unordered", action="store_true",
                     help="NEAR in either order (default: A before B)")

@@ -173,7 +173,8 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
     ``specs`` kinds: "phrase" {tokens}, "near" {a, b, slop, ordered;
     a != b}, "span" {terms, window, ordered}, "span_or" {clauses},
     "span_not" {tokens, exclude, pre, post}, "first" {term, limit},
-    "phrase_prefix" {tokens, prefix}.  Several specs may SHARE a qid (the
+    "phrase_prefix" {tokens, prefix}, "contain" {big_a, big_b, window,
+    tokens}.  Several specs may SHARE a qid (the
     per-language expansion of tag_spec relies on it).  ``weights``: per
     qid the (term, qtf*idf) rows (df from the whole index, computed once
     driver-side via index_stats)."""
@@ -317,6 +318,46 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                             - np.searchsorted(ke, lo_k, side="left"))
                     s = s[n_ex == 0]
                 verified = np.unique(s >> 32) if len(s) else s[:0]
+            elif spec["kind"] == "contain":
+                # SpanContainingQuery / SpanWithinQuery (Lucene): a "big"
+                # span — an (a, b) occurrence pair with b - a <= window —
+                # fully containing a "little" token-phrase match
+                # (a <= start AND end <= b).  The doc-level existence test
+                # is shared by both queries (they differ only in which
+                # side's terms score — callers pass different qterms).
+                # Over all (a, b) choices the minimal width is
+                # (smallest b >= end) - (largest a <= start), so one
+                # searchsorted per side decides existence; the doc-start/
+                # doc-end clamps keep both ends in the little match's doc
+                if spec["big_a"] == spec["big_b"]:
+                    raise ValueError("big span terms must differ")
+                toks = spec["tokens"]
+                if not toks:
+                    continue
+                s = _g(toks[0])[3]
+                for tok in toks[1:]:
+                    if not len(s):
+                        break
+                    s = np.intersect1d(s + 1, _g(tok)[3],
+                                       assume_unique=True)
+                if not len(s):
+                    continue
+                start = s - (len(toks) - 1)
+                ka = _g(spec["big_a"])[3]
+                kb = _g(spec["big_b"])[3]
+                if not len(ka) or not len(kb):
+                    continue
+                j = np.searchsorted(ka, start, side="right") - 1
+                ok = j >= 0
+                a = ka[np.maximum(j, 0)]
+                ok &= a >= (start & ~np.int64(0xFFFFFFFF))
+                i2 = np.searchsorted(kb, s, side="left")
+                in_kb = i2 < len(kb)
+                b = kb[np.minimum(i2, len(kb) - 1)]
+                ok &= in_kb & (b <= (start | np.int64(0xFFFFFFFF)))
+                ok &= (b - a) <= int(spec["window"])
+                hit = s[ok]
+                verified = np.unique(hit >> 32) if len(hit) else hit[:0]
             elif spec["kind"] == "phrase_prefix":
                 # ES match_phrase_prefix: tokens[:-1] exact-consecutive,
                 # the LAST position held by ANY dictionary term with the
@@ -427,6 +468,9 @@ def tag_spec(spec: dict, lg: str) -> dict:
     elif kind == "span_not":
         out["tokens"] = [t(x) for x in spec["tokens"]]
         out["exclude"] = t(spec["exclude"])
+    elif kind == "contain":
+        out["tokens"] = [t(x) for x in spec["tokens"]]
+        out["big_a"], out["big_b"] = t(spec["big_a"]), t(spec["big_b"])
     elif kind == "first":
         out["term"] = t(spec["term"])
     else:

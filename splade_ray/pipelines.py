@@ -1379,6 +1379,55 @@ def span_first_topk(sf_dir: str, top_k: int = TOP_K):
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 
+# SpanContaining / SpanWithin queries: (qid, big_a, big_b, window, little
+# tokens) — the "big" span is an (a ... b) occurrence pair spanning
+# <= ``window`` positions; the "little" token-phrase must lie fully inside
+# it (a <= start AND end <= b).  big_a != big_b.  (3) dead little;
+# (4) dead big side.
+SPAN_CONTAIN_QUERIES: list[tuple[int, str, str, int, list[str]]] = [
+    (0, "spark", "join", 8, ["window"]),
+    (1, "hash", "order", 10, ["join"]),
+    (2, "merge", "batch", 12, ["sort"]),
+    (3, "customer", "stream", 10, ["nonexistentzzterm"]),
+    (4, "nonexistentzzterm", "join", 6, ["batch"]),
+]
+
+
+def _span_contain_specs() -> list[dict]:
+    return [{"qid": qid, "kind": "contain", "big_a": a, "big_b": b,
+             "window": w, "tokens": toks}
+            for qid, a, b, w, toks in SPAN_CONTAIN_QUERIES]
+
+
+def span_containing_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanContainingQuery (Lucene): big spans — (big_a, big_b) occurrence
+    pairs spanning <= window positions — that fully contain a little
+    token-phrase match.  Doc-level existence is one searchsorted per side
+    in the positional kernel (phrase.positional_units_batch "contain").
+    Scored as the BM25 bag over the BIG span's terms (the containing
+    query's weight — Lucene SpanContainingQuery.scorer uses the big
+    side).  Rank-identical to sql.span_contain_topk_sql(score="big")."""
+    qterms = [(qid, t, 1)
+              for qid, a, b, _w, _toks in SPAN_CONTAIN_QUERIES
+              for t in (a, b)]
+    return _positional_ranked(sf_dir, _span_contain_specs(), qterms, top_k)
+
+
+def span_within_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanWithinQuery (Lucene): the same containment test as
+    span_containing_topk — little token-phrase matches inside a
+    <= window (big_a, big_b) pair — but scored as the BM25 bag over the
+    LITTLE side's tokens (Lucene SpanWithinQuery.scorer uses the little
+    side).  Rank-identical to sql.span_contain_topk_sql(score="little")."""
+    qterms: list[tuple[int, str, int]] = []
+    for qid, _a, _b, _w, toks in SPAN_CONTAIN_QUERIES:
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        qterms.extend((qid, t, n) for t, n in tf.items())
+    return _positional_ranked(sf_dir, _span_contain_specs(), qterms, top_k)
+
+
 # Proximity queries: (qid, first-term, second-term, slop) — second term must
 # appear AFTER the first within ``slop`` token positions (slop 1 = adjacent).
 NEAR_QUERIES: list[tuple[int, str, str, int]] = [

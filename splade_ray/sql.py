@@ -1387,6 +1387,50 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def span_contain_topk_sql(specs: list[tuple[int, str, str, int, list[str]]],
+                          k: int = 10, score: str = "big") -> str:
+    """SpanContaining / SpanWithin oracle (pipelines.span_containing_topk /
+    span_within_topk replay; Lucene SpanContainingQuery /
+    SpanWithinQuery): a (big_a, big_b) occurrence pair spanning
+    <= ``window`` positions fully contains the little token-phrase match
+    (ga.pos <= start AND end <= gb.pos).  Both queries share the doc
+    condition; ``score`` selects which side's terms feed the BM25 bag
+    ("big" = containing, "little" = within) — exactly the engine split."""
+    q = _sql_quote
+    legs, lits = [], []
+    for qid, ba, bb, win, toks in specs:
+        if ba == bb:
+            raise ValueError("big span terms must differ")
+        n = len(toks)
+        joins = "".join(
+            f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+            f" AND x{j}.pos = x0.pos + {j} AND x{j}.term = {q(toks[j])}"
+            for j in range(1, n))
+        joins += (
+            f"\n  JOIN tokpos ga ON ga.doc_id = x0.doc_id"
+            f" AND ga.term = {q(ba)} AND ga.pos <= x0.pos"
+            f"\n  JOIN tokpos gb ON gb.doc_id = x0.doc_id"
+            f" AND gb.term = {q(bb)} AND gb.pos >= x0.pos + {n - 1}"
+            f" AND gb.pos - ga.pos <= {win}")
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+            f"\n  WHERE x0.term = {q(toks[0])} GROUP BY x0.doc_id")
+        lits.append((qid, f"{ba} {bb}" if score == "big"
+                     else " ".join(toks)))
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def phrase_prefix_topk_sql(queries: list[tuple[int, str]],
                            k: int = 10) -> str:
     """match_phrase_prefix oracle (pipelines.phrase_prefix_topk replay):

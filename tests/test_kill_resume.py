@@ -177,6 +177,19 @@ def test_cli_positional_build_and_phrase(tmp_path):
         capture_output=True, text=True, env=env, timeout=300,
     )
     assert r.returncode == 0 and "no results" not in r.stdout, r.stderr
+    # span_containing: little = toks[1] between big pair (toks[0], toks[2])
+    # with a generous window — present by construction in the source doc;
+    # both scoring sides run
+    if len(toks) >= 3 and len({toks[0], toks[1], toks[2]}) == 3:
+        for side in ("big", "little"):
+            r = subprocess.run(
+                [sys.executable, "-m", "splade_ray.cli", "phrase", toks[1],
+                 "--index", idx, "--containing", toks[0], toks[2],
+                 "--window", "50", "--score-side", side],
+                capture_output=True, text=True, env=env, timeout=300,
+            )
+            assert r.returncode == 0 and "no results" not in r.stdout, \
+                r.stdout + r.stderr
 
 
 @pytest.mark.timeout(300)

@@ -590,3 +590,67 @@ def test_positional_span_not_matches_bruteforce(built, n_ranges):
     want = {k: v for k, v in want.items() if v}
     got = {k: v for k, v in got.items() if v}
     assert got == want
+
+
+def _brute_span_contain_docs(toks: dict[int, list[str]], ba: str, bb: str,
+                             win: int, little: list[str]) -> set[int]:
+    n = len(little)
+    out = set()
+    for o, ts in toks.items():
+        apos = [i for i, t in enumerate(ts) if t == ba]
+        bpos = [i for i, t in enumerate(ts) if t == bb]
+        for i in range(len(ts) - n + 1):
+            if ts[i:i + n] != little:
+                continue
+            end = i + n - 1
+            if any(a <= i and b >= end and b - a <= win
+                   for a in apos for b in bpos):
+                out.add(o)
+                break
+    return out
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3])
+def test_positional_span_contain_matches_bruteforce(built, n_ranges):
+    """SpanContaining/SpanWithin doc condition: a (big_a, big_b) occurrence
+    pair spanning <= window fully contains a little phrase match.  The
+    window bound must actually kill docs where both spans exist but never
+    nest (asserted), and big occurrences must come from the SAME doc."""
+    tbl, _ = built
+    toks = _ordinal_tokens(tbl)
+    docs = open_doc_arrays(IDX)
+    # (big_a, big_b, window, little): tight windows (q1-q3) exercise kills
+    # (minimal containing widths in this corpus run 2..95); q4 dead big
+    cases = {1: ("stream", "count", 6, ["doc"]),
+             2: ("user", "rank", 10, ["min"]),
+             3: ("data", "load", 4, ["handler"]),
+             4: ("zzqq", "def", 5, ["main"])}
+    specs = [{"qid": q, "kind": "contain", "big_a": a, "big_b": b,
+              "window": w, "tokens": lt}
+             for q, (a, b, w, lt) in cases.items()]
+    # score the big side (the SpanContaining weight shape); the little-side
+    # bag is the same kernel with different weights (contract oracles pin it)
+    bags = {q: [(a, 1), (b, 1)] for q, (a, b, _w, _lt) in cases.items()}
+    got = _units_by_qid_doc(IDX, specs, _bag_weights(IDX, bags),
+                            n_ranges=n_ranges)
+    want: dict[tuple[int, int], int] = {}
+    killed_any = False
+    for q, (a, b, w, lt) in cases.items():
+        verified = _brute_span_contain_docs(toks, a, b, w, lt)
+        loose = _brute_span_contain_docs(toks, a, b, 1 << 30, lt)
+        if loose - verified:
+            killed_any = True
+        want.update(_expected_units(toks, verified, q, bags[q], IDX, docs))
+    assert killed_any  # the window bound is actually exercised
+    want = {k: v for k, v in want.items() if v}
+    got = {k: v for k, v in got.items() if v}
+    assert got == want
+
+
+def test_span_contain_identical_big_terms_rejected(built):
+    import ray.exceptions
+
+    specs = [{"qid": 1, "kind": "contain", "big_a": "def", "big_b": "def",
+              "window": 4, "tokens": ["main"]}]
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        positional_units(IDX, specs, {1: [("def", 1.0)]}).take_all()
