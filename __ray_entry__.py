@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
         "range_agg": p.range_agg,
+        "cardinality_agg": p.cardinality_agg,
+        "percentiles_agg": p.percentiles_agg,
+        "cardinality_agg_sharded": p.cardinality_agg_sharded,
+        "percentiles_agg_sharded": p.percentiles_agg_sharded,
         "top_hits_agg": p.top_hits_agg,
         "sort_topk": p.sort_topk,
         "function_score_topk": p.function_score_topk,
@@ -169,6 +173,10 @@ def oracle_sql() -> dict[str, str]:
                                                nb=p.NEG_BOOST),
         "stats_agg": sql.stats_agg_sql(DOC_QUERIES),
         "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
+        "cardinality_agg": sql.cardinality_agg_sql(DOC_QUERIES),
+        "percentiles_agg": sql.percentiles_agg_sql(DOC_QUERIES),
+        "cardinality_agg_sharded": sql.cardinality_agg_sql(DOC_QUERIES),
+        "percentiles_agg_sharded": sql.percentiles_agg_sql(DOC_QUERIES),
         "top_hits_agg": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "function_score_topk": sql.function_score_topk_sql(DOC_QUERIES,

@@ -310,6 +310,12 @@ def main() -> None:
     pipelines.top_hits_agg(SF_DIR).count()
     timings["top_hits_agg_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    pipelines.cardinality_agg(SF_DIR).count()
+    timings["cardinality_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.percentiles_agg(SF_DIR).count()
+    timings["percentiles_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     pipelines.function_score_topk(SF_DIR).count()
     timings["function_score_topk_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

@@ -79,6 +79,8 @@ def cmd_query(args) -> int:
     modes = {
         "--count": bool(getattr(args, "count", False)),
         "--agg": bool(getattr(args, "agg", False)),
+        "--cardinality": bool(getattr(args, "cardinality", False)),
+        "--percentiles": bool(getattr(args, "percentiles", False)),
         "--explain": getattr(args, "explain", None) is not None,
         "--collapse": bool(getattr(args, "collapse", False)),
         "--after": bool(getattr(args, "after", None)),
@@ -113,6 +115,21 @@ def cmd_query(args) -> int:
         lgs, ns, bests = engine.search_lang_agg(args.text, lang)
         for lg, n, b in zip(lgs, ns, bests):
             print(f"{lg}\t{int(n)}\t{int(b) / SCORE_SCALE:.9f}")
+        return 0
+    if getattr(args, "cardinality", False):
+        print(len(engine.search_cardinality(args.text, lang)))
+        return 0
+    if getattr(args, "percentiles", False):
+        from .query import PERCENTILE_QS, disc_percentiles
+
+        vals, counts = engine.search_dl_value_counts(args.text, lang)
+        if not len(vals):
+            print("no results")
+            return 0
+        n, ps = disc_percentiles(vals, counts, PERCENTILE_QS)
+        print("\t".join([f"n={n}"] + [
+            f"p{int(round(q * 100))}={v}"
+            for q, v in zip(PERCENTILE_QS, ps)]))
         return 0
     if getattr(args, "explain", None) is not None:
         rows = engine.explain(args.text, args.explain, lang)
@@ -466,6 +483,12 @@ def main(argv=None) -> int:
                         "best score")
     q.add_argument("--count", action="store_true",
                    help="print only the total matching-doc count")
+    q.add_argument("--cardinality", action="store_true",
+                   help="print the distinct-lang count over ALL hits "
+                        "(ES cardinality agg)")
+    q.add_argument("--percentiles", action="store_true",
+                   help="print exact doc_len percentiles over ALL hits "
+                        "(ES percentiles agg)")
     q.add_argument("--explain", type=int, metavar="DOC_ID", default=None,
                    help="per-term score breakdown for TEXT vs DOC_ID")
     q.add_argument("--after", nargs=2, metavar=("SCORE", "DOC_ID"),

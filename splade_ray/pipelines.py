@@ -2022,6 +2022,55 @@ def range_agg(sf_dir: str):
                        engine_kwargs={"dl_ranges": DL_RANGES})
 
 
+def cardinality_agg(sf_dir: str):
+    """Cardinality aggregation over the FULL hit set (Elasticsearch
+    ``cardinality`` agg on the lang doc-value): per DOC_QUERIES entry, the
+    DISTINCT lang count across every live matching doc — exact (small
+    doc-value domain; ES's HLL approximation is unnecessary), one gather +
+    np.unique per query.  Value-identical to sql.cardinality_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="cardinality")
+
+
+def percentiles_agg(sf_dir: str):
+    """Percentiles aggregation over the FULL hit set (Elasticsearch
+    ``percentiles`` agg on a numeric doc-value): per DOC_QUERIES entry,
+    exact discrete p25/p50/p75/p99 of doc_len across every live matching
+    doc (DuckDB quantile_disc semantics — query.disc_percentiles).
+    Value-identical to sql.percentiles_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="percentiles")
+
+
+def cardinality_agg_sharded(sf_dir: str):
+    """cardinality_agg through the doc-range fan-out: per-shard partials
+    are the distinct (query, lang) pairs of their ordinal range, merged by
+    distinct-union size — exact at any shard count.  Same oracle as
+    cardinality_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="cardinality")
+
+
+def percentiles_agg_sharded(sf_dir: str):
+    """percentiles_agg through the doc-range fan-out: per-shard partials
+    are exact (dl, count) value histograms (bounded by the doc_len domain,
+    not the hit count), summed then reduced to EXACT percentiles — the
+    bounded-domain alternative to t-digest merging, zero approximation
+    error.  Same oracle as percentiles_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="percentiles")
+
+
 def stats_agg_sharded(sf_dir: str):
     """stats_agg through the doc-range fan-out (counts/sums add, mins min,
     maxs max, avg recomputed from exact integer sums) — same oracle as

@@ -67,6 +67,29 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+# default discrete quantiles for the percentiles aggregation (ES
+# ``percentiles`` agg; exact here — the doc_len doc-value domain is small
+# enough that no t-digest approximation is needed)
+PERCENTILE_QS = (0.25, 0.5, 0.75, 0.99)
+
+
+def disc_percentiles(vals: np.ndarray, counts: np.ndarray,
+                     qs) -> tuple[int, list[int]]:
+    """Discrete percentiles from a sorted value histogram — DuckDB
+    ``quantile_disc`` semantics: the element at 0-based index
+    max(0, ceil(q*n) - 1) of the sorted multiset (validated against
+    DuckDB across n and q, including q*n integer boundaries).  Shared by
+    the engine kind and the sharded merge so both sides recompute the
+    SAME values from summed histograms."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        out.append(int(vals[np.searchsorted(cum, idx + 1, side="left")]))
+    return n, out
+
+
 def idf(n_docs: int, df: int) -> float:
     """BM25 idf, Robertson/Lucene form (always > 0)."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -86,7 +109,8 @@ class QueryEngine:
                  dismax_tie: "tuple[int, int]" = (3, 10),
                  negative_boost: "tuple[int, int]" = (1, 2),
                  group_n: int = 3,
-                 sort_ascending: bool = False):
+                 sort_ascending: bool = False,
+                 percentile_qs: "tuple[float, ...]" = PERCENTILE_QS):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -124,7 +148,9 @@ class QueryEngine:
                               "synonym", "regexp", "rescore", "dl_hist",
                               "stats", "range", "dis_max", "boosting",
                               "top_hits", "sort", "function_score",
-                              "rescore_partial"):
+                              "rescore_partial", "cardinality",
+                              "cardinality_partial", "percentiles",
+                              "percentiles_partial"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -151,6 +177,11 @@ class QueryEngine:
         if self.group_n < 1:
             raise ValueError("group_n must be >= 1")
         self.sort_ascending = bool(sort_ascending)  # search_sort direction
+        # discrete quantiles for search_percentiles (ES percentiles agg);
+        # values must be in (0, 1]
+        self.percentile_qs = tuple(float(q) for q in percentile_qs)
+        if any(not (0.0 < q <= 1.0) for q in self.percentile_qs):
+            raise ValueError("percentile_qs must be in (0, 1]")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -891,6 +922,37 @@ class QueryEngine:
                     out_n.append(n)
         return (np.asarray(out_b, dtype=np.int64),
                 np.asarray(out_n, dtype=np.int64))
+
+    def search_cardinality(self, query: str, lang: str | None = None):
+        """Cardinality aggregation (Elasticsearch ``cardinality`` agg on
+        the lang doc-value): the DISTINCT lang values over every live
+        matching doc — one gather + np.unique, exact (the doc-value
+        domain is small; no HLL approximation needed).  Returns the
+        distinct lang NAMES so the sharded partial can emit them (the
+        union across ordinal ranges is the exact merge)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return []
+        codes = np.unique(self.docs.gather_langcodes(ords))
+        return [self.langs[c] if c < len(self.langs) else ""
+                for c in codes]
+
+    def search_dl_value_counts(self, query: str, lang: str | None = None):
+        """Exact doc_len value histogram over the FULL hit set — the
+        percentiles partial: (sorted values, counts).  doc_len's domain
+        is bounded, so the partial stays tiny regardless of hit count and
+        a shard merge recomputes EXACT percentiles from summed
+        histograms (disc_percentiles)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        vals, counts = np.unique(dls, return_counts=True)
+        return vals.astype(np.int64), counts.astype(np.int64)
 
     def count_hits(self, query: str, lang: str | None = None) -> int:
         """Total live matching docs (ES ``track_total_hits``): the size of
@@ -1696,6 +1758,66 @@ class QueryEngine:
                 "bucket": pa.array(out_b, type=pa.int64()),
                 "n_hits": pa.array(out_n, type=pa.int64()),
             })
+        if self.query_kind in ("cardinality", "cardinality_partial"):
+            # one row per query WITH hits ("cardinality"), or the distinct
+            # (query_id, lang) pairs themselves ("cardinality_partial" —
+            # the sharded fan-out's exact-union partial)
+            partial = self.query_kind == "cardinality_partial"
+            out_qid, out_v = [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                lvs = self.search_cardinality(q or "", lg or None)
+                if not lvs:
+                    continue
+                if partial:
+                    out_qid.extend([qid] * len(lvs))
+                    out_v.extend(lvs)
+                else:
+                    out_qid.append(qid)
+                    out_v.append(len(lvs))
+            if partial:
+                return pa.table({
+                    "query_id": pa.array(out_qid, type=pa.int64()),
+                    "lang": pa.array(out_v, type=pa.string()),
+                })
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "cardinality": pa.array(out_v, type=pa.int64()),
+            })
+        if self.query_kind == "percentiles":
+            # one wide row per query WITH hits: n_hits + one p{q} column
+            # per configured quantile (DuckDB quantile_disc semantics via
+            # disc_percentiles)
+            names = [f"p{int(round(q * 100))}" for q in self.percentile_qs]
+            out: dict[str, list] = {"query_id": [], "n_hits": []}
+            for nm in names:
+                out[nm] = []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                vals, counts = self.search_dl_value_counts(q or "",
+                                                           lg or None)
+                if not len(vals):
+                    continue
+                n, ps = disc_percentiles(vals, counts, self.percentile_qs)
+                out["query_id"].append(qid)
+                out["n_hits"].append(n)
+                for nm, v in zip(names, ps):
+                    out[nm].append(v)
+            return pa.table({c: pa.array(v, type=pa.int64())
+                             for c, v in out.items()})
+        if self.query_kind == "percentiles_partial":
+            # (query_id, dl, n) value-histogram rows — tiny (bounded by
+            # the doc_len domain), summed then reduced by the shard merge
+            out_qid, out_dl, out_n = [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                vals, counts = self.search_dl_value_counts(q or "",
+                                                           lg or None)
+                out_qid.extend([qid] * len(vals))
+                out_dl.extend(int(v) for v in vals)
+                out_n.extend(int(c) for c in counts)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "dl": pa.array(out_dl, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+            })
         if self.query_kind == "count":
             return pa.table({
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -2014,13 +2136,19 @@ def run_queries_sharded(
                   "filtered", "synonym", "regexp", "search_after",
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
-                  "function_score", "rescore", "explain"}
+                  "function_score", "rescore", "explain", "cardinality",
+                  "percentiles"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
             f"(supported: {sorted(_SHARDABLE)}); run it through "
             "run_queries instead")
-    pool_kind = "rescore_partial" if query_kind == "rescore" else query_kind
+    # kinds whose per-range pool runs a PARTIAL variant (per-shard facts
+    # the merge reduces), not the final shape
+    _PARTIAL_KIND = {"rescore": "rescore_partial",
+                     "cardinality": "cardinality_partial",
+                     "percentiles": "percentiles_partial"}
+    pool_kind = _PARTIAL_KIND.get(query_kind, query_kind)
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
     n_shards = max(1, min(n_query_shards, n_docs))
@@ -2189,11 +2317,41 @@ def run_queries_sharded(
         s = t["sum_dl"].to_numpy(zero_copy_only=False).astype(np.float64)
         return t.append_column("avg_dl", pa.array(s / n, type=pa.float64()))
 
+    def _merge_cardinality(g: pa.Table) -> pa.Table:
+        # per-shard partials are the distinct (query, lang) pairs of their
+        # ordinal range; the exact merge is the distinct-union's size
+        n = len(set(g["lang"].to_pylist()))
+        return pa.table({
+            "query_id": pa.array([g["query_id"][0].as_py()],
+                                 type=pa.int64()),
+            "cardinality": pa.array([n], type=pa.int64()),
+        })
+
+    def _merge_percentiles(g: pa.Table) -> pa.Table:
+        # per-shard partials are exact (dl, count) histograms of their
+        # range; summed histograms recompute EXACT percentiles — no
+        # t-digest-style approximation error at any shard count
+        qs = tuple((engine_kwargs or {}).get("percentile_qs",
+                                             PERCENTILE_QS))
+        t = g.group_by("dl").aggregate([("n", "sum")])
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        cnt = t.column("n_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(dl)
+        n, ps = disc_percentiles(dl[order], cnt[order], qs)
+        row = {"query_id": pa.array([g["query_id"][0].as_py()],
+                                    type=pa.int64()),
+               "n_hits": pa.array([n], type=pa.int64())}
+        for q, v in zip(qs, ps):
+            row[f"p{int(round(q * 100))}"] = pa.array([v], type=pa.int64())
+        return pa.table(row)
+
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist,
                "stats": _merge_stats, "range": _merge_dl_hist,
                "top_hits": _merge_top_hits, "sort": _merge_sort,
-               "rescore": _merge_rescore, "explain": _merge_explain}
+               "rescore": _merge_rescore, "explain": _merge_explain,
+               "cardinality": _merge_cardinality,
+               "percentiles": _merge_percentiles}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

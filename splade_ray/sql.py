@@ -969,6 +969,44 @@ GROUP BY r.query_id"""
     )
 
 
+def cardinality_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Cardinality-agg oracle (pipelines.cardinality_agg replay; ES
+    ``cardinality`` agg): per query, the DISTINCT lang count over EVERY
+    hit.  Zero-hit queries emit no row (GROUP BY over no rows)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+SELECT r.query_id, CAST(count(DISTINCT d.lang) AS BIGINT) AS cardinality
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id"""
+    )
+
+
+def percentiles_agg_sql(queries: list[tuple[int, str]],
+                        qs: tuple = (0.25, 0.5, 0.75, 0.99)) -> str:
+    """Percentiles-agg oracle (pipelines.percentiles_agg replay; ES
+    ``percentiles`` agg): per query, exact discrete quantiles of doc_len
+    over EVERY hit — quantile_disc, whose element-at-ceil(q*n)-1 semantics
+    query.disc_percentiles mirrors exactly."""
+    cols = ", ".join(
+        f"CAST(quantile_disc(d.doc_len, {_f(float(q))}) AS BIGINT)"
+        f" AS p{int(round(q * 100))}"
+        for q in qs)
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits, {cols}
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id"""
+    )
+
+
 def range_agg_sql(queries: list[tuple[int, str]],
                   ranges: "list[tuple[int, int | None]]") -> str:
     """Range-agg oracle (pipelines.range_agg replay; ES ``range`` agg):

@@ -574,6 +574,10 @@ def test_cli_query_mode_flags_are_exclusive(ray_session):
          "--rescore", "20"],
         ["query", "x", "--index", "/nonexistent", "--boost-by-len",
          "--prefix"],
+        ["query", "x", "--index", "/nonexistent", "--cardinality",
+         "--percentiles"],
+        ["query", "x", "--index", "/nonexistent", "--percentiles",
+         "--count"],
     ):
         assert cli.main(argv) == 2, argv
 
@@ -885,3 +889,78 @@ def test_cli_fuse_rankers(ray_session, tmp_path, capsys):
     assert cli.main(["fuse", str(noscore), str(b),
                      "--ranker", "weighted"]) == 2
     capsys.readouterr()
+
+
+def test_cardinality_and_percentiles_match_bruteforce(flat_dir,
+                                                      corpus_table):
+    """cardinality / percentiles kinds vs a brute-force pass: distinct
+    langs and DuckDB-quantile_disc doc_len percentiles over the FULL hit
+    set; disc_percentiles itself is pinned against duckdb directly."""
+    import math
+
+    import duckdb
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import PERCENTILE_QS, disc_percentiles
+
+    dl, lang_of = {}, {}
+    for r in corpus_table.to_pylist():
+        txt = r["content"]
+        if txt is None or not txt.strip():
+            continue
+        d = doc_id63(r["repo"], r["path"], r["commit"])
+        dl[d] = len(tokens_py(txt))
+        lang_of[d] = r["lang"]
+    e_card = QueryEngine(flat_dir, query_kind="cardinality")
+    e_pct = QueryEngine(flat_dir, query_kind="percentiles")
+    big = QueryEngine(flat_dir, k=10**6)
+    con = duckdb.connect()
+    exercised = False
+    for q in QUERIES:
+        ids, _units = big.search_one(q)
+        hits = [int(d) for d in ids]
+        langs = e_card.search_cardinality(q)
+        assert sorted(langs) == sorted({lang_of[d] for d in hits}), q
+        vals, counts = e_pct.search_dl_value_counts(q)
+        if not hits:
+            assert len(vals) == 0
+            continue
+        exercised = True
+        n, ps = disc_percentiles(vals, counts, PERCENTILE_QS)
+        lens = [dl[d] for d in hits]
+        assert n == len(lens)
+        want = con.execute(
+            f"SELECT quantile_disc(x, {list(PERCENTILE_QS)}) "
+            f"FROM unnest({lens}) t(x)").fetchone()[0]
+        assert ps == want, q
+    assert exercised
+
+
+def test_cardinality_percentiles_sharded_match_single_pool(flat_dir,
+                                                           ray_session):
+    """The sharded fan-out (distinct-pair union / summed value histograms)
+    must reproduce the single-pool rows exactly at several shard counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    qt = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES, type=pa.string()),
+    })
+    for kind in ("cardinality", "percentiles"):
+        base = (run_queries(rd.from_arrow(qt), flat_dir, concurrency=1,
+                            query_kind=kind)
+                .to_pandas().sort_values("query_id").reset_index(drop=True))
+        # 3 single-actor pools max — the pytest Ray session has 4 CPUs and
+        # a union of N pools schedules all N actor pools at once
+        for ns in (2, 3):
+            got = (run_queries_sharded(rd.from_arrow(qt), flat_dir,
+                                       n_query_shards=ns,
+                                       concurrency_per_shard=1,
+                                       query_kind=kind)
+                   .to_pandas().sort_values("query_id")
+                   .reset_index(drop=True))
+            assert got[base.columns.tolist()].equals(base), (kind, ns)
