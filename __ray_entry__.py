@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg": p.range_agg,
         "cardinality_agg": p.cardinality_agg,
         "percentiles_agg": p.percentiles_agg,
+        "mget_docs": p.mget_docs,
+        "mget_docs_sharded": p.mget_docs_sharded,
         "cardinality_agg_sharded": p.cardinality_agg_sharded,
         "percentiles_agg_sharded": p.percentiles_agg_sharded,
         "top_hits_agg": p.top_hits_agg,
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
         "cardinality_agg": sql.cardinality_agg_sql(DOC_QUERIES),
         "percentiles_agg": sql.percentiles_agg_sql(DOC_QUERIES),
+        "mget_docs": sql.mget_docs_sql(p.MGET_MOD, p.MGET_RESIDUE),
+        "mget_docs_sharded": sql.mget_docs_sql(p.MGET_MOD, p.MGET_RESIDUE),
         "cardinality_agg_sharded": sql.cardinality_agg_sql(DOC_QUERIES),
         "percentiles_agg_sharded": sql.percentiles_agg_sql(DOC_QUERIES),
         "top_hits_agg": sql.top_hits_sql(DOC_QUERIES, p.TOP_HITS_N),

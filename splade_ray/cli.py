@@ -81,6 +81,7 @@ def cmd_query(args) -> int:
         "--agg": bool(getattr(args, "agg", False)),
         "--cardinality": bool(getattr(args, "cardinality", False)),
         "--percentiles": bool(getattr(args, "percentiles", False)),
+        "--mget": bool(getattr(args, "mget", False)),
         "--explain": getattr(args, "explain", None) is not None,
         "--collapse": bool(getattr(args, "collapse", False)),
         "--after": bool(getattr(args, "after", None)),
@@ -118,6 +119,15 @@ def cmd_query(args) -> int:
         return 0
     if getattr(args, "cardinality", False):
         print(len(engine.search_cardinality(args.text, lang)))
+        return 0
+    if getattr(args, "mget", False):
+        req = [int(x) for x in args.text.replace(" ", ",").split(",") if x]
+        d, dl, lgs = engine.mget(req)
+        if not len(d):
+            print("no results")
+            return 0
+        for dd, ll, lg in zip(d, dl, lgs):
+            print(f"{int(dd)}\t{int(ll)}\t{lg}")
         return 0
     if getattr(args, "percentiles", False):
         from .query import PERCENTILE_QS, disc_percentiles
@@ -489,6 +499,10 @@ def main(argv=None) -> int:
     q.add_argument("--percentiles", action="store_true",
                    help="print exact doc_len percentiles over ALL hits "
                         "(ES percentiles agg)")
+    q.add_argument("--mget", action="store_true",
+                   help="treat TEXT as a comma/space-separated doc-id "
+                        "list; print each live doc's doc_len + lang "
+                        "(ES mget / ids query)")
     q.add_argument("--explain", type=int, metavar="DOC_ID", default=None,
                    help="per-term score breakdown for TEXT vs DOC_ID")
     q.add_argument("--after", nargs=2, metavar=("SCORE", "DOC_ID"),

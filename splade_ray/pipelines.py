@@ -2022,6 +2022,45 @@ def range_agg(sf_dir: str):
                        engine_kwargs={"dl_ranges": DL_RANGES})
 
 
+# mget contract predicate: docs whose RAW path id ≡ MGET_RESIDUE (mod
+# MGET_MOD) form the explicit id list (SQL renders the same predicate)
+MGET_MOD = 11
+MGET_RESIDUE = 4
+
+
+def _mget_queries_table(idx: str) -> pa.Table:
+    ids = _ids_by_residue(idx, MGET_MOD, MGET_RESIDUE)
+    return pa.table({
+        "query_id": pa.array([0], type=pa.int64()),
+        "query": pa.array([",".join(str(i) for i in sorted(ids))],
+                          type=pa.string()),
+    })
+
+
+def mget_docs(sf_dir: str):
+    """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
+    Collection.get — the reference fetches hit metadata by pk,
+    retrievers.py:146): doc-values (doc_id, doc_len, lang) for an explicit
+    id list, served by one docmap searchsorted + two gathers, no posting
+    access.  The id list is the shared residue predicate so the oracle can
+    render it in SQL.  Value-identical to sql.mget_docs_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_mget_queries_table(idx)), idx,
+                       concurrency=1, query_kind="mget")
+
+
+def mget_docs_sharded(sf_dir: str):
+    """mget_docs through the doc-range fan-out: each range resolves only
+    its own ordinals (absent ids drop), merged by union + doc_id re-sort —
+    same oracle as mget_docs."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_mget_queries_table(idx)), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="mget")
+
+
 def cardinality_agg(sf_dir: str):
     """Cardinality aggregation over the FULL hit set (Elasticsearch
     ``cardinality`` agg on the lang doc-value): per DOC_QUERIES entry, the
@@ -2211,19 +2250,19 @@ DEAD_MOD = 7
 DEAD_RESIDUE = 3
 
 
-def _dead_doc_ids(index_dir: str) -> np.ndarray:
-    """63-bit ids of the contract's tombstoned docs, from the BUILT index's
-    staging parquet (a pruned 2-column read — no re-tokenization of the
-    corpus).  The filtered id list flows back to the driver because
-    delete_docs takes ids — bounded at contract scale; at 10^12 docs the
-    same filter would append straight to sharded tombstone files
-    (delete.py module docstring)."""
+def _ids_by_residue(index_dir: str, mod: int, residue: int) -> np.ndarray:
+    """63-bit doc ids whose RAW path id satisfies ``raw % mod == residue``,
+    from the BUILT index's staging parquet (a pruned 2-column read — no
+    re-tokenization of the corpus).  The filtered id list flows back to
+    the driver because the consumers take explicit ids — bounded at
+    contract scale; at 10^12 docs the same filter would stream to its
+    consumer (sharded tombstone files / mget request shards)."""
     from .build import read_docs
 
     def _flag(t: pa.Table) -> pa.Table:
         raw = pc.cast(t["path"], pa.int64()).to_numpy(zero_copy_only=False)
         return t.filter(
-            pa.array((raw % DEAD_MOD) == DEAD_RESIDUE)
+            pa.array((raw % mod) == residue)
         ).select(["doc_id"])
 
     rows = (
@@ -2232,6 +2271,11 @@ def _dead_doc_ids(index_dir: str) -> np.ndarray:
         .take_all()
     )
     return np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+
+
+def _dead_doc_ids(index_dir: str) -> np.ndarray:
+    """Contract tombstone ids (see _ids_by_residue)."""
+    return _ids_by_residue(index_dir, DEAD_MOD, DEAD_RESIDUE)
 
 
 def _deleted_index(sf_dir: str) -> str:

@@ -150,7 +150,7 @@ class QueryEngine:
                               "top_hits", "sort", "function_score",
                               "rescore_partial", "cardinality",
                               "cardinality_partial", "percentiles",
-                              "percentiles_partial"):
+                              "percentiles_partial", "mget"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -953,6 +953,33 @@ class QueryEngine:
         dls = self.docs.gather_lens(ords).astype(np.int64)
         vals, counts = np.unique(dls, return_counts=True)
         return vals.astype(np.int64), counts.astype(np.int64)
+
+    def mget(self, ids):
+        """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
+        Collection.get, reference retrievers.py's pk metadata fetch):
+        resolve explicit doc ids to their doc-values — (doc_id, doc_len,
+        lang) for LIVE present ids, doc_id ascending.  One searchsorted
+        over the memmapped docmap + two gathers, no posting access; absent
+        ids and tombstoned docs drop silently (the ES mget found:false
+        shape).  A range-restricted engine returns only its ordinal
+        range's docs, so the sharded fan-out merges by plain union."""
+        from .docmap import sorted_member
+
+        ords = self.docs.ords_of_ids(np.asarray(list(ids), dtype=np.int64))
+        if self.ord_range is not None:
+            lo, hi = self.ord_range
+            ords = ords[(ords >= lo) & (ords < hi)]
+        if len(self.tomb):
+            dead, _ = sorted_member(self.tomb, ords)
+            ords = ords[~dead]
+        if not len(ords):
+            return (np.empty(0, np.int64), np.empty(0, np.int64), [])
+        ids_out = self.docs.gather_ids(ords)
+        lens = self.docs.gather_lens(ords).astype(np.int64)
+        codes = self.docs.gather_langcodes(ords)
+        langs = [self.langs[c] if c < len(self.langs) else ""
+                 for c in codes]
+        return ids_out, lens, langs
 
     def count_hits(self, query: str, lang: str | None = None) -> int:
         """Total live matching docs (ES ``track_total_hits``): the size of
@@ -1818,6 +1845,23 @@ class QueryEngine:
                 "dl": pa.array(out_dl, type=pa.int64()),
                 "n": pa.array(out_n, type=pa.int64()),
             })
+        if self.query_kind == "mget":
+            # the query column carries a comma-separated explicit id list
+            # (ES ids-query / mget body); rows = live present docs' values
+            out_qid, out_d, out_l, out_lg = [], [], [], []
+            for qid, q, _lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids = [int(x) for x in (q or "").split(",") if x]
+                d, dl, lgs_ = self.mget(ids)
+                out_qid.extend([qid] * len(d))
+                out_d.extend(int(x) for x in d)
+                out_l.extend(int(x) for x in dl)
+                out_lg.extend(lgs_)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "doc_len": pa.array(out_l, type=pa.int64()),
+                "lang": pa.array(out_lg, type=pa.string()),
+            })
         if self.query_kind == "count":
             return pa.table({
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -2137,7 +2181,7 @@ def run_queries_sharded(
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
                   "function_score", "rescore", "explain", "cardinality",
-                  "percentiles"}
+                  "percentiles", "mget"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -2317,6 +2361,13 @@ def run_queries_sharded(
         s = t["sum_dl"].to_numpy(zero_copy_only=False).astype(np.float64)
         return t.append_column("avg_dl", pa.array(s / n, type=pa.float64()))
 
+    def _merge_mget(g: pa.Table) -> pa.Table:
+        # each doc lives in exactly one ordinal range: the union IS the
+        # answer; re-sort by doc_id for the single-pool's deterministic
+        # ascending order
+        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False))
+        return g.take(pa.array(order))
+
     def _merge_cardinality(g: pa.Table) -> pa.Table:
         # per-shard partials are the distinct (query, lang) pairs of their
         # ordinal range; the exact merge is the distinct-union's size
@@ -2351,7 +2402,8 @@ def run_queries_sharded(
                "top_hits": _merge_top_hits, "sort": _merge_sort,
                "rescore": _merge_rescore, "explain": _merge_explain,
                "cardinality": _merge_cardinality,
-               "percentiles": _merge_percentiles}
+               "percentiles": _merge_percentiles,
+               "mget": _merge_mget}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

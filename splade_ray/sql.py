@@ -969,6 +969,19 @@ GROUP BY r.query_id"""
     )
 
 
+def mget_docs_sql(mod: int, residue: int) -> str:
+    """Multi-get oracle (pipelines.mget_docs replay; ES mget / Milvus
+    Collection.get): doc-values of the docs selected by the shared residue
+    predicate — the SQL rendering of the engine's explicit id list."""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE)
+        + f"""
+SELECT CAST(0 AS BIGINT) AS query_id, d.doc_id,
+       CAST(d.doc_len AS BIGINT) AS doc_len, d.lang
+FROM docs d WHERE (CAST(d.path AS BIGINT) % {mod}) = {residue}"""
+    )
+
+
 def cardinality_agg_sql(queries: list[tuple[int, str]]) -> str:
     """Cardinality-agg oracle (pipelines.cardinality_agg replay; ES
     ``cardinality`` agg): per query, the DISTINCT lang count over EVERY

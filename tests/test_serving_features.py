@@ -964,3 +964,52 @@ def test_cardinality_percentiles_sharded_match_single_pool(flat_dir,
                    .to_pandas().sort_values("query_id")
                    .reset_index(drop=True))
             assert got[base.columns.tolist()].equals(base), (kind, ns)
+
+
+def test_mget_semantics(flat_dir, corpus_table, ray_session):
+    """mget: (doc_id, doc_len, lang) ascending for LIVE present ids;
+    absent ids drop silently; tombstoned docs drop; the sharded fan-out's
+    union merge reproduces the single-pool rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    import shutil as _sh
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.delete import delete_docs
+    from splade_ray.docmap import open_doc_arrays
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    want = {}
+    for r in corpus_table.to_pylist():
+        txt = r["content"]
+        if txt is None or not txt.strip():
+            continue
+        d = doc_id63(r["repo"], r["path"], r["commit"])
+        want[d] = (len(tokens_py(txt)), r["lang"])
+    all_ids = sorted(want)
+    req = all_ids[::4] + [12345, 99999]  # every 4th + two absent ids
+    e = QueryEngine(flat_dir, query_kind="mget")
+    ids, lens, lgs = e.mget(req)
+    assert ids.tolist() == all_ids[::4]
+    assert all(int(n) == want[d][0] for d, n in zip(ids, lens))
+    assert all(lg == want[d][1] for d, lg in zip(ids, lgs))
+    # tombstones drop
+    idx2 = os.path.join(ROOT, "mget_deleted")
+    _sh.rmtree(idx2, ignore_errors=True)
+    _sh.copytree(flat_dir, idx2)
+    dead = np.asarray(all_ids[::8], dtype=np.int64)
+    delete_docs(idx2, dead)
+    ids2, _l2, _g2 = QueryEngine(idx2, query_kind="mget").mget(req)
+    assert not (set(ids2.tolist()) & set(dead.tolist()))
+    assert set(ids2.tolist()) == set(all_ids[::4]) - set(dead.tolist())
+    # sharded union == single pool
+    qt = pa.table({"query_id": pa.array([0], type=pa.int64()),
+                   "query": pa.array([",".join(map(str, req))],
+                                     type=pa.string())})
+    base = (run_queries(rd.from_arrow(qt), flat_dir, concurrency=1,
+                        query_kind="mget").to_pandas())
+    shard = (run_queries_sharded(rd.from_arrow(qt), flat_dir,
+                                 n_query_shards=3, concurrency_per_shard=1,
+                                 query_kind="mget").to_pandas())
+    assert shard.reset_index(drop=True).equals(base.reset_index(drop=True))
