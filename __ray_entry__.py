@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_topk": p.span_not_topk,
         "span_containing_topk": p.span_containing_topk,
         "span_within_topk": p.span_within_topk,
+        "multi_phrase_topk": p.multi_phrase_topk,
         "dis_max_topk": p.dis_max_topk,
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
@@ -169,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
             p.SPAN_CONTAIN_QUERIES, TOP_K, score="big"),
         "span_within_topk": sql.span_contain_topk_sql(
             p.SPAN_CONTAIN_QUERIES, TOP_K, score="little"),
+        "multi_phrase_topk": sql.multi_phrase_topk_sql(
+            p.MULTI_PHRASE_QUERIES, TOP_K),
         "dis_max_topk": sql.dis_max_topk_sql(p.DISMAX_QUERIES, TOP_K,
                                              tie=p.DISMAX_TIE),
         "boosting_topk": sql.boosting_topk_sql(p.BOOSTING_QUERIES, TOP_K,

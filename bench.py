@@ -298,6 +298,9 @@ def main() -> None:
     pipelines.span_containing_topk(SF_DIR).count()
     timings["span_containing_topk_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    pipelines.multi_phrase_topk(SF_DIR).count()
+    timings["multi_phrase_topk_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     pipelines.dis_max_topk(SF_DIR).count()
     timings["dis_max_topk_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

@@ -206,7 +206,18 @@ def cmd_phrase(args) -> int:
     from .phrase import index_stats, positional_units
 
     _ensure_ray()
-    if getattr(args, "containing", None):
+    if getattr(args, "multi", False):
+        # MultiPhraseQuery: TEXT positions separated by whitespace, each
+        # position a |-joined alternative set, e.g. "stream data|write"
+        positions = [[t for alt in grp.split("|")
+                      for t in tokens_py(alt)] for grp in args.text.split()]
+        positions = [p for p in positions if p]
+        if not positions:
+            print("no results (empty positions)")
+            return 0
+        spec = {"qid": 0, "kind": "multi_phrase", "positions": positions}
+        terms = [t for p in positions for t in p]
+    elif getattr(args, "containing", None):
         a, b = args.containing
         toks = tokens_py(args.text)
         if a == b or not toks:
@@ -570,6 +581,9 @@ def main(argv=None) -> int:
                     choices=["big", "little"],
                     help="--containing scoring: 'big' = SpanContaining "
                          "(A/B terms), 'little' = SpanWithin (TEXT terms)")
+    ph.add_argument("--multi", action="store_true",
+                    help="MultiPhrase: TEXT positions separated by spaces, "
+                         "alternatives |-joined (e.g. \"stream data|write\")")
     ph.add_argument("--window", type=int, default=8)
     ph.add_argument("--unordered", action="store_true",
                     help="NEAR in either order (default: A before B)")

@@ -174,7 +174,7 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
     a != b}, "span" {terms, window, ordered}, "span_or" {clauses},
     "span_not" {tokens, exclude, pre, post}, "first" {term, limit},
     "phrase_prefix" {tokens, prefix}, "contain" {big_a, big_b, window,
-    tokens}.  Several specs may SHARE a qid (the
+    tokens}, "multi_phrase" {positions: [[alt, ...], ...]}.  Several specs may SHARE a qid (the
     per-language expansion of tag_spec relies on it).  ``weights``: per
     qid the (term, qtf*idf) rows (df from the whole index, computed once
     driver-side via index_stats)."""
@@ -317,6 +317,33 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     n_ex = (np.searchsorted(ke, hi_k, side="right")
                             - np.searchsorted(ke, lo_k, side="left"))
                     s = s[n_ex == 0]
+                verified = np.unique(s >> 32) if len(s) else s[:0]
+            elif spec["kind"] == "multi_phrase":
+                # MultiPhraseQuery (Lucene): a consecutive-position chain
+                # where EACH position matches any of an alternative term
+                # SET (the phrase-with-synonyms / multi-token-analysis
+                # query).  Same packed-key chain as "phrase" with a
+                # per-position occurrence union (np.unique keeps the
+                # intersect1d(assume_unique) invariant)
+                positions = spec["positions"]
+                if not positions or any(not alts for alts in positions):
+                    continue
+
+                def _union(alts):
+                    parts = [_g(t)[3] for t in alts]
+                    parts = [p for p in parts if len(p)]
+                    if not parts:
+                        return np.empty(0, dtype=np.int64)
+                    if len(parts) == 1:
+                        return parts[0]
+                    return np.unique(np.concatenate(parts))
+
+                s = _union(positions[0])
+                for alts in positions[1:]:
+                    if not len(s):
+                        break
+                    s = np.intersect1d(s + 1, _union(alts),
+                                       assume_unique=True)
                 verified = np.unique(s >> 32) if len(s) else s[:0]
             elif spec["kind"] == "contain":
                 # SpanContainingQuery / SpanWithinQuery (Lucene): a "big"
@@ -468,6 +495,9 @@ def tag_spec(spec: dict, lg: str) -> dict:
     elif kind == "span_not":
         out["tokens"] = [t(x) for x in spec["tokens"]]
         out["exclude"] = t(spec["exclude"])
+    elif kind == "multi_phrase":
+        out["positions"] = [[t(x) for x in alts]
+                            for alts in spec["positions"]]
     elif kind == "contain":
         out["tokens"] = [t(x) for x in spec["tokens"]]
         out["big_a"], out["big_b"] = t(spec["big_a"]), t(spec["big_b"])

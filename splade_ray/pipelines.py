@@ -1379,6 +1379,40 @@ def span_first_topk(sf_dir: str, top_k: int = TOP_K):
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 
+# MultiPhrase queries: (qid, [[alternatives], ...]) — a consecutive chain
+# where each position matches ANY of its alternative terms (Lucene
+# MultiPhraseQuery — phrase with synonyms / multi-token analysis).
+# (3) dead middle position; (4) single-position pure disjunction.
+MULTI_PHRASE_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["spark", "hash"], ["window", "join"]]),
+    (1, [["merge"], ["sort", "order"]]),
+    (2, [["customer", "user"], ["filter"]]),
+    (3, [["batch"], ["nonexistentzzterm"], ["stream"]]),
+    (4, [["window", "join"]]),
+]
+
+
+def multi_phrase_topk(sf_dir: str, top_k: int = TOP_K):
+    """MultiPhraseQuery (Lucene): consecutive-position chain with a term
+    ALTERNATIVE SET per position (phrase-with-synonyms), answered entirely
+    from the positional sidecar — per-position occurrence unions feed the
+    same packed-key chain as the exact phrase.  Scored as the BM25 bag
+    over every alternative term (qtf = multiplicity across positions)
+    restricted to verified docs — absent alternatives contribute nothing,
+    the Lucene MultiPhrase weight shape shared with span_or.
+    Rank-identical to sql.multi_phrase_topk_sql."""
+    specs = [{"qid": qid, "kind": "multi_phrase", "positions": poss}
+             for qid, poss in MULTI_PHRASE_QUERIES]
+    qterms: list[tuple[int, str, int]] = []
+    for qid, poss in MULTI_PHRASE_QUERIES:
+        tf: dict[str, int] = {}
+        for alts in poss:
+            for t in alts:
+                tf[t] = tf.get(t, 0) + 1
+        qterms.extend((qid, t, n) for t, n in tf.items())
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 # SpanContaining / SpanWithin queries: (qid, big_a, big_b, window, little
 # tokens) — the "big" span is an (a ... b) occurrence pair spanning
 # <= ``window`` positions; the "little" token-phrase must lie fully inside

@@ -1438,6 +1438,40 @@ FROM ranked WHERE rnk <= {k}"""
     )
 
 
+def multi_phrase_topk_sql(queries: list[tuple[int, list[list[str]]]],
+                          k: int = 10) -> str:
+    """MultiPhraseQuery oracle (pipelines.multi_phrase_topk replay; Lucene
+    MultiPhraseQuery): consecutive positions, each matched by ANY of its
+    alternative terms (term IN (...) per join); scored over the full
+    alternative bag (qtf = positions containing the term)."""
+    q = _sql_quote
+    legs, lits = [], []
+    for qid, poss in queries:
+        def _in(alts):
+            return "(" + ", ".join(q(t) for t in alts) + ")"
+
+        joins = "".join(
+            f"\n  JOIN tokpos x{j} ON x{j}.doc_id = x0.doc_id"
+            f" AND x{j}.pos = x0.pos + {j} AND x{j}.term IN {_in(poss[j])}"
+            for j in range(1, len(poss)))
+        legs.append(
+            f"SELECT {qid} AS query_id, x0.doc_id FROM tokpos x0{joins}"
+            f"\n  WHERE x0.term IN {_in(poss[0])} GROUP BY x0.doc_id")
+        lits.append((qid, " ".join(t for alts in poss for t in alts)))
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def span_contain_topk_sql(specs: list[tuple[int, str, str, int, list[str]]],
                           k: int = 10, score: str = "big") -> str:
     """SpanContaining / SpanWithin oracle (pipelines.span_containing_topk /

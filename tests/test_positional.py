@@ -654,3 +654,56 @@ def test_span_contain_identical_big_terms_rejected(built):
               "window": 4, "tokens": ["main"]}]
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         positional_units(IDX, specs, {1: [("def", 1.0)]}).take_all()
+
+
+def _brute_multi_phrase_docs(toks: dict[int, list[str]],
+                             positions: list[list[str]]) -> set[int]:
+    n = len(positions)
+    out = set()
+    for o, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            if all(ts[i + j] in positions[j] for j in range(n)):
+                out.add(o)
+                break
+    return out
+
+
+@pytest.mark.parametrize("n_ranges", [1, 3])
+def test_positional_multi_phrase_matches_bruteforce(built, n_ranges):
+    """MultiPhraseQuery: consecutive chain with per-position alternative
+    sets; the union must recruit docs a single-alternative phrase misses
+    (asserted)."""
+    tbl, _ = built
+    toks = _ordinal_tokens(tbl)
+    docs = open_doc_arrays(IDX)
+    # alternatives chosen so the union genuinely recruits: 'stream data'
+    # and 'stream write' / 'doc import' and 'doc codec' are both frequent
+    # bigrams with different doc sets in this corpus
+    cases = {1: [["stream"], ["data", "write"]],
+             2: [["doc"], ["import", "codec"]],
+             3: [["import"], ["zzqq"], ["def"]],
+             4: [["def", "return", "import"]]}
+    specs = [{"qid": q, "kind": "multi_phrase", "positions": ps}
+             for q, ps in cases.items()]
+    bags = {}
+    for q, ps in cases.items():
+        tf: dict[str, int] = {}
+        for alts in ps:
+            for t in alts:
+                tf[t] = tf.get(t, 0) + 1
+        bags[q] = list(tf.items())
+    got = _units_by_qid_doc(IDX, specs, _bag_weights(IDX, bags),
+                            n_ranges=n_ranges)
+    want: dict[tuple[int, int], int] = {}
+    recruited = False
+    for q, ps in cases.items():
+        verified = _brute_multi_phrase_docs(toks, ps)
+        if len(ps) > 1 and any(len(a) > 1 for a in ps):
+            single = _brute_multi_phrase_docs(toks, [[a[0]] for a in ps])
+            if verified - single:
+                recruited = True
+        want.update(_expected_units(toks, verified, q, bags[q], IDX, docs))
+    assert recruited  # the alternatives actually widen the match set
+    want = {k: v for k, v in want.items() if v}
+    got = {k: v for k, v in got.items() if v}
+    assert got == want
