@@ -328,7 +328,8 @@ def main() -> None:
     # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
     # train/test decontamination — walls over the documents table
     _oq = ops_contract.queries()
-    for _nm in ("repetition_stats", "unigram_nll", "decontaminate"):
+    for _nm in ("repetition_stats", "unigram_nll", "decontaminate",
+                "line_dedup"):
         t0 = time.perf_counter()
         _oq[_nm](SF_DIR).count()
         timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)

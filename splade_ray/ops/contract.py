@@ -1084,3 +1084,61 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s["stratified_sample"] = assemble.stratified_sample_sql()
     s["pack_sequences"] = assemble.pack_sequences_sql()
     return s
+
+
+# --- C4/RefinedWeb-style cross-corpus line dedup ---------------------------
+
+LINE_DEDUP_MIN_CHARS = 10
+
+
+def q_line_dedup(sf_dir: str):
+    return dedup.line_dedup(_docs_ds(sf_dir),
+                            min_chars=LINE_DEDUP_MIN_CHARS)
+
+
+def line_dedup_sql(min_chars: int = LINE_DEDUP_MIN_CHARS) -> str:
+    """Oracle for dedup.line_dedup: rebuild each document keeping every
+    long-enough line only at its minimal (doc_id, line_no) corpus-wide
+    occurrence; lines under min_chars always survive.  The '%019d:%09d'
+    printf packing is the SAME fixed-width rendering the engine's
+    _owner_key produces, so string min == lexicographic (doc_id, line_no)
+    min on both sides."""
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS line_no,
+         ls[CAST(j AS INTEGER)] AS line
+  FROM parts, unnest(range(1, len(ls) + 1)) AS t(j)
+),
+owners AS (
+  SELECT line, min(printf('%019d:%09d', doc_id, line_no)) AS okey
+  FROM lines WHERE len(line) >= {min_chars} GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line FROM lines l
+  LEFT JOIN owners o ON o.line = l.line
+  WHERE o.line IS NULL
+     OR printf('%019d:%09d', l.doc_id, l.line_no) = o.okey
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+FROM kept GROUP BY doc_id"""
+
+
+queries_v4 = queries
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    q = queries_v4()
+    q["line_dedup"] = q_line_dedup
+    return q
+
+
+oracle_sql_v4 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    s = oracle_sql_v4()
+    s["line_dedup"] = line_dedup_sql()
+    return s

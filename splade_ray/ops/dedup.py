@@ -763,3 +763,160 @@ def _cc_distributed(pairs_ds, all_ids_ds=None, max_iters: int = 50):
         lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------ line-level dedup --
+#
+# C4 / RefinedWeb-style cross-corpus line deduplication: a line occurring
+# in many documents (boilerplate, license headers, nav text) is kept ONLY
+# at its first corpus-wide occurrence — deterministically the minimal
+# (doc_id, line_no) — and removed everywhere else.  Lines shorter than
+# ``min_chars`` are never deduplicated (the C4 "span long enough to
+# matter" guard).  Reference analogue: none (the reference ingests 5 local
+# files); public analogue: C4's three-sentence-span dedup / RefinedWeb's
+# exact line dedup.
+
+def _owner_key(ids: pa.Array, line_no: pa.Array) -> pa.Array:
+    """Fixed-width '%019d:%09d' packing of (doc_id, line_no) — string
+    order == lexicographic (doc_id, line_no) order, and identical to the
+    oracle's printf rendering."""
+    return pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(ids, pa.string()), 19, "0"),
+        pc.utf8_lpad(pc.cast(line_no, pa.string()), 9, "0"), ":")
+
+
+def _line_keys(lines: pa.Array, hash_mode: str) -> pa.Array:
+    """Group key per line: sha256 hex (oracle-reproducible) or the
+    vectorized 64-bit mixer (production path, see exact_dedup_batch)."""
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if hash_mode == "mixer":
+        try:
+            import polars as pl
+
+            h = pl.from_arrow(lines).hash(seed=1315423911).to_numpy()
+        except ImportError:  # pragma: no cover
+            h = np.fromiter((_h63(x) for x in lines.to_pylist()),
+                            dtype=np.uint64, count=len(lines))
+        return pa.array([f"{v:016x}" for v in h], type=pa.string())
+    return pa.array([hashlib.sha256(x.encode()).hexdigest()
+                     for x in lines.to_pylist()], type=pa.string())
+
+
+def explode_lines_batch(t: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, line_no, line) rows — one vectorized split_pattern +
+    list_flatten, 1-based line_no (the oracle's unnest(range) numbering)."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    flat = pc.list_flatten(parts)
+    counts = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    parents = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    line_no = (np.arange(len(parents), dtype=np.int64)
+               - np.repeat(starts, counts) + 1)
+    ids = t[id_col].to_numpy(zero_copy_only=False)[parents]
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "line_no": pa.array(line_no),
+        "line": flat,
+    })
+
+
+def _line_owner_partial(t: pa.Table, *, min_chars: int,
+                        hash_mode: str) -> pa.Table:
+    """Batch-local partial: (line_key, min owner packing) per DISTINCT
+    long-enough line — the shuffle moves one row per distinct line per
+    batch, never the corpus text."""
+    long_mask = pc.greater_equal(pc.utf8_length(t["line"]),
+                                 pa.scalar(min_chars))
+    sub = t.filter(long_mask)
+    if not len(sub):
+        return pa.table({"line_key": pa.array([], type=pa.string()),
+                         "okey": pa.array([], type=pa.string())})
+    keys = _line_keys(sub["line"], hash_mode)
+    okey = _owner_key(sub["doc_id"], sub["line_no"])
+    enc = pc.dictionary_encode(keys)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    # min okey per code: sort by okey (fixed-width strings sort
+    # lexicographically == (doc_id, line_no)), first occurrence per code
+    ok_np = np.asarray(okey.to_pylist(), dtype="U29")
+    order = np.argsort(ok_np, kind="stable")
+    codes_sorted = codes[order]
+    _, first = np.unique(codes_sorted, return_index=True)
+    sel = order[first]
+    return pa.table({
+        "line_key": enc.dictionary.take(pa.array(codes[sel])),
+        "okey": pa.array(ok_np[sel].tolist(), type=pa.string()),
+    })
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               min_chars: int = 10, hash_mode: str = "sha",
+               num_partitions: int = 8):
+    """Cross-corpus exact line dedup: rebuild every document keeping each
+    long-enough line only at its first corpus-wide occurrence (minimal
+    (doc_id, line_no)); short lines always survive.  Returns
+    (doc_id, text_clean); documents whose every line was removed emit no
+    row (the GROUP-BY oracle shape).
+
+    Dataflow: vectorized explode -> per-batch (line_key, min owner)
+    partials -> one groupby(line_key) Min -> hash-partitioned join of the
+    long lines against the owner table -> keep rows whose own packing IS
+    the owner -> union short lines -> per-doc reassembly (bounded group =
+    one document's lines).  The shuffle carries one row per distinct line
+    per batch plus the owner join — never the corpus twice.  Oracle:
+    ops.contract.line_dedup_sql."""
+    from ray.data.aggregate import Min
+
+    lines = ds.map_batches(
+        explode_lines_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col})
+
+    owners = (
+        lines.map_batches(
+            _line_owner_partial, batch_format="pyarrow",
+            fn_kwargs={"min_chars": min_chars, "hash_mode": hash_mode})
+        .groupby("line_key")
+        .aggregate(Min("okey", alias_name="okey"))
+    )
+
+    def _split(t: pa.Table, *, want_long: bool) -> pa.Table:
+        m = pc.greater_equal(pc.utf8_length(t["line"]),
+                             pa.scalar(min_chars))
+        sub = t.filter(m if want_long else pc.invert(m))
+        if want_long:
+            sub = sub.append_column("line_key",
+                                    _line_keys(sub["line"], hash_mode))
+            sub = sub.append_column("my_okey",
+                                    _owner_key(sub["doc_id"],
+                                               sub["line_no"]))
+        return sub
+
+    short = lines.map_batches(_split, batch_format="pyarrow",
+                              fn_kwargs={"want_long": False})
+    long_keyed = lines.map_batches(_split, batch_format="pyarrow",
+                                   fn_kwargs={"want_long": True})
+    joined = long_keyed.join(owners, join_type="inner", on=("line_key",),
+                             num_partitions=num_partitions)
+
+    def _keep_owned(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["my_okey"], t["okey"])).select(
+            ["doc_id", "line_no", "line"])
+
+    kept = joined.map_batches(_keep_owned, batch_format="pyarrow")
+    both = kept.union(short.select_columns(["doc_id", "line_no", "line"]))
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["line_no"].to_numpy(zero_copy_only=False))
+        parts = g["line"].take(pa.array(order)).to_pylist()
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], type=pa.int64()),
+            "text_clean": pa.array(["\n".join(parts)], type=pa.string()),
+        })
+
+    return both.groupby("doc_id").map_groups(_reassemble,
+                                             batch_format="pyarrow")

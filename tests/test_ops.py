@@ -609,3 +609,28 @@ def test_weighted_fuse_semantics(ray_session):
     assert list(q2.doc_id) == [9]
     # single-score leg -> norm 1.0 -> full weight
     assert np.allclose(list(q2.weighted_score), [0.7])
+
+
+def test_line_dedup_semantics(ray_session):
+    """C4-style line dedup: a long line repeated across docs survives only
+    at its minimal (doc_id, line_no); short lines always survive; docs
+    reassemble in line order; mixer mode matches sha."""
+    boiler = "this is repeated boilerplate text"
+    rows = [
+        {"doc_id": 2, "text": f"{boiler}\nunique alpha content line\nok"},
+        {"doc_id": 1, "text": f"unique beta content line\n{boiler}\nok"},
+        {"doc_id": 3, "text": f"{boiler}\nok"},
+        {"doc_id": 4, "text": boiler},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["doc_id"]: r["text_clean"]
+           for r in dedup.line_dedup(ds, min_chars=10).take_all()}
+    # owner of boiler = (doc 1, line 2); 'ok' (2 chars) always survives
+    assert out[1] == f"unique beta content line\n{boiler}\nok"
+    assert out[2] == "unique alpha content line\nok"
+    assert out[3] == "ok"
+    assert 4 not in out  # every line removed -> no row
+    mix = {r["doc_id"]: r["text_clean"]
+           for r in dedup.line_dedup(ds, min_chars=10,
+                                     hash_mode="mixer").take_all()}
+    assert mix == out
