@@ -47,13 +47,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     catalog.update({
-        # new this round (SpanOr / SpanNot complete the Lucene span class;
-        # stats / range aggs round out the doc-values agg family)
+        # new this round, never driver-verified — keep inside the ~50-entry
+        # cap: the span class completion (or/not/containing/within,
+        # multi-phrase), WeightedRanker fusion, compound queries, and the
+        # doc-values agg family (stats/range/cardinality/percentiles/mget)
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
         "span_containing_topk": p.span_containing_topk,
         "span_within_topk": p.span_within_topk,
         "multi_phrase_topk": p.multi_phrase_topk,
+        "weighted_hybrid": p.weighted_hybrid,
         "dis_max_topk": p.dis_max_topk,
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
@@ -67,7 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_agg": p.top_hits_agg,
         "sort_topk": p.sort_topk,
         "function_score_topk": p.function_score_topk,
-        "weighted_hybrid": p.weighted_hybrid,
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
             p.SPAN_CONTAIN_QUERIES, TOP_K, score="little"),
         "multi_phrase_topk": sql.multi_phrase_topk_sql(
             p.MULTI_PHRASE_QUERIES, TOP_K),
+        "weighted_hybrid": sql.weighted_hybrid_sql(DOC_QUERIES, TOP_K,
+                                                   *p.W_HYBRID),
         "dis_max_topk": sql.dis_max_topk_sql(p.DISMAX_QUERIES, TOP_K,
                                              tie=p.DISMAX_TIE),
         "boosting_topk": sql.boosting_topk_sql(p.BOOSTING_QUERIES, TOP_K,
@@ -188,8 +192,6 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "function_score_topk": sql.function_score_topk_sql(DOC_QUERIES,
                                                            TOP_K),
-        "weighted_hybrid": sql.weighted_hybrid_sql(DOC_QUERIES, TOP_K,
-                                                   *p.W_HYBRID),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"
