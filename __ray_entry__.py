@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_within_topk": p.span_within_topk,
         "multi_phrase_topk": p.multi_phrase_topk,
         "weighted_hybrid": p.weighted_hybrid,
+        "query_string_topk": p.query_string_topk,
         "dis_max_topk": p.dis_max_topk,
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
@@ -176,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
             p.MULTI_PHRASE_QUERIES, TOP_K),
         "weighted_hybrid": sql.weighted_hybrid_sql(DOC_QUERIES, TOP_K,
                                                    *p.W_HYBRID),
+        "query_string_topk": (lambda sb: sql.bool_topk_sql(
+            sb[0], TOP_K, boosts=sb[1]))(p.parsed_qs_specs()),
         "dis_max_topk": sql.dis_max_topk_sql(p.DISMAX_QUERIES, TOP_K,
                                              tie=p.DISMAX_TIE),
         "boosting_topk": sql.boosting_topk_sql(p.BOOSTING_QUERIES, TOP_K,

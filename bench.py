@@ -324,6 +324,9 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.weighted_hybrid(SF_DIR).count()
     timings["weighted_hybrid_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pipelines.query_string_topk(SF_DIR).count()
+    timings["query_string_topk_sec"] = round(time.perf_counter() - t0, 3)
     # training-data quality filters (late round 5): repetition stats,
     # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
     # train/test decontamination — walls over the documents table

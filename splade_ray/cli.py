@@ -82,6 +82,7 @@ def cmd_query(args) -> int:
         "--cardinality": bool(getattr(args, "cardinality", False)),
         "--percentiles": bool(getattr(args, "percentiles", False)),
         "--mget": bool(getattr(args, "mget", False)),
+        "--qs": bool(getattr(args, "qs", False)),
         "--explain": getattr(args, "explain", None) is not None,
         "--collapse": bool(getattr(args, "collapse", False)),
         "--after": bool(getattr(args, "after", None)),
@@ -184,6 +185,8 @@ def cmd_query(args) -> int:
             min_should_match=getattr(args, "msm", 0))
     elif synonyms:
         ids, units = engine.search_synonym(args.text, lang)
+    elif getattr(args, "qs", False):
+        ids, units = engine.search_query_string(args.text, lang)
     else:
         ids, units = engine.search_one(args.text, lang)
     if len(ids) == 0:
@@ -514,6 +517,10 @@ def main(argv=None) -> int:
                    help="treat TEXT as a comma/space-separated doc-id "
                         "list; print each live doc's doc_len + lang "
                         "(ES mget / ids query)")
+    q.add_argument("--qs", action="store_true",
+                   help="treat TEXT as a query-string mini-language: "
+                        "'+must -not term^boost prefix* lang:xx' "
+                        "(ES query_string / Lucene classic parser)")
     q.add_argument("--explain", type=int, metavar="DOC_ID", default=None,
                    help="per-term score breakdown for TEXT vs DOC_ID")
     q.add_argument("--after", nargs=2, metavar=("SCORE", "DOC_ID"),

@@ -471,6 +471,52 @@ def bool_topk(sf_dir: str, top_k: int = TOP_K):
     return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
 
 
+# Query-string queries: raw Lucene/ES mini-language strings, parsed by
+# query.parse_query_string on BOTH sides (the oracle renders the parsed
+# structure through bool_topk_sql with boosts).  (1) boost; (3)
+# self-contradiction -> empty; (4) duplicate token takes the MAX boost;
+# (5) impossible must -> empty.
+QS_QUERIES: list[tuple[int, str]] = [
+    (0, "+merge window batch"),
+    (1, "spark window^3"),
+    (2, "vector join -merge"),
+    (3, "+merge -merge"),
+    (4, "stream^2 filter stream"),
+    (5, "+nonexistentzzterm merge"),
+]
+
+
+def parsed_qs_specs():
+    """QS_QUERIES parsed into bool_topk_sql's (specs, boosts) inputs —
+    the ONE parser (query.parse_query_string) feeds both the engine and
+    the oracle, so a parser change cannot silently diverge them."""
+    from .query import parse_query_string
+
+    specs, boosts = [], {}
+    for qid, s in QS_QUERIES:
+        d = parse_query_string(s)
+        specs.append((qid, d["must"], d["should"], d["must_not"]))
+        if d["boosts"]:
+            boosts[qid] = d["boosts"]
+    return specs, boosts
+
+
+def query_string_topk(sf_dir: str, top_k: int = TOP_K):
+    """Elasticsearch query_string / Lucene classic parser (subset) through
+    the index: '+must -not term^boost' strings parsed once
+    (query.parse_query_string) and answered by the boolean machinery with
+    boost-weighted scoring qtf (QueryEngine.search_query_string).
+    Rank-identical to sql.bool_topk_sql(parsed, boosts=parsed)."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in QS_QUERIES], type=pa.int64()),
+        "query": pa.array([s for _, s in QS_QUERIES], type=pa.string()),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, scorer="taat",
+                      concurrency=2, query_kind="query_string")
+    return res.map_batches(lambda t: _i64(t, ["rank"]), batch_format="pyarrow")
+
+
 # DisjunctionMax queries: (qid, [clause strings]) — each clause scores as
 # its own BM25 bag; combined = best + tie x rest.  (2) single clause ==
 # plain BM25; (3) one dead clause; (4) total miss.

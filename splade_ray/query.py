@@ -90,6 +90,72 @@ def disc_percentiles(vals: np.ndarray, counts: np.ndarray,
     return n, out
 
 
+def parse_query_string(q: str) -> dict:
+    """Lucene classic-parser / Elasticsearch ``query_string`` subset:
+    ``+piece`` must, ``-piece`` must_not, ``piece^N`` integer boost
+    (N >= 1, applied as the scoring qtf), ``piece*`` trailing-wildcard
+    prefix (bare pieces only), ``lang:xx`` language scope, bare pieces
+    should.  Every piece runs through the analyzer; a piece that analyzes
+    to several tokens contributes each of them under its operator (for a
+    prefix piece the LAST token is the open prefix, the head tokens
+    become shoulds — the match_phrase_prefix convention).  A token
+    reachable through several pieces takes the MAX boost (so a role
+    duplicate at default boost stays qtf=1, search_bool's rule).
+
+    Returns {"must", "should", "must_not", "prefixes", "boosts", "lang"}.
+    """
+    from .analyzer import tokens_py as _tok
+
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    prefixes: list[str] = []
+    boosts: dict[str, int] = {}
+    lang = None
+    for piece in q.split():
+        if piece.lower().startswith("lang:"):
+            lang = piece[5:] or None
+            continue
+        op = ""
+        if piece[:1] in "+-":
+            op, piece = piece[0], piece[1:]
+        boost = 1
+        stem, sep, b = piece.rpartition("^")
+        if sep:
+            try:
+                boost = int(b)
+            except ValueError:
+                raise ValueError(
+                    f"bad boost in {piece!r} (need piece^INTEGER)")
+            if boost < 1:
+                raise ValueError("boost must be >= 1")
+            piece = stem
+        is_prefix = piece.endswith("*")
+        if is_prefix:
+            if op:
+                raise ValueError(
+                    "prefix pieces must be bare (no +/-): " + op + piece)
+            piece = piece[:-1]
+        toks = _tok(piece)
+        if not toks:
+            continue
+        if is_prefix:
+            head, pre = toks[:-1], toks[-1]
+            prefixes.append(pre)
+            toks = head
+        for t in toks:
+            if op == "+":
+                must.append(t)
+            elif op == "-":
+                must_not.append(t)
+            else:
+                should.append(t)
+            if op != "-" and boost > 1:
+                boosts[t] = max(boosts.get(t, 1), boost)
+    return {"must": must, "should": should, "must_not": must_not,
+            "prefixes": prefixes, "boosts": boosts, "lang": lang}
+
+
 def idf(n_docs: int, df: int) -> float:
     """BM25 idf, Robertson/Lucene form (always > 0)."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -150,7 +216,8 @@ class QueryEngine:
                               "top_hits", "sort", "function_score",
                               "rescore_partial", "cardinality",
                               "cardinality_partial", "percentiles",
-                              "percentiles_partial", "mget"):
+                              "percentiles_partial", "mget",
+                              "query_string"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -650,7 +717,9 @@ class QueryEngine:
 
     def search_bool(self, must=(), should=(), must_not=(),
                     lang: str | None = None,
-                    exclude_ids=None, min_should_match: int = 0):
+                    exclude_ids=None, min_should_match: int = 0,
+                    boosts: "dict[str, int] | None" = None,
+                    extra_terms: "dict[str, int] | None" = None):
         """Lucene BooleanQuery: docs containing ALL ``must`` tokens and NO
         ``must_not`` token, scored by summed BM25 units (qtf=1) over the
         distinct must+should tokens present (must_not never contributes
@@ -678,7 +747,7 @@ class QueryEngine:
         m_toks, s_toks = _toks(must), _toks(should)
         n_toks = _toks(must_not)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        if not m_toks and not s_toks:
+        if not m_toks and not s_toks and not extra_terms:
             return empty
         allowed: np.ndarray | None = None
         for tok in m_toks:
@@ -695,8 +764,16 @@ class QueryEngine:
                   if ban_parts else np.empty(0, dtype=np.int64))
         qterms: dict[str, int] = {}
         for tok in dict.fromkeys(m_toks + s_toks):
+            # scoring qtf: the token's boost (query_string ^N), default 1 —
+            # role duplicates share one entry, so the bool rule (dup across
+            # roles stays qtf 1) is the boosts-absent special case
+            qtf = int((boosts or {}).get(tok, 1))
             for v in self._variants(tok, lang):
-                qterms[v] = 1
+                qterms[v] = qtf
+        # raw INDEX terms (already analyzed/tagged — prefix expansions):
+        # scoring-only at their given qtf, never presence filters
+        for term, qtf in (extra_terms or {}).items():
+            qterms.setdefault(term, int(qtf))
         ids, units = self._sparse_sums(qterms)
         if not len(ids):
             return empty
@@ -953,6 +1030,25 @@ class QueryEngine:
         dls = self.docs.gather_lens(ords).astype(np.int64)
         vals, counts = np.unique(dls, return_counts=True)
         return vals.astype(np.int64), counts.astype(np.int64)
+
+    def search_query_string(self, q: str, lang: str | None = None):
+        """Elasticsearch ``query_string`` / Lucene classic parser
+        (subset — see parse_query_string): presence semantics are exactly
+        search_bool's (complete sums before any cut), scoring is the
+        distinct-token BM25 bag weighted by the integer ^boosts, with
+        prefix expansions contributing at qtf=1 (the uniform
+        scoring-BooleanQuery rewrite shared with prefix/wildcard).  A
+        ``lang:xx`` piece scopes the whole query.  Oracle:
+        sql.bool_topk_sql(..., boosts=...) over the parsed structure."""
+        spec = parse_query_string(q)
+        lang = spec["lang"] or lang
+        extra: dict[str, int] = {}
+        for pre in spec["prefixes"]:
+            for term in self.expand_prefix(pre, lang):
+                extra.setdefault(term, 1)
+        return self.search_bool(
+            spec["must"], spec["should"], spec["must_not"], lang,
+            boosts=spec["boosts"], extra_terms=extra)
 
     def mget(self, ids):
         """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
@@ -1969,7 +2065,8 @@ class QueryEngine:
                        "synonym": self.search_synonym,
                        "regexp": self.search_regexp,
                        "rescore": self.search_rescore,
-                       "function_score": self.search_function_score}
+                       "function_score": self.search_function_score,
+                       "query_string": self.search_query_string}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)
@@ -2181,7 +2278,7 @@ def run_queries_sharded(
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
                   "function_score", "rescore", "explain", "cardinality",
-                  "percentiles", "mget"}
+                  "percentiles", "mget", "query_string"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "

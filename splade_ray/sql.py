@@ -498,8 +498,10 @@ WHERE r.rnk = 1"""
 def bool_topk_sql(
     specs: list[tuple[int, list[str], list[str], list[str]]], k: int = 10,
     msm: dict[int, int] | None = None,
+    boosts: dict[int, dict[str, int]] | None = None,
 ) -> str:
-    """Boolean-query BM25 oracle (QueryEngine.search_bool replay).
+    """Boolean-query BM25 oracle (QueryEngine.search_bool replay; with
+    ``boosts`` also the query_string oracle).
 
     ``specs``: (query_id, must, should, must_not) with analyzer-normalized
     single tokens.  A doc qualifies iff it contains ALL must tokens and NO
@@ -507,19 +509,24 @@ def bool_topk_sql(
     DISTINCT must+should tokens it contains (must_not never scores).
     ``msm`` ({query_id: minimum_should_match}) additionally requires at
     least that many DISTINCT should tokens present (ES
-    minimum_should_match; engine: search_bool(min_should_match=...))."""
+    minimum_should_match; engine: search_bool(min_should_match=...)).
+    ``boosts`` ({query_id: {token: qtf}}) sets per-token scoring qtf
+    (query_string ^N; engine: search_bool(boosts=...)) — the qterms CTE
+    takes the MAX across roles, so default-boost duplicates stay 1."""
     rows = []
     for qid, must, should, must_not in specs:
+        bq = (boosts or {}).get(qid, {})
         for role, toks in ((0, must), (1, should), (2, must_not)):
             rows.extend(
-                f"({qid}, '" + t.replace("'", "''") + f"', {role})"
+                f"({qid}, '" + t.replace("'", "''")
+                + f"', {role}, {int(bq.get(t, 1)) if role < 2 else 1})"
                 for t in dict.fromkeys(toks)
             )
     if not rows:
         return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
                 " AS rank, CAST(NULL AS BIGINT) AS doc_id,"
                 " CAST(NULL AS DOUBLE) AS score WHERE FALSE")
-    lit = (f"bool_lit(query_id, term, role) AS "
+    lit = (f"bool_lit(query_id, term, role, qtf) AS "
            f"(SELECT * FROM (VALUES {','.join(rows)}))")
     msm = {q: m for q, m in (msm or {}).items() if m > 0}
     msm_ctes = ""
@@ -542,8 +549,8 @@ sh_ok AS (
                     " AND o.doc_id = p.doc_id))")
     body = f"""
 qterms AS (
-  SELECT DISTINCT query_id, term, CAST(1 AS BIGINT) AS qtf
-  FROM bool_lit WHERE role < 2
+  SELECT query_id, term, CAST(max(qtf) AS BIGINT) AS qtf
+  FROM bool_lit WHERE role < 2 GROUP BY query_id, term
 ),
 must_n AS (
   SELECT query_id, count(DISTINCT term) AS n

@@ -1013,3 +1013,47 @@ def test_mget_semantics(flat_dir, corpus_table, ray_session):
                                  n_query_shards=3, concurrency_per_shard=1,
                                  query_kind="mget").to_pandas())
     assert shard.reset_index(drop=True).equals(base.reset_index(drop=True))
+
+
+def test_query_string_parser():
+    from splade_ray.query import parse_query_string
+
+    d = parse_query_string("+merge -sort window^3 lang:py win* batch")
+    assert d["must"] == ["merge"]
+    assert d["must_not"] == ["sort"]
+    assert d["should"] == ["window", "batch"]
+    assert d["prefixes"] == ["win"]
+    assert d["boosts"] == {"window": 3}
+    assert d["lang"] == "py"
+    # max-boost rule on duplicates; '-' boosts never score
+    d = parse_query_string("stream^2 stream -sort^9")
+    assert d["boosts"] == {"stream": 2}
+    assert d["must_not"] == ["sort"]
+    # multi-token piece distributes its operator
+    d = parse_query_string("+foo.bar baz")
+    assert d["must"] == ["foo", "bar"] and d["should"] == ["baz"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_query_string("term^x")
+    with _pt.raises(ValueError):
+        parse_query_string("term^0")
+    with _pt.raises(ValueError):
+        parse_query_string("+win*")
+
+
+def test_query_string_matches_bool_and_prefix(flat_dir):
+    """search_query_string must equal search_bool on the parsed structure
+    (boost=1) and search_prefix on a pure-prefix query; a boosted query
+    must actually change the ranking vs the unboosted one."""
+    e = QueryEngine(flat_dir, k=10)
+    a = e.search_query_string("+merge window -sort")
+    b = e.search_bool(["merge"], ["window"], ["sort"])
+    assert a[0].tolist() == b[0].tolist()
+    assert a[1].tolist() == b[1].tolist()
+    p1 = e.search_query_string("win*")
+    p2 = e.search_prefix("win")
+    assert p1[0].tolist() == p2[0].tolist()
+    assert p1[1].tolist() == p2[1].tolist()
+    plain = e.search_query_string("merge stream")
+    boosted = e.search_query_string("merge stream^4")
+    assert plain[1].tolist() != boosted[1].tolist()
