@@ -519,7 +519,7 @@ def main(argv=None) -> int:
                         "(ES mget / ids query)")
     q.add_argument("--qs", action="store_true",
                    help="treat TEXT as a query-string mini-language: "
-                        "'+must -not term^boost prefix* lang:xx' "
+                        "'+must -not term^boost prefix* fuzzy~1 lang:xx' "
                         "(ES query_string / Lucene classic parser)")
     q.add_argument("--explain", type=int, metavar="DOC_ID", default=None,
                    help="per-term score breakdown for TEXT vs DOC_ID")

@@ -868,8 +868,16 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     long lines against the owner table -> keep rows whose own packing IS
     the owner -> union short lines -> per-doc reassembly (bounded group =
     one document's lines).  The shuffle carries one row per distinct line
-    per batch plus the owner join — never the corpus twice.  Oracle:
-    ops.contract.line_dedup_sql."""
+    per batch plus the owner join — never the corpus twice.
+
+    Pass count (deliberate): ``lines`` is lazy, so its three consumers
+    (owner partials, long stream, short stream) each re-run the explode —
+    three streaming reads of the corpus, zero corpus-scale pins.
+    Materializing the exploded corpus instead would pin corpus-scale
+    blocks in the object store; routing short lines through the owner
+    join (per-occurrence unique keys) would move every short occurrence
+    through the shuffle.  Re-reading is the cheapest of the three at
+    100 TB.  Oracle: ops.contract.line_dedup_sql."""
     from ray.data.aggregate import Min
 
     lines = ds.map_batches(

@@ -94,7 +94,8 @@ def parse_query_string(q: str) -> dict:
     """Lucene classic-parser / Elasticsearch ``query_string`` subset:
     ``+piece`` must, ``-piece`` must_not, ``piece^N`` integer boost
     (N >= 1, applied as the scoring qtf), ``piece*`` trailing-wildcard
-    prefix (bare pieces only), ``lang:xx`` language scope, bare pieces
+    prefix (bare pieces only), ``piece~`` / ``piece~2`` fuzzy at 1 or 2
+    edits (bare pieces only), ``lang:xx`` language scope, bare pieces
     should.  Every piece runs through the analyzer; a piece that analyzes
     to several tokens contributes each of them under its operator (for a
     prefix piece the LAST token is the open prefix, the head tokens
@@ -110,6 +111,7 @@ def parse_query_string(q: str) -> dict:
     should: list[str] = []
     must_not: list[str] = []
     prefixes: list[str] = []
+    fuzzies: list[tuple[str, int]] = []
     boosts: dict[str, int] = {}
     lang = None
     for piece in q.split():
@@ -130,11 +132,25 @@ def parse_query_string(q: str) -> dict:
             if boost < 1:
                 raise ValueError("boost must be >= 1")
             piece = stem
-        is_prefix = piece.endswith("*")
-        if is_prefix:
+        fuzzy_edits = 0
+        stem, sep, f = piece.rpartition("~")
+        if sep:
             if op:
                 raise ValueError(
-                    "prefix pieces must be bare (no +/-): " + op + piece)
+                    "fuzzy pieces must be bare (no +/-): " + op + piece)
+            try:
+                fuzzy_edits = int(f) if f else 1
+            except ValueError:
+                raise ValueError(f"bad fuzziness in {piece!r} (need tok~1"
+                                 " or tok~2)")
+            if fuzzy_edits not in (1, 2):
+                raise ValueError("fuzziness must be 1 or 2")
+            piece = stem
+        is_prefix = piece.endswith("*")
+        if is_prefix:
+            if op or fuzzy_edits:
+                raise ValueError(
+                    "prefix pieces must be bare (no +/- or ~): " + piece)
             piece = piece[:-1]
         toks = _tok(piece)
         if not toks:
@@ -142,6 +158,10 @@ def parse_query_string(q: str) -> dict:
         if is_prefix:
             head, pre = toks[:-1], toks[-1]
             prefixes.append(pre)
+            toks = head
+        if fuzzy_edits:
+            head, ft = toks[:-1], toks[-1]
+            fuzzies.append((ft, fuzzy_edits))
             toks = head
         for t in toks:
             if op == "+":
@@ -153,7 +173,8 @@ def parse_query_string(q: str) -> dict:
             if op != "-" and boost > 1:
                 boosts[t] = max(boosts.get(t, 1), boost)
     return {"must": must, "should": should, "must_not": must_not,
-            "prefixes": prefixes, "boosts": boosts, "lang": lang}
+            "prefixes": prefixes, "fuzzies": fuzzies, "boosts": boosts,
+            "lang": lang}
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -1045,6 +1066,11 @@ class QueryEngine:
         extra: dict[str, int] = {}
         for pre in spec["prefixes"]:
             for term in self.expand_prefix(pre, lang):
+                extra.setdefault(term, 1)
+        for tok, edits in spec["fuzzies"]:
+            exp = (self.expand_fuzzy(tok, lang) if edits == 1
+                   else self.expand_fuzzy_automaton(tok, lang, max_edits=2))
+            for term in exp:
                 extra.setdefault(term, 1)
         return self.search_bool(
             spec["must"], spec["should"], spec["must_not"], lang,

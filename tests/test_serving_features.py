@@ -1032,6 +1032,8 @@ def test_query_string_parser():
     # multi-token piece distributes its operator
     d = parse_query_string("+foo.bar baz")
     assert d["must"] == ["foo", "bar"] and d["should"] == ["baz"]
+    d = parse_query_string("merg~ stream~2")
+    assert d["fuzzies"] == [("merg", 1), ("stream", 2)]
     import pytest as _pt
     with _pt.raises(ValueError):
         parse_query_string("term^x")
@@ -1039,6 +1041,10 @@ def test_query_string_parser():
         parse_query_string("term^0")
     with _pt.raises(ValueError):
         parse_query_string("+win*")
+    with _pt.raises(ValueError):
+        parse_query_string("term~3")
+    with _pt.raises(ValueError):
+        parse_query_string("-term~1")
 
 
 def test_query_string_matches_bool_and_prefix(flat_dir):
@@ -1054,6 +1060,10 @@ def test_query_string_matches_bool_and_prefix(flat_dir):
     p2 = e.search_prefix("win")
     assert p1[0].tolist() == p2[0].tolist()
     assert p1[1].tolist() == p2[1].tolist()
+    f1 = e.search_query_string("merg~")
+    f2 = e.search_fuzzy("merg")
+    assert f1[0].tolist() == f2[0].tolist()
+    assert f1[1].tolist() == f2[1].tolist()
     plain = e.search_query_string("merge stream")
     boosted = e.search_query_string("merge stream^4")
     assert plain[1].tolist() != boosted[1].tolist()
