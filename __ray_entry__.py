@@ -62,10 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting_topk": p.boosting_topk,
         "stats_agg": p.stats_agg,
         "range_agg": p.range_agg,
+        "lang_stats_agg": p.lang_stats_agg,
         "cardinality_agg": p.cardinality_agg,
         "percentiles_agg": p.percentiles_agg,
         "mget_docs": p.mget_docs,
         "mget_docs_sharded": p.mget_docs_sharded,
+        "lang_stats_agg_sharded": p.lang_stats_agg_sharded,
         "cardinality_agg_sharded": p.cardinality_agg_sharded,
         "percentiles_agg_sharded": p.percentiles_agg_sharded,
         "top_hits_agg": p.top_hits_agg,
@@ -185,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
                                                nb=p.NEG_BOOST),
         "stats_agg": sql.stats_agg_sql(DOC_QUERIES),
         "range_agg": sql.range_agg_sql(DOC_QUERIES, p.DL_RANGES),
+        "lang_stats_agg": sql.lang_stats_agg_sql(DOC_QUERIES),
+        "lang_stats_agg_sharded": sql.lang_stats_agg_sql(DOC_QUERIES),
         "cardinality_agg": sql.cardinality_agg_sql(DOC_QUERIES),
         "percentiles_agg": sql.percentiles_agg_sql(DOC_QUERIES),
         "mget_docs": sql.mget_docs_sql(p.MGET_MOD, p.MGET_RESIDUE),

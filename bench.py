@@ -316,6 +316,9 @@ def main() -> None:
     pipelines.cardinality_agg(SF_DIR).count()
     timings["cardinality_agg_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    pipelines.lang_stats_agg(SF_DIR).count()
+    timings["lang_stats_agg_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     pipelines.percentiles_agg(SF_DIR).count()
     timings["percentiles_agg_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

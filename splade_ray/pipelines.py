@@ -2141,6 +2141,28 @@ def mget_docs_sharded(sf_dir: str):
         concurrency_per_shard=1, query_kind="mget")
 
 
+def lang_stats_agg(sf_dir: str):
+    """Terms aggregation with a stats sub-agg (Elasticsearch ``terms`` +
+    ``stats`` sub-aggregation): per DOC_QUERIES entry and lang doc-value
+    bucket, (n_hits, min, max, sum, avg) of doc_len over EVERY live
+    matching doc.  Value-identical to sql.lang_stats_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="lang_stats")
+
+
+def lang_stats_agg_sharded(sf_dir: str):
+    """lang_stats_agg through the doc-range fan-out (per-(query, lang)
+    counts/sums add, mins min, maxs max; avg recomputed from exact
+    integer sums) — same oracle as lang_stats_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="lang_stats")
+
+
 def cardinality_agg(sf_dir: str):
     """Cardinality aggregation over the FULL hit set (Elasticsearch
     ``cardinality`` agg on the lang doc-value): per DOC_QUERIES entry, the

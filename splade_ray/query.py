@@ -238,7 +238,7 @@ class QueryEngine:
                               "rescore_partial", "cardinality",
                               "cardinality_partial", "percentiles",
                               "percentiles_partial", "mget",
-                              "query_string"):
+                              "query_string", "lang_stats"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -1020,6 +1020,33 @@ class QueryEngine:
                     out_n.append(n)
         return (np.asarray(out_b, dtype=np.int64),
                 np.asarray(out_n, dtype=np.int64))
+
+    def search_lang_stats(self, query: str, lang: str | None = None):
+        """Terms aggregation with a stats sub-agg (Elasticsearch
+        ``terms`` + ``stats``): per lang doc-value bucket over the FULL
+        hit set, (n_hits, min, max, sum) of doc_len — two gathers over
+        the resident forward arrays + per-bucket numpy reductions, hits
+        never leave the actor.  Returns (langs, n, min, max, sum)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return ([], np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), np.empty(0, np.int64))
+        codes = self.docs.gather_langcodes(ords)
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        n = np.bincount(codes, minlength=256)
+        s = np.bincount(codes, weights=dls.astype(np.float64),
+                        minlength=256).astype(np.int64)
+        mn = np.full(256, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(256, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, codes, dls)
+        np.maximum.at(mx, codes, dls)
+        live = np.nonzero(n)[0]
+        langs = [self.langs[c] if c < len(self.langs) else ""
+                 for c in live]
+        return (langs, n[live].astype(np.int64), mn[live], mx[live],
+                s[live])
 
     def search_cardinality(self, query: str, lang: str | None = None):
         """Cardinality aggregation (Elasticsearch ``cardinality`` agg on
@@ -1967,6 +1994,32 @@ class QueryEngine:
                 "dl": pa.array(out_dl, type=pa.int64()),
                 "n": pa.array(out_n, type=pa.int64()),
             })
+        if self.query_kind == "lang_stats":
+            # per (query, lang) bucket row over the FULL hit set; avg
+            # derives from the exact integer sum (shard merges recompute)
+            out: dict[str, list] = {k: [] for k in
+                                    ("query_id", "lang", "n_hits", "min_dl",
+                                     "max_dl", "sum_dl", "avg_dl")}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                lvs, n, mn, mx, s = self.search_lang_stats(q or "",
+                                                           lg or None)
+                for i, lv in enumerate(lvs):
+                    out["query_id"].append(qid)
+                    out["lang"].append(lv)
+                    out["n_hits"].append(int(n[i]))
+                    out["min_dl"].append(int(mn[i]))
+                    out["max_dl"].append(int(mx[i]))
+                    out["sum_dl"].append(int(s[i]))
+                    out["avg_dl"].append(int(s[i]) / int(n[i]))
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "n_hits": pa.array(out["n_hits"], type=pa.int64()),
+                "min_dl": pa.array(out["min_dl"], type=pa.int64()),
+                "max_dl": pa.array(out["max_dl"], type=pa.int64()),
+                "sum_dl": pa.array(out["sum_dl"], type=pa.int64()),
+                "avg_dl": pa.array(out["avg_dl"], type=pa.float64()),
+            })
         if self.query_kind == "mget":
             # the query column carries a comma-separated explicit id list
             # (ES ids-query / mget body); rows = live present docs' values
@@ -2304,7 +2357,7 @@ def run_queries_sharded(
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
                   "function_score", "rescore", "explain", "cardinality",
-                  "percentiles", "mget", "query_string"}
+                  "percentiles", "mget", "query_string", "lang_stats"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -2484,6 +2537,20 @@ def run_queries_sharded(
         s = t["sum_dl"].to_numpy(zero_copy_only=False).astype(np.float64)
         return t.append_column("avg_dl", pa.array(s / n, type=pa.float64()))
 
+    def _merge_lang_stats(g: pa.Table) -> pa.Table:
+        # per-shard (query, lang) partials are complete for their ordinal
+        # range: counts/sums add, mins min, maxs max; avg recomputes from
+        # the exact integer sums (never averaged across shards)
+        t = (g.group_by(["query_id", "lang"])
+             .aggregate([("n_hits", "sum"), ("min_dl", "min"),
+                         ("max_dl", "max"), ("sum_dl", "sum")]))
+        t = t.select(["query_id", "lang", "n_hits_sum", "min_dl_min",
+                      "max_dl_max", "sum_dl_sum"]).rename_columns(
+            ["query_id", "lang", "n_hits", "min_dl", "max_dl", "sum_dl"])
+        n = t["n_hits"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("avg_dl", pa.array(s / n, type=pa.float64()))
+
     def _merge_mget(g: pa.Table) -> pa.Table:
         # each doc lives in exactly one ordinal range: the union IS the
         # answer; re-sort by doc_id for the single-pool's deterministic
@@ -2526,7 +2593,7 @@ def run_queries_sharded(
                "rescore": _merge_rescore, "explain": _merge_explain,
                "cardinality": _merge_cardinality,
                "percentiles": _merge_percentiles,
-               "mget": _merge_mget}
+               "mget": _merge_mget, "lang_stats": _merge_lang_stats}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

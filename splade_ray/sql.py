@@ -989,6 +989,28 @@ FROM docs d WHERE (CAST(d.path AS BIGINT) % {mod}) = {residue}"""
     )
 
 
+def lang_stats_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Terms+stats sub-agg oracle (pipelines.lang_stats_agg replay): per
+    (query, lang) bucket over EVERY hit, count/min/max/sum of doc_len,
+    avg from the exact integer sum (one float division — identical IEEE
+    op to the engine's)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+SELECT r.query_id, d.lang,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(d.doc_len) AS BIGINT) AS min_dl,
+       CAST(max(d.doc_len) AS BIGINT) AS max_dl,
+       CAST(sum(d.doc_len) AS BIGINT) AS sum_dl,
+       CAST(sum(d.doc_len) AS DOUBLE) / count(*) AS avg_dl
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id, d.lang"""
+    )
+
+
 def cardinality_agg_sql(queries: list[tuple[int, str]]) -> str:
     """Cardinality-agg oracle (pipelines.cardinality_agg replay; ES
     ``cardinality`` agg): per query, the DISTINCT lang count over EVERY

@@ -1067,3 +1067,48 @@ def test_query_string_matches_bool_and_prefix(flat_dir):
     plain = e.search_query_string("merge stream")
     boosted = e.search_query_string("merge stream^4")
     assert plain[1].tolist() != boosted[1].tolist()
+
+
+def test_lang_stats_agg_matches_bruteforce(flat_dir, corpus_table,
+                                           ray_session):
+    """lang_stats kind vs a brute-force pass: per-(query, lang) doc_len
+    count/min/max/sum over the FULL hit set; the sharded fan-out's
+    per-bucket merge reproduces the single-pool rows."""
+    import pyarrow as pa
+
+    from splade_ray.analyzer import tokens_py
+    from splade_ray.ids import doc_id63
+    from splade_ray.query import run_queries, run_queries_sharded
+
+    dl, lang_of = {}, {}
+    for r in corpus_table.to_pylist():
+        txt = r["content"]
+        if txt is None or not txt.strip():
+            continue
+        d = doc_id63(r["repo"], r["path"], r["commit"])
+        dl[d] = len(tokens_py(txt))
+        lang_of[d] = r["lang"]
+    e = QueryEngine(flat_dir, query_kind="lang_stats")
+    big = QueryEngine(flat_dir, k=10**6)
+    for q in QUERIES:
+        ids, _u = big.search_one(q)
+        buckets: dict[str, list[int]] = {}
+        for d in ids.tolist():
+            buckets.setdefault(lang_of[d], []).append(dl[d])
+        lvs, n, mn, mx, s = e.search_lang_stats(q)
+        got = {lv: (int(n[i]), int(mn[i]), int(mx[i]), int(s[i]))
+               for i, lv in enumerate(lvs)}
+        want = {lv: (len(v), min(v), max(v), sum(v))
+                for lv, v in buckets.items()}
+        assert got == want, q
+    qt = pa.table({"query_id": pa.array(range(len(QUERIES)),
+                                        type=pa.int64()),
+                   "query": pa.array(QUERIES, type=pa.string())})
+    base = (run_queries(rd.from_arrow(qt), flat_dir, concurrency=1,
+                        query_kind="lang_stats").to_pandas()
+            .sort_values(["query_id", "lang"]).reset_index(drop=True))
+    shard = (run_queries_sharded(rd.from_arrow(qt), flat_dir,
+                                 n_query_shards=3, concurrency_per_shard=1,
+                                 query_kind="lang_stats").to_pandas()
+             .sort_values(["query_id", "lang"]).reset_index(drop=True))
+    assert shard[base.columns.tolist()].equals(base)
