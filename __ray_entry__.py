@@ -35,22 +35,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # last green r3), then the round-4-green serving entries.  Every entry
     # is pytest-covered regardless of driver rotation.
     catalog: dict[str, Callable[[str], Any]] = {}
+    # Entries with NO green driver row yet (pack/stratified + the round-4
+    # closing session's ops additions) — always first
+    never_ops = ("pack_sequences", "stratified_sample", "decontaminate",
+                 "repetition_stats", "gopher_filter", "unigram_nll",
+                 "ann_range_search", "ann_grouped_topk", "ann_filtered_topk",
+                 "line_dedup")
+    ops_q: dict[str, Callable[[str], Any]] = {}
     try:
         from splade_ray.ops import contract as ops_contract
 
         ops_q = ops_contract.queries()
-        # never driver-run before round 5 (fell past the ~50-entry cap)
-        for name in ("pack_sequences", "stratified_sample"):
+        for name in never_ops:
             if name in ops_q:
                 catalog[name] = ops_q.pop(name)
-        catalog.update(ops_q)  # rest of the ops family (last green r3)
     except ImportError:
         pass
     catalog.update({
-        # new this round, never driver-verified — keep inside the ~50-entry
-        # cap: the span class completion (or/not/containing/within,
-        # multi-phrase), WeightedRanker fusion, compound queries, and the
-        # doc-values agg family (stats/range/cardinality/percentiles/mget)
+        # never driver-verified — keep inside the ~50-entry cap: round 5's
+        # serving additions (extended_stats/random_score/adjacency_matrix/
+        # pinned/term-suggester), then the span class completion
+        # (or/not/containing/within, multi-phrase), WeightedRanker fusion,
+        # compound queries, and the doc-values agg family
+        # (stats/range/cardinality/percentiles/mget)
+        "ext_stats_agg": p.ext_stats_agg,
+        "random_score_topk": p.random_score_topk,
+        "adjacency_matrix": p.adjacency_matrix,
+        "pinned_topk": p.pinned_topk,
+        "term_suggest": p.term_suggest,
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
         "span_containing_topk": p.span_containing_topk,
@@ -66,13 +78,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_agg": p.cardinality_agg,
         "percentiles_agg": p.percentiles_agg,
         "mget_docs": p.mget_docs,
+        "top_hits_agg": p.top_hits_agg,
+        "sort_topk": p.sort_topk,
+        "function_score_topk": p.function_score_topk,
+        # never-verified sharded twins (same oracles as the single-pool
+        # entries; pytest covers shard parity, so these rank below the
+        # distinct operators)
         "mget_docs_sharded": p.mget_docs_sharded,
         "lang_stats_agg_sharded": p.lang_stats_agg_sharded,
         "cardinality_agg_sharded": p.cardinality_agg_sharded,
         "percentiles_agg_sharded": p.percentiles_agg_sharded,
-        "top_hits_agg": p.top_hits_agg,
-        "sort_topk": p.sort_topk,
-        "function_score_topk": p.function_score_topk,
+        "stats_agg_sharded": p.stats_agg_sharded,
+        "range_agg_sharded": p.range_agg_sharded,
+        "top_hits_agg_sharded": p.top_hits_agg_sharded,
+        "sort_topk_sharded": p.sort_topk_sharded,
+        "function_score_topk_sharded": p.function_score_topk_sharded,
+        "rescore_topk_sharded": p.rescore_topk_sharded,
+        "dis_max_topk_sharded": p.dis_max_topk_sharded,
+        "boosting_topk_sharded": p.boosting_topk_sharded,
+    })
+    # rest of the ops family (last green r3 — least-recently-verified next)
+    catalog.update(ops_q)
+    catalog.update({
         # delete/compact/eval family (last green r3)
         "bm25_topk_deleted": p.bm25_topk_deleted,
         "bm25_topk_compacted": p.bm25_topk_compacted,
@@ -88,17 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged": p.bm25_topk_merged,
         "bm25_topk_sharded": p.bm25_topk_sharded,
         "idf_coord_topk": p.idf_coord_topk,
-        # new-kind sharded twins (same oracles as the single-pool entries;
-        # pytest covers shard parity, so these rank below the distinct
-        # operators for the driver's ~50-entry cap)
-        "stats_agg_sharded": p.stats_agg_sharded,
-        "range_agg_sharded": p.range_agg_sharded,
-        "top_hits_agg_sharded": p.top_hits_agg_sharded,
-        "sort_topk_sharded": p.sort_topk_sharded,
-        "function_score_topk_sharded": p.function_score_topk_sharded,
-        "rescore_topk_sharded": p.rescore_topk_sharded,
-        "dis_max_topk_sharded": p.dis_max_topk_sharded,
-        "boosting_topk_sharded": p.boosting_topk_sharded,
         "bm25_topk_docs": p.bm25_topk_docs,
         "rrf_hybrid": p.rrf_hybrid,
         "rrf_dense_sparse": p.rrf_dense_sparse,
@@ -169,6 +185,15 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     catalog.update({
+        "ext_stats_agg": sql.ext_stats_agg_sql(DOC_QUERIES),
+        "random_score_topk": sql.random_score_topk_sql(DOC_QUERIES, TOP_K,
+                                                       seed=p.RS_SEED),
+        "adjacency_matrix": sql.adjacency_matrix_sql(p.ADJ_PAIRS),
+        "pinned_topk": sql.pinned_topk_sql(DOC_QUERIES, TOP_K, p.PIN_MOD,
+                                           p.PIN_RESIDUE, p.PIN_N),
+        "term_suggest": sql.term_suggest_sql(p.norm_suggest_tokens(),
+                                             p.SUGGEST_N,
+                                             p.SUGGEST_MAX_EDITS),
         "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
         "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
         "span_containing_topk": sql.span_contain_topk_sql(

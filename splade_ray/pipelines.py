@@ -2163,6 +2163,134 @@ def lang_stats_agg_sharded(sf_dir: str):
         concurrency_per_shard=1, query_kind="lang_stats")
 
 
+def ext_stats_agg(sf_dir: str):
+    """Extended-stats aggregation over the FULL hit set (Elasticsearch
+    ``extended_stats`` agg on a numeric doc-value): stats_agg plus the
+    exact integer sum of squares — the sufficient statistic for variance /
+    std_dev, which derive at the output layer from the exact sums (shard
+    merges add n/sum/sum_sq and re-derive losslessly, zero approximation).
+    Value-identical to sql.ext_stats_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="ext_stats")
+
+
+# random_score seed — both the engine hash (query.h63) and the SQL oracle
+# (sql.H63_SQL) embed it in the '{seed}:{doc_id}' preimage
+RS_SEED = 42
+
+
+def random_score_topk(sf_dir: str, top_k: int = TOP_K):
+    """Seeded random-score ranking (Elasticsearch ``function_score`` +
+    ``random_score`` with an explicit seed and field — deterministic per
+    (seed, doc)): per DOC_QUERIES entry, the hit set ranked by the
+    sha256-derived 63-bit hash of '{seed}:{doc_id}' DESC (ties doc_id
+    ASC), cut to k — reproducible hit-set shuffling, the deterministic
+    serving-time sampler.  Per-shard top-k merges exactly (selection by a
+    per-doc key).  Rank-identical to sql.random_score_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="random_score",
+                      engine_kwargs={"random_seed": RS_SEED})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+# adjacency_matrix cells: (pair_id, filter query A, filter query B).
+# Overlapping, disjoint, and zero-hit combinations, plus a qtf>1 query.
+ADJ_PAIRS: list[tuple[int, str, str]] = [
+    (0, "spark window", "merge"),
+    (1, "the", "customer filter"),
+    (2, "vector join batch", "nonexistentzzterm"),
+    (3, "agg", "the"),
+    (4, "stream stream stream", "spark window"),
+]
+
+
+def adjacency_matrix(sf_dir: str):
+    """Adjacency-matrix aggregation (Elasticsearch ``adjacency_matrix``
+    agg): per ADJ_PAIRS cell, the number of live docs matching BOTH filter
+    queries (presence = positive quantized BM25 sum, the shared hit rule).
+    Presence sets are complete per ordinal range and every doc lives in
+    exactly one range, so per-shard cells ADD — an exactly distributed
+    set-intersection size.  Value-identical to sql.adjacency_matrix_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([p for p, _, _ in ADJ_PAIRS], type=pa.int64()),
+        "query": pa.array([f"{a}|||{b}" for _, a, b in ADJ_PAIRS]),
+    })
+    return run_queries(rd.from_arrow(tbl), idx, concurrency=2,
+                       query_kind="adjacency")
+
+
+# pinned set: the first PIN_N doc_ids (ASC) whose RAW path id satisfies
+# the residue predicate — small and explicit (ES pins a handful of docs),
+# SQL-renderable exactly like the mget id list
+PIN_MOD = 13
+PIN_RESIDUE = 5
+PIN_N = 4
+
+
+def pinned_topk(sf_dir: str, top_k: int = TOP_K):
+    """Pinned query (Elasticsearch ``pinned`` query / Solr
+    QueryElevationComponent): per DOC_QUERIES entry, the PIN_N promoted
+    docs rank first (doc_id ASC, score = their complete BM25 sum — 0 when
+    the query doesn't match them, the ES pinned contract), then the
+    organic ranking with pinned docs excluded, cut to k overall.
+    Rank-identical to sql.pinned_topk_sql."""
+    idx = _contract_index(sf_dir)
+    pins = [int(i) for i in
+            np.sort(_ids_by_residue(idx, PIN_MOD, PIN_RESIDUE))[:PIN_N]]
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="pinned",
+                      engine_kwargs={"pinned_ids": pins})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+# term-suggester inputs: misspellings of real corpus terms (deletion /
+# insertion / two-substitution / transposition), one beyond any term's
+# reach, and a normalization proof — the token itself (distance 0) is
+# never suggested, so exact-term inputs return only their neighborhood
+TERM_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "merg"),
+    (1, "windoww"),
+    (2, "costumer"),
+    (3, "mrege"),
+    (4, "q9q9q9zz"),
+    (5, "Agg"),
+]
+SUGGEST_N = 5
+SUGGEST_MAX_EDITS = 2
+
+
+def norm_suggest_tokens() -> list[tuple[int, str]]:
+    return _norm_first_token(TERM_SUGGEST_QUERIES)
+
+
+def term_suggest(sf_dir: str):
+    """Term suggester (Elasticsearch ``term`` suggester / Lucene
+    DirectSpellChecker): per TERM_SUGGEST_QUERIES token, dictionary terms
+    within Levenshtein distance [1, SUGGEST_MAX_EDITS], ranked distance
+    ASC, build-time df DESC, term ASC, cut to SUGGEST_N.  Candidates come
+    from the same Levenshtein-automaton x sorted-dictionary intersect
+    FuzzyQuery uses (QueryEngine.expand_fuzzy_automaton — iterations
+    independent of vocabulary size); postings are never decoded (df is
+    frozen in the dictionary).  Value-identical to sql.term_suggest_sql."""
+    idx = _contract_index(sf_dir)
+    toks = norm_suggest_tokens()
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in toks], type=pa.int64()),
+        "query": pa.array([t for _, t in toks]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, concurrency=2,
+                      query_kind="term_suggest",
+                      engine_kwargs={"suggest_n": SUGGEST_N,
+                                     "suggest_max_edits": SUGGEST_MAX_EDITS})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
 def cardinality_agg(sf_dir: str):
     """Cardinality aggregation over the FULL hit set (Elasticsearch
     ``cardinality`` agg on the lang doc-value): per DOC_QUERIES entry, the

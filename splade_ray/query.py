@@ -31,6 +31,7 @@ the rank-identity requirement of the north rule).
 
 from __future__ import annotations
 
+import hashlib
 import heapq
 import json
 import math
@@ -71,6 +72,41 @@ RESULT_SCHEMA = pa.schema(
 # ``percentiles`` agg; exact here — the doc_len doc-value domain is small
 # enough that no t-digest approximation is needed)
 PERCENTILE_QS = (0.25, 0.5, 0.75, 0.99)
+
+# 63-bit mask shared with ops/contract.H63 — the sha256-derived hash both
+# engine and DuckDB oracles reproduce bit-for-bit
+MASK63 = (1 << 63) - 1
+
+
+def h63(s: str) -> int:
+    """sha256-derived 63-bit int (first 8 digest bytes, big-endian, sign
+    bit cleared) — identical to ops/contract.H63's SQL rendering."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8],
+                          "big") & MASK63
+
+
+def lev_dist(a: str, b: str, cap: int = 3) -> int:
+    """Plain Levenshtein distance with an early-exit ``cap`` (terms the
+    suggester scores are pre-filtered to distance <= 2 by the automaton,
+    so the DP rows stay tiny) — DuckDB ``levenshtein()`` semantics."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) >= cap:
+        return cap
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if cur[j] < best:
+                best = cur[j]
+        if best >= cap:
+            return cap
+        prev = cur
+    return prev[lb]
 
 
 def disc_percentiles(vals: np.ndarray, counts: np.ndarray,
@@ -197,7 +233,11 @@ class QueryEngine:
                  negative_boost: "tuple[int, int]" = (1, 2),
                  group_n: int = 3,
                  sort_ascending: bool = False,
-                 percentile_qs: "tuple[float, ...]" = PERCENTILE_QS):
+                 percentile_qs: "tuple[float, ...]" = PERCENTILE_QS,
+                 pinned_ids: "list[int] | None" = None,
+                 random_seed: int = 42,
+                 suggest_n: int = 5,
+                 suggest_max_edits: int = 2):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -238,7 +278,9 @@ class QueryEngine:
                               "rescore_partial", "cardinality",
                               "cardinality_partial", "percentiles",
                               "percentiles_partial", "mget",
-                              "query_string", "lang_stats"):
+                              "query_string", "lang_stats", "ext_stats",
+                              "random_score", "adjacency", "pinned",
+                              "term_suggest"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -270,6 +312,12 @@ class QueryEngine:
         self.percentile_qs = tuple(float(q) for q in percentile_qs)
         if any(not (0.0 < q <= 1.0) for q in self.percentile_qs):
             raise ValueError("percentile_qs must be in (0, 1]")
+        # explicit promoted-doc list for search_pinned (ES pinned query);
+        # returned doc_id ASC ahead of the organic ranking
+        self.pinned_ids = sorted(int(i) for i in (pinned_ids or []))
+        self.random_seed = int(random_seed)  # search_random_score
+        self.suggest_n = int(suggest_n)  # per-token cut, suggest_terms
+        self.suggest_max_edits = int(suggest_max_edits)
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -1102,6 +1150,160 @@ class QueryEngine:
         return self.search_bool(
             spec["must"], spec["should"], spec["must_not"], lang,
             boosts=spec["boosts"], extra_terms=extra)
+
+    def search_ext_stats(self, query: str, lang: str | None = None):
+        """Extended-stats aggregation over the FULL hit set (Elasticsearch
+        ``extended_stats`` agg on a numeric doc-value): search_stats plus
+        the exact integer sum of squares — the sufficient statistic for
+        variance/std_dev, which derive at the output layer from the exact
+        sums (so shard merges recompute them losslessly by adding
+        n/sum/sum_sq and re-deriving).  Returns (n, min, max, sum, sum_sq);
+        (0, 0, 0, 0, 0) for a zero-hit query."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return 0, 0, 0, 0, 0
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        return (int(len(dls)), int(dls.min()), int(dls.max()),
+                int(dls.sum()), int((dls * dls).sum()))
+
+    @staticmethod
+    def ext_stats_floats(n: int, s: int, ss: int) -> tuple[float, float,
+                                                           float]:
+        """(avg, variance, std_dev) from the exact integer sums — ONE
+        float division per term, the identical IEEE ops the SQL oracle
+        performs (ints < 2^53, so the DOUBLE casts are exact).  Variance
+        is the ES population form sum_sq/n - avg^2, clamped at 0 (the
+        constant-value case can round to -1 ulp on both sides; the clamp
+        writes literal +0.0 so -0.0 can never leak into the value hash)."""
+        avg = s / n
+        var = ss / n - avg * avg
+        if var <= 0.0:
+            var = 0.0
+        return avg, var, math.sqrt(var)
+
+    def search_random_score(self, query: str, lang: str | None = None):
+        """function_score random_score (Elasticsearch ``random_score``
+        with an explicit seed + field: deterministic per (seed, doc)):
+        hits rank by the sha256-derived 63-bit hash of "{seed}:{doc_id}"
+        DESC (ties doc_id ASC), cut to k — reproducible shuffling of the
+        hit set, the deterministic-sampling serving shape.  Returns
+        (doc_ids, hashes).  Per-shard top-k merges exactly (selection by a
+        per-doc key).  The per-hit sha here is the oracle-twin path; a
+        production pool would swap the vectorized mixer hash exactly like
+        ops/dedup's hash_mode."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        ids = self.docs.gather_ids(ords)
+        seed = self.random_seed
+        h = np.fromiter((h63(f"{seed}:{i}") for i in ids),
+                        dtype=np.int64, count=len(ids))
+        order = np.lexsort((ids, -h))[: self.k]
+        return ids[order], h[order]
+
+    def search_adjacency(self, pair: str, lang: str | None = None):
+        """One adjacency-matrix cell (Elasticsearch ``adjacency_matrix``
+        agg): the query column carries two filter queries joined by
+        '|||'; the cell value is the count of live docs matching BOTH
+        (presence = positive quantized BM25 sum, the shared hit rule).
+        Both presence sets are complete per ordinal range, and every doc
+        lives in exactly one range — so per-shard cells ADD, making this
+        an exactly distributed set-intersection size."""
+        qa, _, qb = pair.partition("|||")
+        oa, ua = self._sparse_sums(self._query_terms(qa, lang))
+        oa = oa[ua > 0]
+        if not len(oa):
+            return 0
+        ob, ub = self._sparse_sums(self._query_terms(qb, lang))
+        ob = ob[ub > 0]
+        if not len(ob):
+            return 0
+        return int(len(np.intersect1d(oa, ob, assume_unique=True)))
+
+    def search_pinned(self, query: str, lang: str | None = None):
+        """Pinned query (Elasticsearch ``pinned`` query / Lucene-solr QEC
+        elevation): the configured ``pinned_ids`` that resolve to LIVE
+        docs rank first (doc_id ASC — the deterministic promotion order),
+        then the organic BM25 ranking with pinned docs excluded; cut to k
+        overall.  Pinned docs report their complete BM25 unit sum (0 when
+        they don't match the query at all — they are still returned, the
+        ES pinned contract).  Returns (doc_ids, units, pinned_flags)."""
+        from .docmap import sorted_member
+
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        # live, in-range pinned ordinals (absent ids drop, mget semantics)
+        pords = self.docs.ords_of_ids(
+            np.asarray(self.pinned_ids, dtype=np.int64))
+        if self.ord_range is not None:
+            lo, hi = self.ord_range
+            pords = pords[(pords >= lo) & (pords < hi)]
+        if len(self.tomb) and len(pords):
+            dead, _ = sorted_member(self.tomb, pords)
+            pords = pords[~dead]
+        # complete unit sums for the pinned docs (0 if no term overlap)
+        p_units = np.zeros(len(pords), dtype=np.int64)
+        if len(ords) and len(pords):
+            pos = np.searchsorted(ords, pords)
+            pos_ok = (pos < len(ords)) & (ords[np.minimum(
+                pos, len(ords) - 1)] == pords)
+            p_units[pos_ok] = units[pos[pos_ok]]
+        p_ids = (self.docs.gather_ids(pords) if len(pords)
+                 else np.empty(0, dtype=np.int64))
+        p_order = np.argsort(p_ids)  # promotion order: doc_id ASC
+        p_ids, p_units = p_ids[p_order], p_units[p_order]
+        # organic ranking excludes the pinned ordinals
+        keep = units > 0
+        if len(pords):
+            member, _ = sorted_member(np.sort(pords), ords)
+            keep &= ~member
+        o_ords, o_units = ords[keep], units[keep]
+        o_ords, o_units = self._topk(o_ords, o_units)
+        o_ids = (self.docs.gather_ids(o_ords) if len(o_ords)
+                 else np.empty(0, dtype=np.int64))
+        ids = np.concatenate([p_ids, o_ids])[: self.k]
+        u = np.concatenate([p_units, o_units])[: self.k]
+        flags = np.zeros(len(ids), dtype=np.int64)
+        flags[: min(len(p_ids), len(ids))] = 1
+        return ids, u, flags
+
+    def suggest_terms(self, token: str, lang: str | None = None):
+        """Term suggester (Elasticsearch ``term`` suggester / Lucene
+        DirectSpellChecker): dictionary terms within Levenshtein distance
+        [1, suggest_max_edits] of the analyzed token — candidates from the
+        same automaton-dictionary intersect FuzzyQuery uses
+        (expand_fuzzy_automaton) — ranked (distance ASC, df DESC, term
+        ASC), cut to suggest_n.  df is the frozen build-time document
+        frequency summed across segments/salts (_term_refs), postings
+        never decoded.  Returns [(term, dist, df)]."""
+        toks = tokens_py(token)
+        if not toks:
+            return []
+        t = toks[0]
+        cand = self.expand_fuzzy_automaton(t, lang, self.suggest_max_edits)
+        # lang-tagged dictionaries carry one variant per language; a
+        # suggestion is the BARE term, its df summed across variants
+        by_bare: dict[str, list[int]] = {}
+        for term in cand:
+            bare = term.rpartition(LANG_SEP)[2] if (
+                self.lang_tagged and LANG_SEP in term) else term
+            d = lev_dist(bare, t, cap=self.suggest_max_edits + 1)
+            if not (1 <= d <= self.suggest_max_edits):
+                continue  # the token itself (d=0) is not a correction
+            df = self._term_refs(term)[1]
+            row = by_bare.get(bare)
+            if row is None:
+                by_bare[bare] = [d, df]
+            else:
+                row[1] += df
+        out = [(bare, d, df) for bare, (d, df) in by_bare.items()]
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[: self.suggest_n]
 
     def mget(self, ids):
         """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
@@ -2019,6 +2221,102 @@ class QueryEngine:
                 "max_dl": pa.array(out["max_dl"], type=pa.int64()),
                 "sum_dl": pa.array(out["sum_dl"], type=pa.int64()),
                 "avg_dl": pa.array(out["avg_dl"], type=pa.float64()),
+            })
+        if self.query_kind == "ext_stats":
+            # one row per query WITH hits; floats derive from the exact
+            # integer sums via ext_stats_floats (shard merges add
+            # n/sum/sum_sq and re-derive losslessly)
+            out: dict[str, list] = {k: [] for k in
+                                    ("query_id", "n_hits", "min_dl",
+                                     "max_dl", "sum_dl", "sum_sq",
+                                     "avg_dl", "variance", "std_dev")}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n, lo, hi, s, ss = self.search_ext_stats(q or "", lg or None)
+                if not n:
+                    continue
+                avg, var, std = self.ext_stats_floats(n, s, ss)
+                out["query_id"].append(qid)
+                out["n_hits"].append(n)
+                out["min_dl"].append(lo)
+                out["max_dl"].append(hi)
+                out["sum_dl"].append(s)
+                out["sum_sq"].append(ss)
+                out["avg_dl"].append(avg)
+                out["variance"].append(var)
+                out["std_dev"].append(std)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "n_hits": pa.array(out["n_hits"], type=pa.int64()),
+                "min_dl": pa.array(out["min_dl"], type=pa.int64()),
+                "max_dl": pa.array(out["max_dl"], type=pa.int64()),
+                "sum_dl": pa.array(out["sum_dl"], type=pa.int64()),
+                "sum_sq": pa.array(out["sum_sq"], type=pa.int64()),
+                "avg_dl": pa.array(out["avg_dl"], type=pa.float64()),
+                "variance": pa.array(out["variance"], type=pa.float64()),
+                "std_dev": pa.array(out["std_dev"], type=pa.float64()),
+            })
+        if self.query_kind == "random_score":
+            out_qid, out_rank, out_doc, out_rs = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, hs = self.search_random_score(q or "", lg or None)
+                for r, (d, h) in enumerate(zip(ids, hs), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_rs.append(int(h))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "rs": pa.array(out_rs, type=pa.int64()),
+            })
+        if self.query_kind == "adjacency":
+            # one row per pair ALWAYS (zero-intersection cells emit 0 —
+            # the LEFT-JOIN oracle mirrors this)
+            return pa.table({
+                "query_id": pa.array(qids, type=pa.int64()),
+                "n_both": pa.array(
+                    [self.search_adjacency(q or "", lg or None)
+                     for q, lg in zip(batch["query"].to_pylist(), langs)],
+                    type=pa.int64()),
+            })
+        if self.query_kind == "pinned":
+            out = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+                   "pinned": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, units, flags = self.search_pinned(q or "", lg or None)
+                for r, (d, u, f) in enumerate(zip(ids, units, flags),
+                                              start=1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(r)
+                    out["doc_id"].append(int(d))
+                    out["score"].append(int(u) / SCORE_SCALE)
+                    out["pinned"].append(int(f))
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int32()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+                "pinned": pa.array(out["pinned"], type=pa.int64()),
+            })
+        if self.query_kind == "term_suggest":
+            # the query column carries one (possibly misspelled) token
+            out = {"query_id": [], "rank": [], "term": [], "dist": [],
+                   "df": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                for r, (term, d, df) in enumerate(
+                        self.suggest_terms(q or "", lg or None), start=1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(r)
+                    out["term"].append(term)
+                    out["dist"].append(int(d))
+                    out["df"].append(int(df))
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int32()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "dist": pa.array(out["dist"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
             })
         if self.query_kind == "mget":
             # the query column carries a comma-separated explicit id list

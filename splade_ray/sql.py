@@ -1077,6 +1077,195 @@ GROUP BY query_id, bucket"""
     )
 
 
+# sha256-derived 63-bit int (first 8 digest bytes, big-endian, sign bit
+# cleared) — bit-identical to query.h63 / ops/contract.H63
+H63_SQL = (
+    "(('0x' || substr(sha256({expr}), 1, 16))::UBIGINT"
+    " & 9223372036854775807)::BIGINT"
+)
+
+
+def ext_stats_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Extended-stats-agg oracle (pipelines.ext_stats_agg replay; ES
+    ``extended_stats`` agg): stats_agg plus the exact integer sum of
+    squares; avg/variance/std_dev derive from the exact integer sums with
+    the IDENTICAL IEEE op sequence QueryEngine.ext_stats_floats performs
+    (one division each, ES population variance sum_sq/n - avg^2, clamped
+    to literal +0.0 so the constant-value -1-ulp case hashes equal)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+, es_base AS (
+  SELECT r.query_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(min(d.doc_len) AS BIGINT) AS min_dl,
+         CAST(max(d.doc_len) AS BIGINT) AS max_dl,
+         CAST(sum(d.doc_len) AS BIGINT) AS sum_dl,
+         CAST(sum(d.doc_len * d.doc_len) AS BIGINT) AS sum_sq
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+es_avg AS (
+  SELECT *, CAST(sum_dl AS DOUBLE) / n_hits AS avg_dl FROM es_base
+),
+es_var AS (
+  SELECT *,
+         CASE WHEN CAST(sum_sq AS DOUBLE) / n_hits - avg_dl * avg_dl
+                   <= CAST(0 AS DOUBLE)
+              THEN CAST(0 AS DOUBLE)
+              ELSE CAST(sum_sq AS DOUBLE) / n_hits - avg_dl * avg_dl
+         END AS variance
+  FROM es_avg
+)
+SELECT query_id, n_hits, min_dl, max_dl, sum_dl, sum_sq,
+       avg_dl, variance, sqrt(variance) AS std_dev
+FROM es_var"""
+    )
+
+
+def random_score_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                          seed: int = 42) -> str:
+    """Random-score oracle (pipelines.random_score_topk replay; ES
+    ``function_score`` with ``random_score`` + explicit seed/field —
+    deterministic per (seed, doc)): hits rank by the sha256-derived 63-bit
+    hash of '{seed}:{doc_id}' DESC, ties doc_id ASC, cut to k — the same
+    bytes QueryEngine.search_random_score hashes."""
+    h = H63_SQL.format(
+        expr=f"'{int(seed)}:' || CAST(s.doc_id AS VARCHAR)")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, rs AS (
+  SELECT s.query_id, s.doc_id, {h} AS rs
+  FROM scores s WHERE s.units > 0
+),
+rs_ranked AS (
+  SELECT query_id, doc_id, rs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rs DESC, doc_id ASC) AS rnk
+  FROM rs
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rs
+FROM rs_ranked WHERE rnk <= {k}"""
+    )
+
+
+def adjacency_matrix_sql(pairs: list[tuple[int, str, str]]) -> str:
+    """Adjacency-matrix-agg oracle (pipelines.adjacency_matrix replay; ES
+    ``adjacency_matrix`` agg, one a&b cell per pair): each pair's two
+    filter queries become synthetic query ids 2*pid / 2*pid+1 through the
+    shared ranked chain; the cell is the hit-set intersection size, with
+    zero-intersection pairs kept via the LEFT JOIN (the engine emits one
+    row per pair always)."""
+    synth = []
+    for pid, qa, qb in pairs:
+        synth.append((2 * int(pid), qa))
+        synth.append((2 * int(pid) + 1, qb))
+    rows = ",".join(f"({int(pid)})" for pid, _, _ in pairs)
+    lit = f"pair_lit(pair_id) AS (SELECT * FROM (VALUES {rows}))"
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(synth), _bm25_ranked_cte(), lit,
+        )
+        + """
+, hits AS (SELECT query_id, doc_id FROM scores WHERE units > 0),
+cells AS (
+  SELECT a.query_id // 2 AS pair_id, CAST(count(*) AS BIGINT) AS n
+  FROM hits a JOIN hits b ON b.doc_id = a.doc_id
+                         AND b.query_id = a.query_id + 1
+  WHERE a.query_id % 2 = 0
+  GROUP BY a.query_id // 2
+)
+SELECT CAST(l.pair_id AS BIGINT) AS query_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_both
+FROM pair_lit l LEFT JOIN cells c ON c.pair_id = l.pair_id"""
+    )
+
+
+def pinned_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                    mod: int = 13, residue: int = 5,
+                    n_pinned: int = 4) -> str:
+    """Pinned-query oracle (pipelines.pinned_topk replay; ES ``pinned``
+    query / Solr QueryElevationComponent): the pinned set is the first
+    ``n_pinned`` doc_ids (ASC) matching the shared residue predicate —
+    the SQL rendering of the engine's explicit id list.  Pinned docs rank
+    first (doc_id ASC, score = their complete BM25 sum, 0 when the query
+    doesn't match them at all), then the organic ranking with pinned docs
+    excluded; cut to k overall."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, pinned AS (
+  SELECT doc_id FROM docs
+  WHERE (CAST(path AS BIGINT) % {mod}) = {residue}
+  ORDER BY doc_id LIMIT {n_pinned}
+),
+pin_leg AS (
+  SELECT q.query_id, p.doc_id, CAST(coalesce(s.units, 0) AS BIGINT) AS units,
+         CAST(1 AS BIGINT) AS pinned,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY p.doc_id ASC) AS rnk
+  FROM query_lit q CROSS JOIN pinned p
+  LEFT JOIN scores s ON s.query_id = q.query_id AND s.doc_id = p.doc_id
+),
+org_leg AS (
+  SELECT s.query_id, s.doc_id, s.units, CAST(0 AS BIGINT) AS pinned,
+         (SELECT count(*) FROM pinned)
+         + row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.units DESC, s.doc_id ASC) AS rnk
+  FROM scores s
+  WHERE s.units > 0
+    AND s.doc_id NOT IN (SELECT doc_id FROM pinned)
+),
+pin_all AS (
+  SELECT * FROM pin_leg UNION ALL SELECT * FROM org_leg
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score, pinned
+FROM pin_all WHERE rnk <= {k}"""
+    )
+
+
+def term_suggest_sql(tokens: list[tuple[int, str]], n: int = 5,
+                     max_edits: int = 2) -> str:
+    """Term-suggester oracle (pipelines.term_suggest replay; ES ``term``
+    suggester / Lucene DirectSpellChecker): dictionary terms within
+    Levenshtein distance [1, max_edits] of the token (d=0 — the token
+    itself — is not a correction), ranked distance ASC, df DESC, term ASC,
+    cut to n.  Tokens must arrive analyzer-normalized."""
+    rows = ",".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in tokens
+    )
+    lit = f"tok_lit(query_id, token) AS (SELECT * FROM (VALUES {rows}))"
+    ranked = f"""
+sug_ranked AS (
+  SELECT q.query_id, f.term,
+         CAST(levenshtein(f.term, q.token) AS BIGINT) AS dist, f.df,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY levenshtein(f.term, q.token) ASC,
+                                     f.df DESC, f.term ASC) AS rnk
+  FROM tok_lit q
+  JOIN df f ON levenshtein(f.term, q.token) BETWEEN 1 AND {max_edits}
+)"""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
+              lit, ranked)
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, term, dist, df
+FROM sug_ranked WHERE rnk <= {n}"""
+    )
+
+
 def total_hits_sql(queries: list[tuple[int, str]]) -> str:
     """track_total_hits oracle (pipelines.total_hits replay): matching-doc
     count per query; LEFT JOIN from the query literals keeps zero-hit

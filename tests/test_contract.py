@@ -24,6 +24,10 @@ FAST_KEYS = [
     "doclen_quantiles", "embedding_neardup_pairs", "ann_ivf_topk",
     "events_hourly_window", "events_sessions", "events_rolling_sum",
     "events_asof_join",
+    # round 5: ES extended_stats / random_score / adjacency_matrix /
+    # pinned / term-suggester serving additions
+    "ext_stats_agg", "random_score_topk", "adjacency_matrix",
+    "pinned_topk", "term_suggest",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
