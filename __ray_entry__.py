@@ -63,6 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_matrix": p.adjacency_matrix,
         "pinned_topk": p.pinned_topk,
         "term_suggest": p.term_suggest,
+        "constant_score_topk": p.constant_score_topk,
+        "rank_feature_topk": p.rank_feature_topk,
+        "mad_agg": p.mad_agg,
+        "composite_agg": p.composite_agg,
+        "span_range_topk": p.span_range_topk,
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
         "span_containing_topk": p.span_containing_topk,
@@ -194,6 +199,15 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": sql.term_suggest_sql(p.norm_suggest_tokens(),
                                              p.SUGGEST_N,
                                              p.SUGGEST_MAX_EDITS),
+        "constant_score_topk": sql.constant_score_topk_sql(
+            DOC_QUERIES, TOP_K, boost=p.CONST_BOOST),
+        "rank_feature_topk": sql.rank_feature_topk_sql(
+            DOC_QUERIES, TOP_K, pivot=p.RF_PIVOT),
+        "mad_agg": sql.mad_agg_sql(DOC_QUERIES),
+        "composite_agg": sql.composite_agg_sql(
+            DOC_QUERIES, p.COMP_WIDTH, p.COMP_SIZE, p.COMP_AFTER),
+        "span_range_topk": sql.span_range_topk_sql(p.SPAN_RANGE_QUERIES,
+                                                   TOP_K),
         "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
         "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
         "span_containing_topk": sql.span_contain_topk_sql(

@@ -173,6 +173,7 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
     ``specs`` kinds: "phrase" {tokens}, "near" {a, b, slop, ordered;
     a != b}, "span" {terms, window, ordered}, "span_or" {clauses},
     "span_not" {tokens, exclude, pre, post}, "first" {term, limit},
+    "pos_range" {term, lo, hi},
     "phrase_prefix" {tokens, prefix}, "contain" {big_a, big_b, window,
     tokens}, "multi_phrase" {positions: [[alt, ...], ...]}.  Several specs may SHARE a qid (the
     per-language expansion of tag_spec relies on it).  ``weights``: per
@@ -424,6 +425,17 @@ def positional_units_batch(t: pa.Table, *, index_dir: str,
                     continue
                 hit = kt[(kt & 0xFFFFFFFF) < int(spec["limit"])]
                 verified = np.unique(hit >> 32) if len(hit) else hit[:0]
+            elif spec["kind"] == "pos_range":
+                # SpanPositionRangeQuery: the term occurs at some 0-based
+                # position in [lo, hi) — "first" is the lo=0 special case;
+                # the SQL oracle's 1-based tokpos uses pos > lo AND
+                # pos <= hi, the same set
+                kt = _g(spec["term"])[3]
+                if not len(kt):
+                    continue
+                pos = kt & 0xFFFFFFFF
+                hit = kt[(pos >= int(spec["lo"])) & (pos < int(spec["hi"]))]
+                verified = np.unique(hit >> 32) if len(hit) else hit[:0]
             else:  # near
                 if spec["a"] == spec["b"]:
                     raise ValueError(
@@ -501,7 +513,7 @@ def tag_spec(spec: dict, lg: str) -> dict:
     elif kind == "contain":
         out["tokens"] = [t(x) for x in spec["tokens"]]
         out["big_a"], out["big_b"] = t(spec["big_a"]), t(spec["big_b"])
-    elif kind == "first":
+    elif kind in ("first", "pos_range"):
         out["term"] = t(spec["term"])
     else:
         raise ValueError(f"unknown positional spec kind {kind!r}")

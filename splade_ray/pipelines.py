@@ -1425,6 +1425,31 @@ def span_first_topk(sf_dir: str, top_k: int = TOP_K):
     return _positional_ranked(sf_dir, specs, qterms, top_k)
 
 
+# SpanPositionRange queries: (qid, term, lo, hi) — the term occurs at a
+# 0-based position in [lo, hi).  (1) is the lo=0 SpanFirst special case,
+# (2) a single-position window, (3) matches nothing.
+SPAN_RANGE_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "spark", 2, 12),
+    (1, "merge", 0, 8),
+    (2, "join", 5, 6),
+    (3, "nonexistentzzterm", 0, 64),
+    (4, "window", 10, 40),
+]
+
+
+def span_range_topk(sf_dir: str, top_k: int = TOP_K):
+    """SpanPositionRangeQuery (Lucene): docs where the term occurs at a
+    0-based position in [lo, hi) — SpanFirstQuery generalized to an
+    arbitrary window, answered entirely from the positional sidecar (one
+    packed-key mask per query).  BM25-ranked on the term; rank-identical
+    to sql.span_range_topk_sql."""
+    specs = [{"qid": qid, "kind": "pos_range", "term": t, "lo": lo,
+              "hi": hi}
+             for qid, t, lo, hi in SPAN_RANGE_QUERIES]
+    qterms = [(qid, t, 1) for qid, t, _, _ in SPAN_RANGE_QUERIES]
+    return _positional_ranked(sf_dir, specs, qterms, top_k)
+
+
 # MultiPhrase queries: (qid, [[alternatives], ...]) — a consecutive chain
 # where each position matches ANY of its alternative terms (Lucene
 # MultiPhraseQuery — phrase with synonyms / multi-token analysis).
@@ -2289,6 +2314,80 @@ def term_suggest(sf_dir: str):
                                      "suggest_max_edits": SUGGEST_MAX_EDITS})
     return res.map_batches(lambda t: _i64(t, ["rank"]),
                            batch_format="pyarrow")
+
+
+# constant_score boost — a non-1.0 value proves the constant actually
+# flows through (not a default float)
+CONST_BOOST = 1.5
+
+
+def constant_score_topk(sf_dir: str, top_k: int = TOP_K):
+    """Constant-score query (Elasticsearch ``constant_score`` / Lucene
+    ConstantScoreQuery): per DOC_QUERIES entry, the text acts purely as a
+    filter — every live matching doc scores CONST_BOOST, so the page is
+    the first k hits in doc_id order.  Rank-identical to
+    sql.constant_score_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="constant_score",
+                      engine_kwargs={"const_boost": CONST_BOOST})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+# rank_feature saturation pivot (ES defaults to the field's approximate
+# geometric mean; fixed here so the oracle can embed it)
+RF_PIVOT = 50
+
+
+def rank_feature_topk(sf_dir: str, top_k: int = TOP_K):
+    """Rank-feature query (Elasticsearch ``rank_feature`` + ``saturation``
+    on a numeric doc-value): per DOC_QUERIES entry, hits rank by the
+    integer-quantized saturation key (doc_len * SCALE) // (doc_len +
+    RF_PIVOT) DESC, ties doc_id ASC — floor division on both sides makes
+    the quantization bit-exact.  Rank-identical to
+    sql.rank_feature_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="rank_feature",
+                      engine_kwargs={"rf_pivot": RF_PIVOT})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def mad_agg(sf_dir: str):
+    """Median-absolute-deviation aggregation over the FULL hit set
+    (Elasticsearch ``median_absolute_deviation`` agg — EXACT here, not
+    t-digest: both medians are discrete quantiles over the bounded
+    doc_len value histogram, so sharded merges recompute identical
+    values from summed histograms).  Value-identical to sql.mad_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="mad")
+
+
+# composite-agg page spec: (lang ASC, doc_len-histogram ASC) sources,
+# page size, exclusive after-key — chosen mid-stream so the filter
+# exercises both tuple-comparison arms
+COMP_WIDTH = 16
+COMP_SIZE = 4
+COMP_AFTER = ("de", 16)
+
+
+def composite_agg(sf_dir: str):
+    """Composite aggregation (Elasticsearch ``composite`` agg, two
+    sources: lang terms ASC + doc_len histogram ASC) with after-key
+    pagination: per DOC_QUERIES entry, the COMP_SIZE buckets strictly
+    after COMP_AFTER in (lang, bucket) order with live matching-doc
+    counts.  The bucket list is bounded by the doc-value domains, so
+    shards merge exactly by summing per-bucket counts before the
+    after-filter + cut.  Value-identical to sql.composite_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="composite",
+                       engine_kwargs={"comp_width": COMP_WIDTH,
+                                      "comp_size": COMP_SIZE,
+                                      "comp_after": COMP_AFTER})
 
 
 def cardinality_agg(sf_dir: str):

@@ -237,7 +237,12 @@ class QueryEngine:
                  pinned_ids: "list[int] | None" = None,
                  random_seed: int = 42,
                  suggest_n: int = 5,
-                 suggest_max_edits: int = 2):
+                 suggest_max_edits: int = 2,
+                 const_boost: float = 1.0,
+                 rf_pivot: int = 50,
+                 comp_width: int = 16,
+                 comp_size: int = 4,
+                 comp_after: "tuple[str, int] | None" = None):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -280,7 +285,8 @@ class QueryEngine:
                               "percentiles_partial", "mget",
                               "query_string", "lang_stats", "ext_stats",
                               "random_score", "adjacency", "pinned",
-                              "term_suggest"):
+                              "term_suggest", "constant_score",
+                              "rank_feature", "mad", "composite"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -318,6 +324,14 @@ class QueryEngine:
         self.random_seed = int(random_seed)  # search_random_score
         self.suggest_n = int(suggest_n)  # per-token cut, suggest_terms
         self.suggest_max_edits = int(suggest_max_edits)
+        self.const_boost = float(const_boost)  # search_constant_score
+        self.rf_pivot = int(rf_pivot)  # search_rank_feature saturation
+        # composite-agg page spec: histogram width, page size, exclusive
+        # (lang, bucket) after-key
+        self.comp_width = int(comp_width)
+        self.comp_size = int(comp_size)
+        self.comp_after = (None if comp_after is None
+                           else (str(comp_after[0]), int(comp_after[1])))
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -1304,6 +1318,90 @@ class QueryEngine:
         out = [(bare, d, df) for bare, (d, df) in by_bare.items()]
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out[: self.suggest_n]
+
+    def search_constant_score(self, query: str, lang: str | None = None):
+        """Constant-score query (Elasticsearch ``constant_score`` / Lucene
+        ConstantScoreQuery): the text query acts purely as a FILTER —
+        every live matching doc scores the configured boost, so the page
+        is the first k hits in doc_id order (ordinal order IS doc-id
+        order).  No idf/tf math survives; the scorer's only job is the
+        presence set."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        return self.docs.gather_ids(ords[: self.k]) if len(ords) else \
+            np.empty(0, dtype=np.int64)
+
+    def search_rank_feature(self, query: str, lang: str | None = None):
+        """Rank-feature query (Elasticsearch ``rank_feature`` with the
+        ``saturation`` function on a numeric doc-value): hits rank by the
+        INTEGER-quantized saturation key (doc_len * SCALE) // (doc_len +
+        pivot) DESC, ties doc_id ASC, cut to k — floor division on both
+        engine and oracle sides, so the quantization is bit-exact.
+        Returns (doc_ids, keys)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        e = np.empty(0, dtype=np.int64)
+        if not len(ords):
+            return e, e
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        key = (dls * SCORE_SCALE) // (dls + self.rf_pivot)
+        order = np.lexsort((ords, -key))[: self.k]
+        return self.docs.gather_ids(ords[order]), key[order]
+
+    def search_mad(self, query: str, lang: str | None = None):
+        """Median-absolute-deviation aggregation over the FULL hit set
+        (Elasticsearch ``median_absolute_deviation`` agg — but EXACT, not
+        t-digest): both medians are discrete quantiles (DuckDB
+        quantile_disc semantics via disc_percentiles) over the bounded
+        doc_len value histogram, so shard merges that sum histograms
+        recompute identical values.  Returns (n_hits, median, mad);
+        (0, 0, 0) for a zero-hit query."""
+        vals, counts = self.search_dl_value_counts(query, lang)
+        if not len(vals):
+            return 0, 0, 0
+        n, (med,) = disc_percentiles(vals, counts, (0.5,))
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dvals, dcounts = dev[order], counts[order]
+        # collapse duplicate deviation values (|m-x| == |m+x|)
+        uvals, start = np.unique(dvals, return_index=True)
+        ucounts = np.add.reduceat(dcounts, start)
+        _, (mad,) = disc_percentiles(uvals, ucounts, (0.5,))
+        return n, int(med), int(mad)
+
+    def search_composite(self, query: str, lang: str | None = None):
+        """Composite aggregation (Elasticsearch ``composite`` agg over two
+        sources: lang terms ASC, doc_len histogram ASC) with after-key
+        pagination: buckets strictly AFTER ``comp_after`` in (lang,
+        bucket) tuple order, cut to ``comp_size``.  The bucket list is
+        bounded by the doc-value domains (not the hit count), so pages
+        merge exactly across shards by summing per-bucket counts before
+        the after-filter + cut.  Returns (langs, buckets, counts)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        e = np.empty(0, dtype=np.int64)
+        if not len(ords):
+            return [], e, e
+        codes = self.docs.gather_langcodes(ords)
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        buckets = (dls // self.comp_width) * self.comp_width
+        pair = codes.astype(np.int64) * (1 << 32) + buckets
+        upair, counts = np.unique(pair, return_counts=True)
+        ulangs = self._lang_of_codes((upair >> 32).astype(codes.dtype))
+        ubuckets = upair & 0xFFFFFFFF
+        rows = sorted(
+            zip(ulangs, (int(b) for b in ubuckets),
+                (int(c) for c in counts)))
+        if self.comp_after is not None:
+            al, ab = self.comp_after
+            rows = [r for r in rows if (r[0], r[1]) > (al, ab)]
+        rows = rows[: self.comp_size]
+        return ([r[0] for r in rows],
+                np.array([r[1] for r in rows], dtype=np.int64),
+                np.array([r[2] for r in rows], dtype=np.int64))
 
     def mget(self, ids):
         """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
@@ -2317,6 +2415,68 @@ class QueryEngine:
                 "term": pa.array(out["term"], type=pa.string()),
                 "dist": pa.array(out["dist"], type=pa.int64()),
                 "df": pa.array(out["df"], type=pa.int64()),
+            })
+        if self.query_kind == "constant_score":
+            out_qid, out_rank, out_doc = [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids = self.search_constant_score(q or "", lg or None)
+                for r, d in enumerate(ids, start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array([self.const_boost] * len(out_doc),
+                                  type=pa.float64()),
+            })
+        if self.query_kind == "rank_feature":
+            out_qid, out_rank, out_doc, out_score = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, keys = self.search_rank_feature(q or "", lg or None)
+                for r, (d, kk) in enumerate(zip(ids, keys), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_score.append(int(kk) / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float64()),
+            })
+        if self.query_kind == "mad":
+            out_qid, out_n, out_med, out_mad = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n, med, mad = self.search_mad(q or "", lg or None)
+                if not n:
+                    continue
+                out_qid.append(qid)
+                out_n.append(n)
+                out_med.append(med)
+                out_mad.append(mad)
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+                "median_dl": pa.array(out_med, type=pa.int64()),
+                "mad_dl": pa.array(out_mad, type=pa.int64()),
+            })
+        if self.query_kind == "composite":
+            out = {"query_id": [], "lang": [], "bucket": [], "n_hits": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                lvs, buckets, counts = self.search_composite(q or "",
+                                                             lg or None)
+                for lv, b, c in zip(lvs, buckets, counts):
+                    out["query_id"].append(qid)
+                    out["lang"].append(lv)
+                    out["bucket"].append(int(b))
+                    out["n_hits"].append(int(c))
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "bucket": pa.array(out["bucket"], type=pa.int64()),
+                "n_hits": pa.array(out["n_hits"], type=pa.int64()),
             })
         if self.query_kind == "mget":
             # the query column carries a comma-separated explicit id list

@@ -1266,6 +1266,153 @@ FROM sug_ranked WHERE rnk <= {n}"""
     )
 
 
+def constant_score_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                            boost: float = 1.5) -> str:
+    """Constant-score oracle (pipelines.constant_score_topk replay;
+    Lucene ConstantScoreQuery): the query is purely a filter — every hit
+    scores ``boost``, page = first k hits in doc_id order."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, cs_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id ASC) AS rnk
+  FROM scores WHERE units > 0
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       {_f(float(boost))} AS score
+FROM cs_ranked WHERE rnk <= {k}"""
+    )
+
+
+def rank_feature_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                          pivot: int = 50) -> str:
+    """Rank-feature oracle (pipelines.rank_feature_topk replay; ES
+    ``rank_feature`` + ``saturation``): hits rank by the integer
+    saturation key (doc_len * SCALE) // (doc_len + pivot) DESC, ties
+    doc_id ASC — the same floor division the engine performs."""
+    key = (f"(d.doc_len * {int(SCORE_SCALE)})"
+           f" // (d.doc_len + {int(pivot)})")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, rf_ranked AS (
+  SELECT s.query_id, s.doc_id, CAST({key} AS BIGINT) AS units,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {key} DESC, s.doc_id ASC) AS rnk
+  FROM scores s JOIN docs d ON d.doc_id = s.doc_id
+  WHERE s.units > 0
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM rf_ranked WHERE rnk <= {k}"""
+    )
+
+
+def mad_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Median-absolute-deviation oracle (pipelines.mad_agg replay; ES
+    ``median_absolute_deviation`` agg, EXACT): median = quantile_disc(0.5)
+    of doc_len over every hit, mad = quantile_disc(0.5) of
+    abs(doc_len - median) — all-integer, the identical discrete-quantile
+    rule query.disc_percentiles implements."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+, med AS (
+  SELECT r.query_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(quantile_disc(d.doc_len, 0.5) AS BIGINT) AS median_dl
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+mad AS (
+  SELECT r.query_id,
+         CAST(quantile_disc(abs(d.doc_len - m.median_dl), 0.5) AS BIGINT)
+           AS mad_dl
+  FROM ranked r
+  JOIN docs d ON d.doc_id = r.doc_id
+  JOIN med m ON m.query_id = r.query_id
+  GROUP BY r.query_id
+)
+SELECT m.query_id, m.n_hits, m.median_dl, a.mad_dl
+FROM med m JOIN mad a ON a.query_id = m.query_id"""
+    )
+
+
+def composite_agg_sql(queries: list[tuple[int, str]], width: int = 16,
+                      size: int = 4,
+                      after: "tuple[str, int] | None" = ("de", 16)) -> str:
+    """Composite-agg oracle (pipelines.composite_agg replay; ES
+    ``composite`` agg over lang-terms ASC + doc_len-histogram ASC with
+    after-key pagination): buckets strictly after ``after`` in (lang,
+    bucket) tuple order, first ``size`` per query."""
+    where = ""
+    if after is not None:
+        al = after[0].replace("'", "''")
+        ab = int(after[1])
+        where = (f"\n  WHERE lang > '{al}'"
+                 f" OR (lang = '{al}' AND bucket > {ab})")
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, comp AS (
+  SELECT r.query_id, d.lang,
+         CAST((d.doc_len // {int(width)}) * {int(width)} AS BIGINT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id, d.lang, (d.doc_len // {int(width)}) * {int(width)}
+),
+comp_page AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY lang ASC, bucket ASC) AS rn
+  FROM comp{where}
+)
+SELECT query_id, lang, bucket, n_hits
+FROM comp_page WHERE rn <= {int(size)}"""
+    )
+
+
+def span_range_topk_sql(specs: list[tuple[int, str, int, int]],
+                        k: int = 10) -> str:
+    """SpanPositionRangeQuery oracle (pipelines.span_range_topk replay):
+    term at a 0-based position in [lo, hi) — tokpos is 1-based, so
+    pos > lo AND pos <= hi is the same set."""
+    q = _sql_quote
+    legs = [
+        f"SELECT {qid} AS query_id, doc_id FROM tokpos"
+        f"\n  WHERE term = {q(t)} AND pos > {int(lo)} AND pos <= {int(hi)}"
+        f" GROUP BY doc_id"
+        for qid, t, lo, hi in specs
+    ]
+    phrase_ok = "phrase_ok AS (" + "\nUNION ALL\n".join(legs) + ")"
+    lits = [(qid, t) for qid, t, _, _ in specs]
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(lits), TOKPOS_CTE, phrase_ok,
+            _bm25_ranked_cte(verify_join=PHRASE_VERIFY_JOIN),
+        )
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {k}"""
+    )
+
+
 def total_hits_sql(queries: list[tuple[int, str]]) -> str:
     """track_total_hits oracle (pipelines.total_hits replay): matching-doc
     count per query; LEFT JOIN from the query literals keeps zero-hit

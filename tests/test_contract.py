@@ -28,6 +28,8 @@ FAST_KEYS = [
     # pinned / term-suggester serving additions
     "ext_stats_agg", "random_score_topk", "adjacency_matrix",
     "pinned_topk", "term_suggest",
+    "constant_score_topk", "rank_feature_topk", "mad_agg",
+    "composite_agg", "span_range_topk",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
