@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_topk_sharded": p.rescore_topk_sharded,
         "dis_max_topk_sharded": p.dis_max_topk_sharded,
         "boosting_topk_sharded": p.boosting_topk_sharded,
+        "ext_stats_agg_sharded": p.ext_stats_agg_sharded,
+        "random_score_topk_sharded": p.random_score_topk_sharded,
+        "adjacency_matrix_sharded": p.adjacency_matrix_sharded,
+        "pinned_topk_sharded": p.pinned_topk_sharded,
+        "constant_score_topk_sharded": p.constant_score_topk_sharded,
+        "rank_feature_topk_sharded": p.rank_feature_topk_sharded,
+        "mad_agg_sharded": p.mad_agg_sharded,
+        "composite_agg_sharded": p.composite_agg_sharded,
     })
     # rest of the ops family (last green r3 — least-recently-verified next)
     catalog.update(ops_q)
@@ -208,6 +216,19 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, p.COMP_WIDTH, p.COMP_SIZE, p.COMP_AFTER),
         "span_range_topk": sql.span_range_topk_sql(p.SPAN_RANGE_QUERIES,
                                                    TOP_K),
+        "ext_stats_agg_sharded": sql.ext_stats_agg_sql(DOC_QUERIES),
+        "random_score_topk_sharded": sql.random_score_topk_sql(
+            DOC_QUERIES, TOP_K, seed=p.RS_SEED),
+        "adjacency_matrix_sharded": sql.adjacency_matrix_sql(p.ADJ_PAIRS),
+        "pinned_topk_sharded": sql.pinned_topk_sql(
+            DOC_QUERIES, TOP_K, p.PIN_MOD, p.PIN_RESIDUE, p.PIN_N),
+        "constant_score_topk_sharded": sql.constant_score_topk_sql(
+            DOC_QUERIES, TOP_K, boost=p.CONST_BOOST),
+        "rank_feature_topk_sharded": sql.rank_feature_topk_sql(
+            DOC_QUERIES, TOP_K, pivot=p.RF_PIVOT),
+        "mad_agg_sharded": sql.mad_agg_sql(DOC_QUERIES),
+        "composite_agg_sharded": sql.composite_agg_sql(
+            DOC_QUERIES, p.COMP_WIDTH, p.COMP_SIZE, p.COMP_AFTER),
         "span_or_topk": sql.span_or_topk_sql(p.SPAN_OR_QUERIES, TOP_K),
         "span_not_topk": sql.span_not_topk_sql(p.SPAN_NOT_QUERIES, TOP_K),
         "span_containing_topk": sql.span_contain_topk_sql(

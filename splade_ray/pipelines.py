@@ -2463,6 +2463,124 @@ def range_agg_sharded(sf_dir: str):
         engine_kwargs={"dl_ranges": DL_RANGES})
 
 
+def ext_stats_agg_sharded(sf_dir: str):
+    """ext_stats_agg through the doc-range fan-out (counts/sums/sum_sqs
+    add, mins min, maxs max; floats re-derived from the exact merged
+    integers) — same oracle as ext_stats_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="ext_stats")
+
+
+def random_score_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """random_score_topk through the doc-range fan-out (selection by a
+    per-doc hash key: every doc lives in exactly one range, so the union
+    re-cut is the global page) — same oracle as random_score_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="random_score",
+        engine_kwargs={"random_seed": RS_SEED})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def adjacency_matrix_sharded(sf_dir: str):
+    """adjacency_matrix through the doc-range fan-out (per-shard
+    intersection cells ADD — presence sets are complete per range) —
+    same oracle as adjacency_matrix."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([p for p, _, _ in ADJ_PAIRS], type=pa.int64()),
+        "query": pa.array([f"{a}|||{b}" for _, a, b in ADJ_PAIRS]),
+    })
+    return run_queries_sharded(
+        rd.from_arrow(tbl), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="adjacency")
+
+
+def pinned_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """pinned_topk through the doc-range fan-out (each range owns its
+    pinned ordinals; the merge unions the pinned legs doc_id ASC and
+    re-cuts the organic legs) — same oracle as pinned_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    pins = [int(i) for i in
+            np.sort(_ids_by_residue(idx, PIN_MOD, PIN_RESIDUE))[:PIN_N]]
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="pinned",
+        engine_kwargs={"pinned_ids": pins})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def constant_score_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """constant_score_topk through the doc-range fan-out (first-k-by-
+    doc_id pages re-cut) — same oracle as constant_score_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="constant_score",
+        engine_kwargs={"const_boost": CONST_BOOST})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def rank_feature_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """rank_feature_topk through the doc-range fan-out (plain top-k merge
+    — the float score is an exact image of the integer saturation key) —
+    same oracle as rank_feature_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="rank_feature",
+        engine_kwargs={"rf_pivot": RF_PIVOT})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def mad_agg_sharded(sf_dir: str):
+    """mad_agg through the doc-range fan-out: per-shard partials are the
+    exact (dl, count) value histograms (the percentiles partial), summed
+    then reduced by the shared discrete-quantile kernel — zero
+    approximation, unlike ES's merged t-digests.  Same oracle as
+    mad_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="mad")
+
+
+def composite_agg_sharded(sf_dir: str):
+    """composite_agg through the doc-range fan-out: a global-page bucket
+    survives every shard-local cut, so all its partial counts reach the
+    merge — sum per (lang, bucket), re-sort, re-filter, re-cut.  Same
+    oracle as composite_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="composite",
+        engine_kwargs={"comp_width": COMP_WIDTH, "comp_size": COMP_SIZE,
+                       "comp_after": COMP_AFTER})
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

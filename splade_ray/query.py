@@ -126,6 +126,22 @@ def disc_percentiles(vals: np.ndarray, counts: np.ndarray,
     return n, out
 
 
+def mad_from_hist(vals: np.ndarray, counts: np.ndarray) -> tuple[int, int,
+                                                                 int]:
+    """(n, median, mad) from a SORTED value histogram — the shared kernel
+    of search_mad and the sharded merge (summed per-shard histograms feed
+    the identical discrete-quantile rule, so both paths agree exactly)."""
+    n, (med,) = disc_percentiles(vals, counts, (0.5,))
+    dev = np.abs(vals - med)
+    order = np.argsort(dev, kind="stable")
+    dvals, dcounts = dev[order], counts[order]
+    # collapse duplicate deviation values (|m-x| == |m+x|)
+    uvals, start = np.unique(dvals, return_index=True)
+    ucounts = np.add.reduceat(dcounts, start)
+    _, (mad,) = disc_percentiles(uvals, ucounts, (0.5,))
+    return n, int(med), int(mad)
+
+
 def parse_query_string(q: str) -> dict:
     """Lucene classic-parser / Elasticsearch ``query_string`` subset:
     ``+piece`` must, ``-piece`` must_not, ``piece^N`` integer boost
@@ -1361,15 +1377,7 @@ class QueryEngine:
         vals, counts = self.search_dl_value_counts(query, lang)
         if not len(vals):
             return 0, 0, 0
-        n, (med,) = disc_percentiles(vals, counts, (0.5,))
-        dev = np.abs(vals - med)
-        order = np.argsort(dev, kind="stable")
-        dvals, dcounts = dev[order], counts[order]
-        # collapse duplicate deviation values (|m-x| == |m+x|)
-        uvals, start = np.unique(dvals, return_index=True)
-        ucounts = np.add.reduceat(dcounts, start)
-        _, (mad,) = disc_percentiles(uvals, ucounts, (0.5,))
-        return n, int(med), int(mad)
+        return mad_from_hist(vals, counts)
 
     def search_composite(self, query: str, lang: str | None = None):
         """Composite aggregation (Elasticsearch ``composite`` agg over two
@@ -2815,7 +2823,9 @@ def run_queries_sharded(
                   "collapse", "lang_agg", "count", "dl_hist", "stats",
                   "range", "dis_max", "boosting", "top_hits", "sort",
                   "function_score", "rescore", "explain", "cardinality",
-                  "percentiles", "mget", "query_string", "lang_stats"}
+                  "percentiles", "mget", "query_string", "lang_stats",
+                  "ext_stats", "random_score", "adjacency", "pinned",
+                  "constant_score", "rank_feature", "mad", "composite"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -2825,7 +2835,10 @@ def run_queries_sharded(
     # the merge reduces), not the final shape
     _PARTIAL_KIND = {"rescore": "rescore_partial",
                      "cardinality": "cardinality_partial",
-                     "percentiles": "percentiles_partial"}
+                     "percentiles": "percentiles_partial",
+                     # mad needs the full value histogram, which IS the
+                     # percentiles partial (bounded by the dl domain)
+                     "mad": "percentiles_partial"}
     pool_kind = _PARTIAL_KIND.get(query_kind, query_kind)
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
@@ -3044,6 +3057,135 @@ def run_queries_sharded(
             row[f"p{int(round(q * 100))}"] = pa.array([v], type=pa.int64())
         return pa.table(row)
 
+    def _merge_ext_stats(g: pa.Table) -> pa.Table:
+        # counts/sums/sum_sqs add, mins min, maxs max; the floats re-derive
+        # from the EXACT merged integers via the same op sequence the
+        # single-pool engine runs (QueryEngine.ext_stats_floats) — one row
+        # per query, so the python loop is O(queries), not O(hits)
+        t = (g.group_by("query_id")
+             .aggregate([("n_hits", "sum"), ("min_dl", "min"),
+                         ("max_dl", "max"), ("sum_dl", "sum"),
+                         ("sum_sq", "sum")]))
+        t = t.select(["query_id", "n_hits_sum", "min_dl_min", "max_dl_max",
+                      "sum_dl_sum", "sum_sq_sum"]).rename_columns(
+            ["query_id", "n_hits", "min_dl", "max_dl", "sum_dl", "sum_sq"])
+        avgs, vars_, stds = [], [], []
+        for n, s, ss in zip(t["n_hits"].to_pylist(),
+                            t["sum_dl"].to_pylist(),
+                            t["sum_sq"].to_pylist()):
+            a, v, sd = QueryEngine.ext_stats_floats(int(n), int(s), int(ss))
+            avgs.append(a)
+            vars_.append(v)
+            stds.append(sd)
+        return (t.append_column("avg_dl", pa.array(avgs, type=pa.float64()))
+                 .append_column("variance", pa.array(vars_,
+                                                     type=pa.float64()))
+                 .append_column("std_dev", pa.array(stds,
+                                                    type=pa.float64())))
+
+    def _merge_random(g: pa.Table, k: int = k) -> pa.Table:
+        # selection by a per-doc key: every doc lives in exactly one
+        # range, so the union re-cut under (hash desc, doc_id asc) is the
+        # global page
+        rs = g["rs"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -rs))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "rs": pa.array(rs[order], type=pa.int64()),
+        })
+
+    def _merge_adjacency(g: pa.Table) -> pa.Table:
+        # both presence sets are complete per ordinal range and every doc
+        # lives in exactly one range — cells ADD
+        return pa.table({
+            "query_id": pa.array([g["query_id"][0].as_py()],
+                                 type=pa.int64()),
+            "n_both": pa.array(
+                [int(np.sum(g["n_both"].to_numpy(zero_copy_only=False)))],
+                type=pa.int64()),
+        })
+
+    def _merge_pinned(g: pa.Table, k: int = k) -> pa.Table:
+        # each range owns its pinned ordinals (flag=1 rows, complete unit
+        # sums) — their union is the full pinned set, re-sorted doc_id
+        # ASC; organic rows re-cut as plain top-k; concatenate, cut k
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        scores = g["score"].to_numpy(zero_copy_only=False)
+        flags = g["pinned"].to_numpy(zero_copy_only=False)
+        pin = np.flatnonzero(flags == 1)
+        org = np.flatnonzero(flags == 0)
+        pin = pin[np.argsort(ids[pin])]
+        org = org[np.lexsort((ids[org], -scores[org]))]
+        sel = np.concatenate([pin, org])[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(sel)),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "score": pa.array(scores[sel], type=pa.float64()),
+            "pinned": pa.array(flags[sel], type=pa.int64()),
+        })
+
+    def _merge_const(g: pa.Table, k: int = k) -> pa.Table:
+        # page = first k hits in doc_id order; per-shard pages cover the
+        # global page (each shard's first-k contains its global-page rows)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "score": g["score"].take(pa.array(order)),
+        })
+
+    def _merge_mad(g: pa.Table) -> pa.Table:
+        # input: per-shard (query_id, dl, n) value-histogram partials —
+        # sum per dl, then the shared discrete-quantile kernel
+        dl = g["dl"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(dl, return_inverse=True)
+        counts = np.bincount(inv, weights=nn).astype(np.int64)
+        n, med, mad = mad_from_hist(vals, counts)
+        return pa.table({
+            "query_id": pa.array([g["query_id"][0].as_py()],
+                                 type=pa.int64()),
+            "n_hits": pa.array([n], type=pa.int64()),
+            "median_dl": pa.array([med], type=pa.int64()),
+            "mad_dl": pa.array([mad], type=pa.int64()),
+        })
+
+    comp_kw = engine_kwargs or {}
+    comp_size = int(comp_kw.get("comp_size", 4))
+    comp_after = comp_kw.get("comp_after")
+
+    def _merge_composite(g: pa.Table, size: int = comp_size,
+                         after=comp_after) -> pa.Table:
+        # a global-page bucket survives every shard-local cut (the shard's
+        # preceding buckets are a subset of the global ones), so ALL its
+        # partial counts are present — sum per (lang, bucket), re-sort,
+        # re-filter, re-cut
+        langs = g["lang"].to_pylist()
+        buckets = g["bucket"].to_pylist()
+        ns = g["n_hits"].to_pylist()
+        acc: dict[tuple[str, int], int] = {}
+        for lv, b, c in zip(langs, buckets, ns):
+            key = (lv, int(b))
+            acc[key] = acc.get(key, 0) + int(c)
+        rows = sorted((lv, b, c) for (lv, b), c in acc.items())
+        if after is not None:
+            al, ab = str(after[0]), int(after[1])
+            rows = [r for r in rows if (r[0], r[1]) > (al, ab)]
+        rows = rows[:size]
+        qid = g["query_id"][0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "bucket": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_hits": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+
     by_kind = {"collapse": _merge_collapse, "lang_agg": _merge_lang_agg,
                "count": _merge_count, "dl_hist": _merge_dl_hist,
                "stats": _merge_stats, "range": _merge_dl_hist,
@@ -3051,7 +3193,12 @@ def run_queries_sharded(
                "rescore": _merge_rescore, "explain": _merge_explain,
                "cardinality": _merge_cardinality,
                "percentiles": _merge_percentiles,
-               "mget": _merge_mget, "lang_stats": _merge_lang_stats}
+               "mget": _merge_mget, "lang_stats": _merge_lang_stats,
+               "ext_stats": _merge_ext_stats,
+               "random_score": _merge_random,
+               "adjacency": _merge_adjacency, "pinned": _merge_pinned,
+               "constant_score": _merge_const, "mad": _merge_mad,
+               "composite": _merge_composite}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

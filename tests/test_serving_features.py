@@ -367,6 +367,56 @@ def test_sharded_docvalue_kinds_match_pool(flat_dir, n_shards, ray_session):
     assert base.to_dict("list") == shard.to_dict("list"), n_shards
 
 
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_sharded_round5_kinds_match_pool(flat_dir, n_shards, ray_session):
+    """ext_stats / random_score / adjacency / pinned / constant_score /
+    rank_feature / mad / composite through the doc-range fan-out must
+    equal the single-pool answer (kind-aware merges)."""
+    import pyarrow as pa
+
+    from splade_ray.query import QueryEngine, run_queries, \
+        run_queries_sharded
+
+    tbl = pa.table({
+        "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+        "query": pa.array(QUERIES),
+    })
+    adj = pa.table({
+        "query_id": pa.array([0, 1], type=pa.int64()),
+        "query": pa.array([f"{QUERIES[0]}|||{QUERIES[2]}",
+                           f"{QUERIES[3]}|||zzznothing"]),
+    })
+    e = QueryEngine(flat_dir, k=8)
+    ids, _ = e.search_one(QUERIES[2])
+    pins = sorted(int(i) for i in ids[:3])
+
+    def _norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    cases = (
+        ("ext_stats", tbl, ["query_id"], None),
+        ("random_score", tbl, ["query_id", "rank"], {"random_seed": 7}),
+        ("adjacency", adj, ["query_id"], None),
+        ("pinned", tbl, ["query_id", "rank"], {"pinned_ids": pins}),
+        ("constant_score", tbl, ["query_id", "rank"],
+         {"const_boost": 2.0}),
+        ("rank_feature", tbl, ["query_id", "rank"], {"rf_pivot": 25}),
+        ("mad", tbl, ["query_id"], None),
+        ("composite", tbl, ["query_id", "lang", "bucket"],
+         {"comp_width": 8, "comp_size": 3, "comp_after": ("de", 8)}),
+    )
+    for kind, qt, cols, ekw in cases:
+        base = _norm(run_queries(rd.from_arrow(qt), flat_dir, k=6,
+                                 concurrency=2, query_kind=kind,
+                                 engine_kwargs=ekw).to_pandas(), cols)
+        shard = _norm(run_queries_sharded(
+            rd.from_arrow(qt), flat_dir, k=6, n_query_shards=n_shards,
+            concurrency_per_shard=1, query_kind=kind,
+            engine_kwargs=ekw).to_pandas(), cols)
+        assert base.to_dict("list") == shard.to_dict("list"), (kind,
+                                                               n_shards)
+
+
 # ------------------------------------------------------------------ regexp --
 
 def _dict_terms(e):
