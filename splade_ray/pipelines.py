@@ -2166,6 +2166,57 @@ def mget_docs_sharded(sf_dir: str):
         concurrency_per_shard=1, query_kind="mget")
 
 
+# term-vectors doc selector: a second residue predicate (distinct from
+# mget's) renders the explicit id list in SQL
+TV_MOD = 9
+TV_RESIDUE = 2
+
+
+def term_vectors(sf_dir: str):
+    """Term-vectors API (Elasticsearch ``_termvectors`` with
+    ``term_statistics: true`` / Lucene TermVectors): for an explicit doc
+    list (the shared residue predicate), one row per (doc, term) with the
+    in-doc tf and the corpus-wide df.  The per-doc term/tf lists stream
+    straight from the staging parquet (a pruned read — no content fetch,
+    no re-tokenize); df comes from the frozen segment dictionaries
+    (phrase.index_stats), looked up once for the distinct terms and
+    mapped in a vectorized batch pass.  An explicit-id call is bounded by
+    construction (mget semantics), so the distinct-term collection is
+    driver-tiny at any corpus scale.  Value-identical to
+    sql.term_vectors_sql."""
+    from .build import read_docs
+    from .phrase import index_stats
+
+    idx = _contract_index(sf_dir)
+    ds = read_docs(idx, columns=["doc_id", "path", "terms", "tfs"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        raw = pc.cast(t["path"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((raw % TV_MOD) == TV_RESIDUE))
+        terms = t["terms"].combine_chunks()
+        n = pc.list_value_length(terms).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), n)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "term": pc.list_flatten(terms),
+            "tf": pc.cast(pc.list_flatten(t["tfs"].combine_chunks()),
+                          pa.int64()),
+        })
+
+    tv = ds.map_batches(_explode, batch_format="pyarrow").materialize()
+    uniq = sorted(tv.unique("term"))
+    _n, _avg, dfs = index_stats(idx, uniq)
+
+    def _with_df(t: pa.Table) -> pa.Table:
+        df = np.array([dfs[x] for x in t["term"].to_pylist()],
+                      dtype=np.int64)
+        return t.append_column("df", pa.array(df, type=pa.int64()))
+
+    return tv.map_batches(_with_df, batch_format="pyarrow")
+
+
 def lang_stats_agg(sf_dir: str):
     """Terms aggregation with a stats sub-agg (Elasticsearch ``terms`` +
     ``stats`` sub-aggregation): per DOC_QUERIES entry and lang doc-value

@@ -1266,6 +1266,22 @@ FROM sug_ranked WHERE rnk <= {n}"""
     )
 
 
+def term_vectors_sql(mod: int = 9, residue: int = 2) -> str:
+    """Term-vectors oracle (pipelines.term_vectors replay; ES
+    ``_termvectors`` with term_statistics): per (selected doc, term) the
+    in-doc tf and the corpus-wide df — doc selection by the shared
+    residue predicate."""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE)
+        + f"""
+SELECT p.doc_id, p.term, p.tf, f.df
+FROM postings p
+JOIN df f ON f.term = p.term
+JOIN docs d ON d.doc_id = p.doc_id
+WHERE (CAST(d.path AS BIGINT) % {mod}) = {residue}"""
+    )
+
+
 def constant_score_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                             boost: float = 1.5) -> str:
     """Constant-score oracle (pipelines.constant_score_topk replay;
