@@ -60,6 +60,8 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
+    import numpy as np
+
     from .build import SCORE_SCALE
     from .query import QueryEngine
 
@@ -97,6 +99,15 @@ def cmd_query(args) -> int:
         "--clause": bool(getattr(args, "clause", None)),
         "--negative": bool(getattr(args, "negative", None)),
         "--boost-by-len": bool(getattr(args, "boost_by_len", False)),
+        "--ext-stats": bool(getattr(args, "ext_stats", False)),
+        "--mad": bool(getattr(args, "mad", False)),
+        "--suggest-term": bool(getattr(args, "suggest_term", False)),
+        "--adjacent": bool(getattr(args, "adjacent", "")),
+        "--pin": bool(getattr(args, "pin", None)),
+        "--shuffle": getattr(args, "shuffle", None) is not None,
+        "--const-score": getattr(args, "const_score", None) is not None,
+        "--rank-feature": getattr(args, "rank_feature", None) is not None,
+        "--composite": bool(getattr(args, "composite", False)),
     }
     set_flags = sorted(k for k, v in modes.items() if v)
     if len(set_flags) > 1:
@@ -106,10 +117,69 @@ def cmd_query(args) -> int:
     if rescore and rescore < 1:
         print("error: --rescore WINDOW must be >= 1", file=sys.stderr)
         return 2
-    engine = QueryEngine(args.index, k=args.k, scorer=args.scorer,
-                         synonyms=synonyms,
-                         rescore_window=rescore or 50)
+    engine = QueryEngine(
+        args.index, k=args.k, scorer=args.scorer, synonyms=synonyms,
+        rescore_window=rescore or 50,
+        pinned_ids=getattr(args, "pin", None) or [],
+        random_seed=getattr(args, "shuffle", None) or 42,
+        const_boost=(getattr(args, "const_score", None)
+                     if getattr(args, "const_score", None) is not None
+                     else 1.0),
+        rf_pivot=getattr(args, "rank_feature", None) or 50)
     lang = args.lang or None
+    if getattr(args, "ext_stats", False):
+        n, lo, hi, s, ss = engine.search_ext_stats(args.text, lang)
+        if not n:
+            print("no results")
+            return 0
+        avg, var, std = engine.ext_stats_floats(n, s, ss)
+        print(f"n={n}\tmin={lo}\tmax={hi}\tsum={s}\tsum_sq={ss}\t"
+              f"avg={avg:.6f}\tvariance={var:.6f}\tstd_dev={std:.6f}")
+        return 0
+    if getattr(args, "mad", False):
+        n, med, mad = engine.search_mad(args.text, lang)
+        if not n:
+            print("no results")
+            return 0
+        print(f"n={n}\tmedian={med}\tmad={mad}")
+        return 0
+    if getattr(args, "suggest_term", False):
+        rows = engine.suggest_terms(args.text, lang)
+        if not rows:
+            print("no suggestions")
+            return 0
+        for term, d, df in rows:
+            print(f"{term}\tdist={d}\tdf={df}")
+        return 0
+    if getattr(args, "adjacent", ""):
+        print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
+                                      lang))
+        return 0
+    if getattr(args, "composite", False):
+        lvs, buckets, counts = engine.search_composite(args.text, lang)
+        if not lvs:
+            print("no results")
+            return 0
+        for lv, b, c in zip(lvs, buckets, counts):
+            print(f"{lv}\t{int(b)}\t{int(c)}")
+        return 0
+    if getattr(args, "pin", None):
+        ids, units, flags = engine.search_pinned(args.text, lang)
+        if not len(ids):
+            print("no results")
+            return 0
+        for rank, (d, u, f) in enumerate(zip(ids, units, flags), start=1):
+            tag = "pinned" if f else "organic"
+            print(f"{rank}\t{int(d)}\t{int(u) / SCORE_SCALE:.9f}\t{tag}")
+        return 0
+    if getattr(args, "shuffle", None) is not None:
+        ids, hs = engine.search_random_score(args.text, lang)
+        if not len(ids):
+            print("no results")
+            return 0
+        for rank, (d, h) in enumerate(zip(ids, hs), start=1):
+            print(f"{rank}\t{int(d)}\t{int(h)}")
+        return 0
     if getattr(args, "count", False):
         print(engine.count_hits(args.text, lang))
         return 0
@@ -178,6 +248,13 @@ def cmd_query(args) -> int:
         ids, units = engine.search_boosting(args.text, args.negative, lang)
     elif getattr(args, "boost_by_len", False):
         ids, units = engine.search_function_score(args.text, lang)
+    elif getattr(args, "const_score", None) is not None:
+        ids = engine.search_constant_score(args.text, lang)
+        units = np.full(len(ids),
+                        int(round(engine.const_boost * SCORE_SCALE)),
+                        dtype=np.int64)
+    elif getattr(args, "rank_feature", None) is not None:
+        ids, units = engine.search_rank_feature(args.text, lang)
     elif args.must or args.must_not or getattr(args, "msm", 0):
         should = [args.text] if args.text else []
         ids, units = engine.search_bool(
@@ -548,6 +625,36 @@ def main(argv=None) -> int:
     q.add_argument("--boost-by-len", action="store_true", dest="boost_by_len",
                    help="function_score mode: final score = BM25 x doc_len "
                         "(ES field_value_factor, boost_mode multiply)")
+    q.add_argument("--ext-stats", action="store_true", dest="ext_stats",
+                   help="extended_stats agg over the full hit set "
+                        "(n/min/max/sum/sum_sq/avg/variance/std_dev)")
+    q.add_argument("--mad", action="store_true",
+                   help="exact median-absolute-deviation agg of doc_len "
+                        "over the full hit set")
+    q.add_argument("--suggest-term", action="store_true",
+                   dest="suggest_term",
+                   help="term suggester: dictionary corrections within "
+                        "Levenshtein distance 2, ranked dist/df")
+    q.add_argument("--adjacent", default="", metavar="QUERY_B",
+                   help="adjacency_matrix cell: count docs matching BOTH "
+                        "the text query and QUERY_B")
+    q.add_argument("--pin", action="append", type=int, default=[],
+                   metavar="DOC_ID",
+                   help="pinned query: promote DOC_ID ahead of the "
+                        "organic ranking (repeatable)")
+    q.add_argument("--shuffle", type=int, default=None, metavar="SEED",
+                   help="random_score mode: deterministic per-(seed, doc) "
+                        "hash ranking of the hit set")
+    q.add_argument("--const-score", type=float, default=None,
+                   dest="const_score", metavar="BOOST",
+                   help="constant_score mode: filter-only, every hit "
+                        "scores BOOST, page in doc_id order")
+    q.add_argument("--rank-feature", type=int, default=None,
+                   dest="rank_feature", metavar="PIVOT",
+                   help="rank_feature mode: saturation doc_len/(doc_len+"
+                        "PIVOT), integer-quantized")
+    q.add_argument("--composite", action="store_true",
+                   help="composite agg: (lang, doc_len-bucket) pages")
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase")
