@@ -330,6 +330,24 @@ def main() -> None:
     t0 = time.perf_counter()
     pipelines.query_string_topk(SF_DIR).count()
     timings["query_string_topk_sec"] = round(time.perf_counter() - t0, 3)
+    # round-5 serving additions: extended_stats/random_score/adjacency/
+    # pinned/term-suggest/constant_score/rank_feature/mad/composite over
+    # the shared contract index (resumed), span_range over the positional
+    # one, term_vectors over the staging parquet
+    for _nm, _fn in (("ext_stats_agg", pipelines.ext_stats_agg),
+                     ("random_score_topk", pipelines.random_score_topk),
+                     ("adjacency_matrix", pipelines.adjacency_matrix),
+                     ("pinned_topk", pipelines.pinned_topk),
+                     ("term_suggest", pipelines.term_suggest),
+                     ("constant_score_topk", pipelines.constant_score_topk),
+                     ("rank_feature_topk", pipelines.rank_feature_topk),
+                     ("mad_agg", pipelines.mad_agg),
+                     ("composite_agg", pipelines.composite_agg),
+                     ("span_range_topk", pipelines.span_range_topk),
+                     ("term_vectors", pipelines.term_vectors)):
+        t0 = time.perf_counter()
+        _fn(SF_DIR).count()
+        timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)
     # training-data quality filters (late round 5): repetition stats,
     # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
     # train/test decontamination — walls over the documents table
