@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": p.composite_agg,
         "span_range_topk": p.span_range_topk,
         "term_vectors": p.term_vectors,
+        "rank_eval": p.rank_eval,
         "span_or_topk": p.span_or_topk,
         "span_not_topk": p.span_not_topk,
         "span_containing_topk": p.span_containing_topk,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "span_range_topk": sql.span_range_topk_sql(p.SPAN_RANGE_QUERIES,
                                                    TOP_K),
         "term_vectors": sql.term_vectors_sql(p.TV_MOD, p.TV_RESIDUE),
+        "rank_eval": sql.rank_eval_sql(DOC_QUERIES, TOP_K),
         "ext_stats_agg_sharded": sql.ext_stats_agg_sql(DOC_QUERIES),
         "random_score_topk_sharded": sql.random_score_topk_sql(
             DOC_QUERIES, TOP_K, seed=p.RS_SEED),

@@ -2367,6 +2367,19 @@ def term_suggest(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def rank_eval(sf_dir: str, top_k: int = TOP_K):
+    """Ranking-quality evaluation (Elasticsearch ``_rank_eval``): per
+    DOC_QUERIES entry, judge the BM25 top-k page against the
+    deterministic relevance rule "matches every distinct query term"
+    (conjunctive presence).  Emits the integer sufficient statistics
+    (n_rel, rel_in_topk, first_rel_rank) from which precision@k and MRR
+    derive exactly — no float crosses the oracle boundary.
+    Value-identical to sql.rank_eval_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                       concurrency=2, query_kind="rank_eval")
+
+
 # constant_score boost — a non-1.0 value proves the constant actually
 # flows through (not a default float)
 CONST_BOOST = 1.5

@@ -302,7 +302,8 @@ class QueryEngine:
                               "query_string", "lang_stats", "ext_stats",
                               "random_score", "adjacency", "pinned",
                               "term_suggest", "constant_score",
-                              "rank_feature", "mad", "composite"):
+                              "rank_feature", "mad", "composite",
+                              "rank_eval"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -1411,6 +1412,39 @@ class QueryEngine:
                 np.array([r[1] for r in rows], dtype=np.int64),
                 np.array([r[2] for r in rows], dtype=np.int64))
 
+    def search_rank_eval(self, query: str, lang: str | None = None):
+        """Ranking-quality evaluation (Elasticsearch ``_rank_eval`` API):
+        judges the BM25 top-k page against a deterministic relevance rule
+        — a doc is relevant iff it matches EVERY distinct query term (the
+        conjunctive bool presence rule, SQL HAVING-count twin).  Returns
+        the INTEGER sufficient statistics (n_rel, rel_in_topk,
+        first_rel_rank) — precision@k = rel_in_topk/k and reciprocal rank
+        = 1/first_rel_rank derive exactly at the consumer, so no float
+        ever crosses the oracle boundary; first_rel_rank is 0 when no
+        relevant doc is in the page.  None for a zero-token query (no
+        judgment to make)."""
+        qterms = self._query_terms(query, lang)
+        if not qterms:
+            return None
+        ords, units = self._sparse_sums(qterms)
+        keep = units > 0
+        page_ords, _ = self._topk(ords[keep], units[keep])
+        rel = None
+        for t in qterms:
+            o, u = self._sparse_sums({t: 1})
+            o = o[u > 0]
+            rel = o if rel is None else np.intersect1d(rel, o,
+                                                       assume_unique=True)
+            if not len(rel):
+                break
+        n_rel = int(len(rel))
+        if not n_rel or not len(page_ords):
+            return n_rel, 0, 0
+        hit = np.isin(page_ords, rel, assume_unique=True)
+        in_page = int(hit.sum())
+        first = int(np.flatnonzero(hit)[0]) + 1 if in_page else 0
+        return n_rel, in_page, first
+
     def mget(self, ids):
         """Forward-index multi-get (Elasticsearch mget / ids query; Milvus
         Collection.get, reference retrievers.py's pk metadata fetch):
@@ -2486,6 +2520,20 @@ class QueryEngine:
                 "bucket": pa.array(out["bucket"], type=pa.int64()),
                 "n_hits": pa.array(out["n_hits"], type=pa.int64()),
             })
+        if self.query_kind == "rank_eval":
+            out = {"query_id": [], "n_rel": [], "rel_in_topk": [],
+                   "first_rel_rank": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                res = self.search_rank_eval(q or "", lg or None)
+                if res is None:
+                    continue
+                n_rel, in_page, first = res
+                out["query_id"].append(qid)
+                out["n_rel"].append(n_rel)
+                out["rel_in_topk"].append(in_page)
+                out["first_rel_rank"].append(first)
+            return pa.table({c: pa.array(v, type=pa.int64())
+                             for c, v in out.items()})
         if self.query_kind == "mget":
             # the query column carries a comma-separated explicit id list
             # (ES ids-query / mget body); rows = live present docs' values

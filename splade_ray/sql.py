@@ -1266,6 +1266,46 @@ FROM sug_ranked WHERE rnk <= {n}"""
     )
 
 
+def rank_eval_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Rank-eval oracle (pipelines.rank_eval replay; ES ``_rank_eval``):
+    relevance = conjunctive presence (the HAVING-count rule the bool
+    oracle uses); per token-ful query the integer sufficient statistics
+    of the BM25 top-k page: total relevant docs, relevant docs in the
+    page, and the first relevant rank (0 if none)."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, qn AS (
+  SELECT query_id, count(DISTINCT term) AS n_terms FROM qterms
+  GROUP BY query_id
+),
+rel AS (
+  SELECT q.query_id, p.doc_id
+  FROM qterms q JOIN postings p ON p.term = q.term
+  GROUP BY q.query_id, p.doc_id
+  HAVING count(DISTINCT p.term)
+         = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)
+),
+page AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k})
+SELECT qn.query_id,
+       CAST((SELECT count(*) FROM rel r
+             WHERE r.query_id = qn.query_id) AS BIGINT) AS n_rel,
+       CAST((SELECT count(*) FROM page p
+             JOIN rel r ON r.query_id = p.query_id
+                       AND r.doc_id = p.doc_id
+             WHERE p.query_id = qn.query_id) AS BIGINT) AS rel_in_topk,
+       CAST(coalesce((SELECT min(p.rnk) FROM page p
+                      JOIN rel r ON r.query_id = p.query_id
+                                AND r.doc_id = p.doc_id
+                      WHERE p.query_id = qn.query_id), 0) AS BIGINT)
+         AS first_rel_rank
+FROM qn"""
+    )
+
+
 def term_vectors_sql(mod: int = 9, residue: int = 2) -> str:
     """Term-vectors oracle (pipelines.term_vectors replay; ES
     ``_termvectors`` with term_statistics): per (selected doc, term) the

@@ -29,7 +29,7 @@ FAST_KEYS = [
     "ext_stats_agg", "random_score_topk", "adjacency_matrix",
     "pinned_topk", "term_suggest",
     "constant_score_topk", "rank_feature_topk", "mad_agg",
-    "composite_agg", "span_range_topk", "term_vectors",
+    "composite_agg", "span_range_topk", "term_vectors", "rank_eval",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
