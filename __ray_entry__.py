@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_agg": p.top_hits_agg,
         "sort_topk": p.sort_topk,
         "function_score_topk": p.function_score_topk,
+        # round-5 closing session: boxplot/filters/weighted_avg/t_test
+        # aggs, scroll deep pagination — never driver-verified, so ahead
+        # of the sharded twins in the cap
+        "boxplot_agg": p.boxplot_agg,
+        "filters_agg": p.filters_agg,
+        "weighted_avg_agg": p.weighted_avg_agg,
+        "t_test_agg": p.t_test_agg,
+        "scroll_topk": p.scroll_topk,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -111,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_feature_topk_sharded": p.rank_feature_topk_sharded,
         "mad_agg_sharded": p.mad_agg_sharded,
         "composite_agg_sharded": p.composite_agg_sharded,
+        "boxplot_agg_sharded": p.boxplot_agg_sharded,
+        "filters_agg_sharded": p.filters_agg_sharded,
+        "weighted_avg_agg_sharded": p.weighted_avg_agg_sharded,
+        "t_test_agg_sharded": p.t_test_agg_sharded,
     })
     # rest of the ops family (last green r3 — least-recently-verified next)
     catalog.update(ops_q)
@@ -263,6 +275,17 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk": sql.sort_topk_sql(DOC_QUERIES, TOP_K),
         "function_score_topk": sql.function_score_topk_sql(DOC_QUERIES,
                                                            TOP_K),
+        "boxplot_agg": sql.boxplot_agg_sql(DOC_QUERIES),
+        "boxplot_agg_sharded": sql.boxplot_agg_sql(DOC_QUERIES),
+        "filters_agg": sql.filters_agg_sql(DOC_QUERIES, p.FILTER_BUCKETS),
+        "filters_agg_sharded": sql.filters_agg_sql(DOC_QUERIES,
+                                                   p.FILTER_BUCKETS),
+        "weighted_avg_agg": sql.weighted_avg_agg_sql(DOC_QUERIES),
+        "weighted_avg_agg_sharded": sql.weighted_avg_agg_sql(DOC_QUERIES),
+        "t_test_agg": sql.t_test_agg_sql(p.TT_PAIRS),
+        "t_test_agg_sharded": sql.t_test_agg_sql(p.TT_PAIRS),
+        "scroll_topk": sql.scroll_topk_sql(DOC_QUERIES, TOP_K,
+                                           p.SCROLL_PAGES),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -108,6 +108,11 @@ def cmd_query(args) -> int:
         "--const-score": getattr(args, "const_score", None) is not None,
         "--rank-feature": getattr(args, "rank_feature", None) is not None,
         "--composite": bool(getattr(args, "composite", False)),
+        "--boxplot": bool(getattr(args, "boxplot", False)),
+        "--weighted-avg": bool(getattr(args, "weighted_avg", False)),
+        "--t-test": bool(getattr(args, "t_test", "")),
+        "--scroll": getattr(args, "scroll", None) is not None,
+        "--filter-bucket": bool(getattr(args, "filter_bucket", None)),
     }
     set_flags = sorted(k for k, v in modes.items() if v)
     if len(set_flags) > 1:
@@ -117,6 +122,18 @@ def cmd_query(args) -> int:
     if rescore and rescore < 1:
         print("error: --rescore WINDOW must be >= 1", file=sys.stderr)
         return 2
+    scroll = getattr(args, "scroll", None)
+    if scroll is not None and scroll < 1:
+        print("error: --scroll PAGES must be >= 1", file=sys.stderr)
+        return 2
+    filter_buckets = []
+    for spec in getattr(args, "filter_bucket", []) or []:
+        nm, _, fq = spec.partition("=")
+        if not fq:
+            print(f"error: --filter-bucket needs NAME=QUERY (got {spec!r})",
+                  file=sys.stderr)
+            return 2
+        filter_buckets.append((nm.strip(), fq.strip()))
     engine = QueryEngine(
         args.index, k=args.k, scorer=args.scorer, synonyms=synonyms,
         rescore_window=rescore or 50,
@@ -125,7 +142,9 @@ def cmd_query(args) -> int:
         const_boost=(getattr(args, "const_score", None)
                      if getattr(args, "const_score", None) is not None
                      else 1.0),
-        rf_pivot=getattr(args, "rank_feature", None) or 50)
+        rf_pivot=getattr(args, "rank_feature", None) or 50,
+        filter_buckets=filter_buckets,
+        scroll_pages=scroll or 3)
     lang = args.lang or None
     if getattr(args, "ext_stats", False):
         n, lo, hi, s, ss = engine.search_ext_stats(args.text, lang)
@@ -154,6 +173,49 @@ def cmd_query(args) -> int:
     if getattr(args, "adjacent", ""):
         print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
                                       lang))
+        return 0
+    if getattr(args, "boxplot", False):
+        n, lo, q1, med, q3, hi = engine.search_boxplot(args.text, lang)
+        if not n:
+            print("no results")
+            return 0
+        print(f"n={n}\tmin={lo}\tq1={q1}\tmedian={med}\tq3={q3}\tmax={hi}")
+        return 0
+    if getattr(args, "weighted_avg", False):
+        n, sw, swv = engine.search_weighted_avg(args.text, lang)
+        if not sw:
+            print("no results")
+            return 0
+        print(f"n={n}\tsum_w={sw}\tsum_wv={swv}\tweighted_avg={swv / sw:.6f}")
+        return 0
+    if getattr(args, "t_test", ""):
+        n1, s1, ss1, n2, s2, ss2 = engine.search_t_test(
+            f"{args.text}|||{args.t_test}", lang)
+        if n1 < 2 or n2 < 2:
+            print("no results (each side needs >= 2 hits)")
+            return 0
+        from .query import welch_t_floats
+
+        m1, m2, t = welch_t_floats(n1, s1, ss1, n2, s2, ss2)
+        print(f"n1={n1}\tmean1={m1:.6f}\tn2={n2}\tmean2={m2:.6f}\t"
+              f"t={t:.6f}")
+        return 0
+    if getattr(args, "filter_bucket", None):
+        names, counts = engine.search_filters(args.text, lang)
+        if not names:
+            print("no results")
+            return 0
+        for nm, n in zip(names, counts):
+            print(f"{nm}\t{int(n)}")
+        return 0
+    if getattr(args, "scroll", None) is not None:
+        ids, units = engine.search_scroll(args.text, lang)
+        if not len(ids):
+            print("no results")
+            return 0
+        for i, (d, u) in enumerate(zip(ids, units)):
+            print(f"page={i // args.k + 1}\trank={i % args.k + 1}\t"
+                  f"{int(d)}\t{int(u) / SCORE_SCALE:.9f}")
         return 0
     if getattr(args, "composite", False):
         lvs, buckets, counts = engine.search_composite(args.text, lang)
@@ -653,6 +715,24 @@ def main(argv=None) -> int:
                    dest="rank_feature", metavar="PIVOT",
                    help="rank_feature mode: saturation doc_len/(doc_len+"
                         "PIVOT), integer-quantized")
+    q.add_argument("--boxplot", action="store_true",
+                   help="boxplot agg (min/q1/median/q3/max of doc_len) "
+                        "over the hit set (ES boxplot, exact)")
+    q.add_argument("--weighted-avg", action="store_true",
+                   dest="weighted_avg",
+                   help="weighted avg of doc_len, weight = tf of the "
+                        "query's first token (ES weighted_avg)")
+    q.add_argument("--t-test", default="", dest="t_test",
+                   metavar="QUERY_B",
+                   help="Welch t-test on doc_len: population A = TEXT "
+                        "hits, B = QUERY_B hits (ES t_test)")
+    q.add_argument("--scroll", type=int, default=None, metavar="PAGES",
+                   help="deep pagination: PAGES fixed-k pages from one "
+                        "scoring pass (ES scroll)")
+    q.add_argument("--filter-bucket", action="append", default=[],
+                   dest="filter_bucket", metavar="NAME=QUERY",
+                   help="named filters-agg bucket over the hit set "
+                        "(repeatable; ES filters agg)")
     q.add_argument("--composite", action="store_true",
                    help="composite agg: (lang, doc_len-bucket) pages")
     q.set_defaults(fn=cmd_query)

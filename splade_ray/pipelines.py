@@ -2645,6 +2645,152 @@ def composite_agg_sharded(sf_dir: str):
                        "comp_after": COMP_AFTER})
 
 
+# named (bucket, filter-query) specs for the filters agg — one never-
+# matching bucket proves zero-count omission flows through
+FILTER_BUCKETS: list[tuple[str, str]] = [
+    ("merge-docs", "merge"),
+    ("sparkwin-docs", "spark window"),
+    ("stream-docs", "stream"),
+    ("none-docs", "nonexistentzzterm"),
+]
+
+# t_test population pairs (two term-filter populations per cell, the
+# adjacency-pair convention); one side with < 2 hits proves the n >= 2
+# emission rule
+TT_PAIRS: list[tuple[int, str, str]] = [
+    (0, "merge", "spark window"),
+    (1, "the", "agg"),
+    (2, "customer filter", "stream"),
+    (3, "vector", "nonexistentzzterm"),
+]
+
+SCROLL_PAGES = 3
+
+
+def boxplot_agg(sf_dir: str):
+    """Boxplot aggregation over the FULL hit set (Elasticsearch
+    ``boxplot`` agg on a numeric doc-value — EXACT, not TDigest: the
+    quartiles are discrete quantiles over the bounded doc_len value
+    histogram, so sharded merges recompute identical values from summed
+    histograms).  Value-identical to sql.boxplot_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="boxplot")
+
+
+def boxplot_agg_sharded(sf_dir: str):
+    """boxplot_agg through the doc-range fan-out: per-shard partials are
+    the exact (dl, count) value histograms (the percentiles partial),
+    summed then reduced by the shared discrete-quantile kernel.  Same
+    oracle as boxplot_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="boxplot")
+
+
+def filters_agg(sf_dir: str):
+    """Filters aggregation (Elasticsearch ``filters`` agg): per
+    DOC_QUERIES entry and named FILTER_BUCKETS spec, the count of live
+    main-query hits whose doc also matches the bucket's filter query
+    (presence = positive quantized BM25 sum, the adjacency hit rule).
+    Zero-count buckets are omitted.  Value-identical to
+    sql.filters_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="filters",
+                       engine_kwargs={"filter_buckets": FILTER_BUCKETS})
+
+
+def filters_agg_sharded(sf_dir: str):
+    """filters_agg through the doc-range fan-out: both presence sets are
+    complete per ordinal range and every doc lives in exactly one range,
+    so per-(query, bucket) counts ADD.  Same oracle as filters_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="filters",
+        engine_kwargs={"filter_buckets": FILTER_BUCKETS})
+
+
+def weighted_avg_agg(sf_dir: str):
+    """Weighted-average aggregation (Elasticsearch ``weighted_avg``,
+    value = doc_len, weight = the doc's tf of the query's first analyzed
+    token): per DOC_QUERIES entry, den = Σ tf and num = Σ doc_len·tf
+    over the full hit set — exact integers, one float division at the
+    end.  Queries with zero weight mass emit no row (the SQL HAVING
+    twin).  Value-identical to sql.weighted_avg_agg_sql."""
+    idx = _contract_index(sf_dir)
+    return run_queries(rd.from_arrow(_queries_table()), idx, concurrency=2,
+                       query_kind="weighted_avg")
+
+
+def weighted_avg_agg_sharded(sf_dir: str):
+    """weighted_avg_agg through the doc-range fan-out: per-shard integer
+    partials (weighted_avg_partial — no HAVING rule, so hit-bearing
+    shards without weight mass still contribute n_hits) sum exactly; the
+    merge re-applies the emission rule and the single division.  Same
+    oracle as weighted_avg_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    return run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="weighted_avg")
+
+
+def t_test_agg(sf_dir: str):
+    """Welch's t-test aggregation (Elasticsearch ``t_test`` agg,
+    ``type: heteroscedastic``): per TT_PAIRS cell, the exact integer
+    sufficient statistics (n, Σdl, Σdl²) of each term-filter population's
+    live hit set, plus the float (mean1, mean2, t_stat) derived via the
+    shared fixed-order welch_t_floats.  Pairs where either side has
+    n < 2 emit no row.  Value-identical to sql.t_test_agg_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([p for p, _, _ in TT_PAIRS], type=pa.int64()),
+        "query": pa.array([f"{a}|||{b}" for _, a, b in TT_PAIRS]),
+    })
+    return run_queries(rd.from_arrow(tbl), idx, concurrency=2,
+                       query_kind="t_test")
+
+
+def t_test_agg_sharded(sf_dir: str):
+    """t_test_agg through the doc-range fan-out: per-shard integer
+    sufficient statistics (t_test_partial — no n >= 2 skip rule, a side
+    can reach 2 only globally) ADD; the merge re-derives the floats via
+    the shared kernel.  Same oracle as t_test_agg."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([p for p, _, _ in TT_PAIRS], type=pa.int64()),
+        "query": pa.array([f"{a}|||{b}" for _, a, b in TT_PAIRS]),
+    })
+    return run_queries_sharded(
+        rd.from_arrow(tbl), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="t_test")
+
+
+def scroll_topk(sf_dir: str, top_k: int = TOP_K, pages: int = SCROLL_PAGES):
+    """Deep pagination (Elasticsearch ``scroll`` / point-in-time
+    iteration): per DOC_QUERIES entry, SCROLL_PAGES consecutive fixed-k
+    result pages from ONE complete-sums scoring pass (the snapshot
+    batch-export shape — search_after re-scores per cursor request;
+    scroll amortizes the posting traversal across pages).  Rank-identical
+    to sql.scroll_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="scroll",
+                      engine_kwargs={"scroll_pages": pages})
+    return res.map_batches(lambda t: _i64(t, ["page", "rank"]),
+                           batch_format="pyarrow")
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

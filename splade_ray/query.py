@@ -142,6 +142,42 @@ def mad_from_hist(vals: np.ndarray, counts: np.ndarray) -> tuple[int, int,
     return n, int(med), int(mad)
 
 
+def boxplot_from_hist(vals: np.ndarray,
+                      counts: np.ndarray) -> tuple[int, int, int, int,
+                                                   int, int]:
+    """(n, min, q1, median, q3, max) from a SORTED value histogram — the
+    shared kernel of the boxplot kind and its sharded merge (Elasticsearch
+    ``boxplot`` agg, but EXACT, not TDigest: the quartiles are discrete
+    quantiles via disc_percentiles over the bounded doc_len domain, so
+    summed per-shard histograms recompute identical values)."""
+    n, (q1, med, q3) = disc_percentiles(vals, counts, (0.25, 0.5, 0.75))
+    return n, int(vals[0]), q1, med, q3, int(vals[-1])
+
+
+def welch_t_floats(n1: int, s1: int, ss1: int,
+                   n2: int, s2: int, ss2: int) -> tuple[float, float, float]:
+    """(mean1, mean2, t) for Welch's unequal-variance t-statistic, derived
+    from the EXACT integer sufficient statistics (count, sum, sum of
+    squares per side) in a FIXED operation order — the single float
+    derivation both the engine kind, the sharded merge, and the SQL oracle
+    replay, so merged-partial results are bit-identical (the ext_stats
+    pattern).  Caller guarantees n1 >= 2 and n2 >= 2."""
+    m1 = float(s1) / n1
+    m2 = float(s2) / n2
+    v1 = (float(ss1) - float(s1) * float(s1) / n1) / (n1 - 1)
+    v2 = (float(ss2) - float(s2) * float(s2) / n2) / (n2 - 1)
+    # non-negativity clamp mirrors ext_stats_floats (a tiny negative from
+    # float cancellation would NaN the sqrt; literal +0.0 keeps -0.0 out
+    # of the value hash)
+    if v1 <= 0.0:
+        v1 = 0.0
+    if v2 <= 0.0:
+        v2 = 0.0
+    denom = math.sqrt(v1 / n1 + v2 / n2)
+    t = (m1 - m2) / denom if denom > 0.0 else 0.0
+    return m1, m2, t
+
+
 def parse_query_string(q: str) -> dict:
     """Lucene classic-parser / Elasticsearch ``query_string`` subset:
     ``+piece`` must, ``-piece`` must_not, ``piece^N`` integer boost
@@ -258,7 +294,9 @@ class QueryEngine:
                  rf_pivot: int = 50,
                  comp_width: int = 16,
                  comp_size: int = 4,
-                 comp_after: "tuple[str, int] | None" = None):
+                 comp_after: "tuple[str, int] | None" = None,
+                 filter_buckets: "list[tuple[str, str]] | None" = None,
+                 scroll_pages: int = 3):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -303,7 +341,9 @@ class QueryEngine:
                               "random_score", "adjacency", "pinned",
                               "term_suggest", "constant_score",
                               "rank_feature", "mad", "composite",
-                              "rank_eval"):
+                              "rank_eval", "boxplot", "filters",
+                              "weighted_avg", "weighted_avg_partial",
+                              "t_test", "t_test_partial", "scroll"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -349,6 +389,14 @@ class QueryEngine:
         self.comp_size = int(comp_size)
         self.comp_after = (None if comp_after is None
                            else (str(comp_after[0]), int(comp_after[1])))
+        # named (bucket, filter-query) specs for search_filters (ES
+        # filters agg); each filter query runs through the analyzer at
+        # query time like any other query string
+        self.filter_buckets = [(str(nm), str(fq))
+                               for nm, fq in (filter_buckets or [])]
+        self.scroll_pages = int(scroll_pages)  # search_scroll page count
+        if self.scroll_pages < 1:
+            raise ValueError("scroll_pages must be >= 1")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -1379,6 +1427,122 @@ class QueryEngine:
         if not len(vals):
             return 0, 0, 0
         return mad_from_hist(vals, counts)
+
+    def search_boxplot(self, query: str, lang: str | None = None):
+        """Boxplot aggregation over the FULL hit set (Elasticsearch
+        ``boxplot`` agg on a numeric doc-value — EXACT here, not TDigest:
+        the quartiles are discrete quantiles, DuckDB quantile_disc
+        semantics, over the bounded doc_len value histogram, so shard
+        merges that sum histograms recompute identical values).  Returns
+        (n_hits, min, q1, median, q3, max); zeros for a zero-hit query
+        (the caller skips row emission)."""
+        vals, counts = self.search_dl_value_counts(query, lang)
+        if not len(vals):
+            return 0, 0, 0, 0, 0, 0
+        return boxplot_from_hist(vals, counts)
+
+    def search_filters(self, query: str, lang: str | None = None):
+        """Filters aggregation (Elasticsearch ``filters`` agg): per named
+        (bucket, filter-query) spec in ``filter_buckets``, the count of
+        live main-query hits whose doc ALSO matches the bucket filter
+        (presence = positive quantized BM25 sum — the hit rule shared
+        with search_adjacency).  Both presence sets are complete per
+        ordinal range and every doc lives in exactly one range, so
+        per-shard counts ADD.  Returns (names, counts); zero-count
+        buckets are omitted (the GROUP-BY oracle shape)."""
+        ords, units = self._sparse_sums(self._query_terms(query, lang))
+        ords = ords[units > 0]
+        names: list[str] = []
+        counts: list[int] = []
+        if len(ords):
+            for nm, fq in self.filter_buckets:
+                ob, ub = self._sparse_sums(self._query_terms(fq, lang))
+                ob = ob[ub > 0]
+                n = (int(len(np.intersect1d(ords, ob, assume_unique=True)))
+                     if len(ob) else 0)
+                if n:
+                    names.append(nm)
+                    counts.append(n)
+        return names, counts
+
+    def search_weighted_avg(self, query: str, lang: str | None = None):
+        """Weighted-average aggregation (Elasticsearch ``weighted_avg``:
+        value = doc_len, weight = the doc's tf of the query's FIRST
+        analyzed token): over the full hit set, den = Σ tf and
+        num = Σ doc_len·tf — exact integers, so per-shard partials ADD
+        and the single float division re-derives bit-identically at any
+        shard count.  Hits lacking the weight term contribute 0 to both
+        sums (ES skips docs whose weight field is missing).  Returns
+        (n_hits, sum_w, sum_wv); the caller derives the average and drops
+        den == 0 rows (the SQL HAVING twin)."""
+        qterms = self._query_terms(query, lang)
+        if not qterms:
+            return 0, 0, 0
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return 0, 0, 0
+        wterm = next(iter(qterms))
+        if not self._term_refs(wterm)[0]:
+            return int(len(ords)), 0, 0
+        wi, wt, _ = self._gather(wterm)
+        # align the weight term's postings with the hit set — both are
+        # doc-ordinal-sorted, one searchsorted pass
+        pos = np.searchsorted(wi, ords)
+        pos_ok = pos < len(wi)
+        hit = np.zeros(len(ords), dtype=bool)
+        hit[pos_ok] = wi[pos[pos_ok]] == ords[pos_ok]
+        tfs = wt[pos[hit]].astype(np.int64)
+        dls = self.docs.gather_lens(ords[hit]).astype(np.int64)
+        return int(len(ords)), int(tfs.sum()), int((dls * tfs).sum())
+
+    def search_t_test(self, pair: str, lang: str | None = None):
+        """Welch's t-test aggregation (Elasticsearch ``t_test`` agg,
+        ``"type": "heteroscedastic"``, two term-filter populations over
+        the doc_len metric): the query column carries the two filter
+        queries joined by '|||' (the adjacency-cell convention); each
+        side contributes the EXACT integer sufficient statistics
+        (n, Σdl, Σdl²) of its live hit set.  Per-shard tuples ADD (every
+        doc lives in exactly one ordinal range), and welch_t_floats
+        derives the float statistic identically on every path.  Returns
+        (n1, s1, ss1, n2, s2, ss2)."""
+        qa, _, qb = pair.partition("|||")
+        out: list[int] = []
+        for q in (qa, qb):
+            ords, units = self._sparse_sums(self._query_terms(q, lang))
+            ords = ords[units > 0]
+            if len(ords):
+                dls = self.docs.gather_lens(ords).astype(np.int64)
+                out.extend((int(len(dls)), int(dls.sum()),
+                            int((dls * dls).sum())))
+            else:
+                out.extend((0, 0, 0))
+        return tuple(out)
+
+    def search_scroll(self, query: str, lang: str | None = None):
+        """Deep pagination (Elasticsearch ``scroll`` / point-in-time
+        iteration): ONE complete-sums scoring pass cuts the hit set to
+        scroll_pages·k under the global (units DESC, doc_id ASC) order,
+        then the caller slices fixed-k pages — the snapshot batch-export
+        serving shape (per-request stateless cursors live in
+        search_after; scroll amortizes the posting traversal across all
+        pages instead of re-scoring per page).  Complete sums
+        (_sparse_sums), NOT the top-k-pruned _score: the page window
+        exceeds k, the rescore-window rule.  Returns (doc_ids, units) in
+        global rank order, length ≤ scroll_pages·k."""
+        ids, units = self._sparse_sums(self._query_terms(query, lang))
+        pos = units > 0
+        ids, units = ids[pos], units[pos]
+        if not len(ids):
+            return ids, units
+        n = self.scroll_pages * self.k
+        if len(ids) > n * 4:
+            cut = np.partition(units, len(units) - n)[len(units) - n]
+            keep = units >= cut
+            ids, units = ids[keep], units[keep]
+        order = np.lexsort((ids, -units))[:n]
+        ids, units = ids[order], units[order]
+        return self.docs.gather_ids(ids), units
 
     def search_composite(self, query: str, lang: str | None = None):
         """Composite aggregation (Elasticsearch ``composite`` agg over two
@@ -2504,6 +2668,102 @@ class QueryEngine:
                 "median_dl": pa.array(out_med, type=pa.int64()),
                 "mad_dl": pa.array(out_mad, type=pa.int64()),
             })
+        if self.query_kind == "boxplot":
+            out: dict[str, list] = {k: [] for k in
+                                    ("query_id", "n_hits", "min_dl",
+                                     "q1_dl", "median_dl", "q3_dl",
+                                     "max_dl")}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n, lo, q1, med, q3, hi = self.search_boxplot(q or "",
+                                                             lg or None)
+                if not n:
+                    continue
+                for c, v in zip(out, (qid, n, lo, q1, med, q3, hi)):
+                    out[c].append(v)
+            return pa.table({c: pa.array(v, type=pa.int64())
+                             for c, v in out.items()})
+        if self.query_kind == "filters":
+            out_qid, out_b, out_n = [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                names, counts = self.search_filters(q or "", lg or None)
+                for nm, n in zip(names, counts):
+                    out_qid.append(qid)
+                    out_b.append(nm)
+                    out_n.append(int(n))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "bucket": pa.array(out_b, type=pa.string()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+            })
+        if self.query_kind in ("weighted_avg", "weighted_avg_partial"):
+            # weighted_avg: one row per query with a non-zero weight sum
+            # (the SQL HAVING twin); the average derives from the exact
+            # integer sums with ONE float division.  The partial (sharded
+            # pool) kind drops the HAVING rule — a shard whose range has
+            # hits but no weight mass must still contribute its n_hits —
+            # and omits the float; the merge re-applies both
+            out = {"query_id": [], "n_hits": [], "sum_w": [], "sum_wv": []}
+            fl: list[float] = []
+            partial = self.query_kind == "weighted_avg_partial"
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n, sw, swv = self.search_weighted_avg(q or "", lg or None)
+                if (not n) or (not partial and not sw):
+                    continue
+                out["query_id"].append(qid)
+                out["n_hits"].append(n)
+                out["sum_w"].append(sw)
+                out["sum_wv"].append(swv)
+                if not partial:
+                    fl.append(swv / sw)
+            cols = {c: pa.array(v, type=pa.int64()) for c, v in out.items()}
+            if not partial:
+                cols["weighted_avg"] = pa.array(fl, type=pa.float64())
+            return pa.table(cols)
+        if self.query_kind in ("t_test", "t_test_partial"):
+            # t_test: one row per pair where BOTH sides have n >= 2
+            # (variance undefined below); floats from welch_t_floats.
+            # t_test_partial (the sharded pool kind): the raw integer
+            # sufficient statistics with NO skip rule — a shard seeing
+            # n=1 of a globally-large side must still contribute
+            out = {k: [] for k in ("query_id", "n1", "sum1", "sum_sq1",
+                                   "n2", "sum2", "sum_sq2")}
+            fl = {"mean1": [], "mean2": [], "t_stat": []}
+            partial = self.query_kind == "t_test_partial"
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                n1, s1, ss1, n2, s2, ss2 = self.search_t_test(q or "",
+                                                              lg or None)
+                if not partial and (n1 < 2 or n2 < 2):
+                    continue
+                for c, v in zip(out, (qid, n1, s1, ss1, n2, s2, ss2)):
+                    out[c].append(v)
+                if not partial:
+                    m1, m2, t = welch_t_floats(n1, s1, ss1, n2, s2, ss2)
+                    fl["mean1"].append(m1)
+                    fl["mean2"].append(m2)
+                    fl["t_stat"].append(t)
+            cols = {c: pa.array(v, type=pa.int64()) for c, v in out.items()}
+            if not partial:
+                for c, v in fl.items():
+                    cols[c] = pa.array(v, type=pa.float64())
+            return pa.table(cols)
+        if self.query_kind == "scroll":
+            out = {"query_id": [], "page": [], "rank": [], "doc_id": [],
+                   "score": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, units = self.search_scroll(q or "", lg or None)
+                for i, (d, u) in enumerate(zip(ids, units)):
+                    out["query_id"].append(qid)
+                    out["page"].append(i // self.k + 1)
+                    out["rank"].append(i % self.k + 1)
+                    out["doc_id"].append(int(d))
+                    out["score"].append(u / SCORE_SCALE)
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "page": pa.array(out["page"], type=pa.int32()),
+                "rank": pa.array(out["rank"], type=pa.int32()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            })
         if self.query_kind == "composite":
             out = {"query_id": [], "lang": [], "bucket": [], "n_hits": []}
             for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
@@ -2873,7 +3133,8 @@ def run_queries_sharded(
                   "function_score", "rescore", "explain", "cardinality",
                   "percentiles", "mget", "query_string", "lang_stats",
                   "ext_stats", "random_score", "adjacency", "pinned",
-                  "constant_score", "rank_feature", "mad", "composite"}
+                  "constant_score", "rank_feature", "mad", "composite",
+                  "boxplot", "filters", "weighted_avg", "t_test"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -2884,9 +3145,14 @@ def run_queries_sharded(
     _PARTIAL_KIND = {"rescore": "rescore_partial",
                      "cardinality": "cardinality_partial",
                      "percentiles": "percentiles_partial",
-                     # mad needs the full value histogram, which IS the
-                     # percentiles partial (bounded by the dl domain)
-                     "mad": "percentiles_partial"}
+                     # mad and boxplot need the full value histogram,
+                     # which IS the percentiles partial (bounded by the
+                     # dl domain)
+                     "mad": "percentiles_partial",
+                     "boxplot": "percentiles_partial",
+                     # raw integer sufficient statistics, no skip rules
+                     "t_test": "t_test_partial",
+                     "weighted_avg": "weighted_avg_partial"}
     pool_kind = _PARTIAL_KIND.get(query_kind, query_kind)
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
@@ -3204,6 +3470,82 @@ def run_queries_sharded(
             "mad_dl": pa.array([mad], type=pa.int64()),
         })
 
+    def _merge_boxplot(g: pa.Table) -> pa.Table:
+        # per-shard (query_id, dl, n) value-histogram partials — sum per
+        # dl, then the shared discrete-quantile kernel (exact quartiles
+        # at any shard count, the mad pattern)
+        dl = g["dl"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy(zero_copy_only=False)
+        vals, inv = np.unique(dl, return_inverse=True)
+        counts = np.bincount(inv, weights=nn).astype(np.int64)
+        n, lo, q1, med, q3, hi = boxplot_from_hist(vals, counts)
+        return pa.table({
+            "query_id": pa.array([g["query_id"][0].as_py()],
+                                 type=pa.int64()),
+            "n_hits": pa.array([n], type=pa.int64()),
+            "min_dl": pa.array([lo], type=pa.int64()),
+            "q1_dl": pa.array([q1], type=pa.int64()),
+            "median_dl": pa.array([med], type=pa.int64()),
+            "q3_dl": pa.array([q3], type=pa.int64()),
+            "max_dl": pa.array([hi], type=pa.int64()),
+        })
+
+    def _merge_filters(g: pa.Table) -> pa.Table:
+        # per-shard (bucket, n_hits) rows: intersection counts over
+        # disjoint ordinal ranges ADD; zero-count buckets never appear
+        t = (g.group_by(["query_id", "bucket"])
+             .aggregate([("n_hits", "sum")]))
+        return (t.select(["query_id", "bucket", "n_hits_sum"])
+                 .rename_columns(["query_id", "bucket", "n_hits"]))
+
+    def _merge_weighted_avg(g: pa.Table) -> pa.Table:
+        # partial rows carry n_hits/sum_w/sum_wv for EVERY hit-bearing
+        # shard (no HAVING rule — weighted_avg_partial): integer sums
+        # add, the sum_w > 0 emission rule re-applies globally, and the
+        # average re-derives with the identical single float division
+        t = (g.group_by("query_id")
+             .aggregate([("n_hits", "sum"), ("sum_w", "sum"),
+                         ("sum_wv", "sum")]))
+        t = (t.select(["query_id", "n_hits_sum", "sum_w_sum",
+                       "sum_wv_sum"])
+              .rename_columns(["query_id", "n_hits", "sum_w", "sum_wv"]))
+        keep = [i for i, sw in enumerate(t["sum_w"].to_pylist()) if sw > 0]
+        t = t.take(pa.array(keep, type=pa.int64()))
+        avg = [swv / sw for sw, swv in zip(t["sum_w"].to_pylist(),
+                                           t["sum_wv"].to_pylist())]
+        return t.append_column("weighted_avg",
+                               pa.array(avg, type=pa.float64()))
+
+    def _merge_t_test(g: pa.Table) -> pa.Table:
+        # integer sufficient statistics add; floats re-derive via the
+        # shared welch_t_floats, and the n >= 2 emission rule applies
+        # AFTER the merge (a side can reach 2 only globally)
+        t = (g.group_by("query_id")
+             .aggregate([(c, "sum") for c in
+                         ("n1", "sum1", "sum_sq1", "n2", "sum2",
+                          "sum_sq2")]))
+        t = (t.select(["query_id"] + [f"{c}_sum" for c in
+                      ("n1", "sum1", "sum_sq1", "n2", "sum2", "sum_sq2")])
+              .rename_columns(["query_id", "n1", "sum1", "sum_sq1", "n2",
+                               "sum2", "sum_sq2"]))
+        keep = [i for i, (n1, n2) in enumerate(zip(t["n1"].to_pylist(),
+                                                   t["n2"].to_pylist()))
+                if n1 >= 2 and n2 >= 2]
+        t = t.take(pa.array(keep, type=pa.int64()))
+        m1s, m2s, ts = [], [], []
+        for n1, s1, ss1, n2, s2, ss2 in zip(
+                t["n1"].to_pylist(), t["sum1"].to_pylist(),
+                t["sum_sq1"].to_pylist(), t["n2"].to_pylist(),
+                t["sum2"].to_pylist(), t["sum_sq2"].to_pylist()):
+            m1, m2, tv = welch_t_floats(int(n1), int(s1), int(ss1),
+                                        int(n2), int(s2), int(ss2))
+            m1s.append(m1)
+            m2s.append(m2)
+            ts.append(tv)
+        return (t.append_column("mean1", pa.array(m1s, type=pa.float64()))
+                 .append_column("mean2", pa.array(m2s, type=pa.float64()))
+                 .append_column("t_stat", pa.array(ts, type=pa.float64())))
+
     comp_kw = engine_kwargs or {}
     comp_size = int(comp_kw.get("comp_size", 4))
     comp_after = comp_kw.get("comp_after")
@@ -3246,7 +3588,10 @@ def run_queries_sharded(
                "random_score": _merge_random,
                "adjacency": _merge_adjacency, "pinned": _merge_pinned,
                "constant_score": _merge_const, "mad": _merge_mad,
-               "composite": _merge_composite}
+               "composite": _merge_composite, "boxplot": _merge_boxplot,
+               "filters": _merge_filters,
+               "weighted_avg": _merge_weighted_avg,
+               "t_test": _merge_t_test}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

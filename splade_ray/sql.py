@@ -1405,6 +1405,195 @@ FROM med m JOIN mad a ON a.query_id = m.query_id"""
     )
 
 
+def boxplot_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Boxplot oracle (pipelines.boxplot_agg replay; ES ``boxplot`` agg,
+    EXACT): min/q1/median/q3/max of doc_len over every hit —
+    quantile_disc matches the engine's disc_percentiles rule, all
+    integers.  Zero-hit queries emit no row."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + """
+SELECT r.query_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(d.doc_len) AS BIGINT) AS min_dl,
+       CAST(quantile_disc(d.doc_len, 0.25) AS BIGINT) AS q1_dl,
+       CAST(quantile_disc(d.doc_len, 0.5) AS BIGINT) AS median_dl,
+       CAST(quantile_disc(d.doc_len, 0.75) AS BIGINT) AS q3_dl,
+       CAST(max(d.doc_len) AS BIGINT) AS max_dl
+FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+GROUP BY r.query_id"""
+    )
+
+
+def filters_agg_sql(queries: list[tuple[int, str]],
+                    buckets: list[tuple[str, str]]) -> str:
+    """Filters-agg oracle (pipelines.filters_agg replay; ES ``filters``
+    agg): each named bucket's filter query becomes a synthetic query id
+    (offset 1000) through the shared ranked chain; a cell is the
+    main-hit-set ∩ bucket-hit-set size, zero-count cells omitted (the
+    engine's emission rule)."""
+    synth = list(queries) + [(1000 + i, fq)
+                             for i, (_, fq) in enumerate(buckets)]
+    rows = ",".join(
+        f"({1000 + i}, '" + nm.replace("'", "''") + "')"
+        for i, (nm, _) in enumerate(buckets)
+    )
+    lit = f"bucket_lit(bq_id, bucket) AS (SELECT * FROM (VALUES {rows}))"
+    main_ids = ",".join(str(int(q)) for q, _ in queries)
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(synth), _bm25_ranked_cte(), lit,
+        )
+        + f"""
+, hits AS (SELECT query_id, doc_id FROM scores WHERE units > 0)
+SELECT m.query_id, l.bucket, CAST(count(*) AS BIGINT) AS n_hits
+FROM hits m
+JOIN hits b ON b.doc_id = m.doc_id AND b.query_id >= 1000
+JOIN bucket_lit l ON l.bq_id = b.query_id
+WHERE m.query_id IN ({main_ids})
+GROUP BY m.query_id, l.bucket"""
+    )
+
+
+def weighted_avg_agg_sql(queries: list[tuple[int, str]]) -> str:
+    """Weighted-avg oracle (pipelines.weighted_avg_agg replay; ES
+    ``weighted_avg``, value = doc_len, weight = tf of the query's first
+    analyzed token): exact integer sums over the hit set, ONE double
+    division — the identical IEEE op the engine performs.  The weight
+    token is rendered client-side through the same analyzer; queries
+    with zero weight mass vanish through the inner join (the engine's
+    emission rule)."""
+    from .analyzer import tokens_py
+
+    wrows = []
+    for qid, q in queries:
+        toks = tokens_py(q)
+        if toks:
+            wrows.append((int(qid), toks[0]))
+    rows = ",".join(
+        f"({qid}, '" + t.replace("'", "''") + "')" for qid, t in wrows
+    )
+    lit = f"wlit(query_id, wterm) AS (SELECT * FROM (VALUES {rows}))"
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(), lit,
+        )
+        + """
+, wa_base AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ranked GROUP BY query_id
+),
+wa_sums AS (
+  SELECT r.query_id,
+         CAST(sum(p2.tf) AS BIGINT) AS sum_w,
+         CAST(sum(p2.tf * d.doc_len) AS BIGINT) AS sum_wv
+  FROM ranked r
+  JOIN wlit w ON w.query_id = r.query_id
+  JOIN postings p2 ON p2.doc_id = r.doc_id AND p2.term = w.wterm
+  JOIN docs d ON d.doc_id = r.doc_id
+  GROUP BY r.query_id
+)
+SELECT b.query_id, b.n_hits, s.sum_w, s.sum_wv,
+       CAST(s.sum_wv AS DOUBLE) / s.sum_w AS weighted_avg
+FROM wa_base b JOIN wa_sums s ON s.query_id = b.query_id"""
+    )
+
+
+def t_test_agg_sql(pairs: list[tuple[int, str, str]]) -> str:
+    """Welch-t-test oracle (pipelines.t_test_agg replay; ES ``t_test``
+    agg, heteroscedastic): each pair's two filter queries become
+    synthetic query ids 2*pid / 2*pid+1 (the adjacency convention); per
+    side, exact integer (n, Σdl, Σdl²) over the live hit set, floats
+    derived with the IDENTICAL op sequence query.welch_t_floats runs
+    (sample variance /(n-1), clamp at literal +0.0, one sqrt).  Pairs
+    where either side has n < 2 emit no row."""
+    synth = []
+    for pid, qa, qb in pairs:
+        synth.append((2 * int(pid), qa))
+        synth.append((2 * int(pid) + 1, qb))
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(synth), _bm25_ranked_cte(),
+        )
+        + """
+, hits AS (SELECT query_id, doc_id FROM scores WHERE units > 0),
+sides AS (
+  SELECT h.query_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d.doc_len) AS BIGINT) AS s,
+         CAST(sum(d.doc_len * d.doc_len) AS BIGINT) AS ss
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  GROUP BY h.query_id
+),
+tt_base AS (
+  SELECT a.query_id // 2 AS query_id,
+         a.n AS n1, a.s AS sum1, a.ss AS sum_sq1,
+         b.n AS n2, b.s AS sum2, b.ss AS sum_sq2
+  FROM sides a JOIN sides b ON b.query_id = a.query_id + 1
+  WHERE a.query_id % 2 = 0 AND a.n >= 2 AND b.n >= 2
+),
+tt_mean AS (
+  SELECT *,
+         CAST(sum1 AS DOUBLE) / n1 AS mean1,
+         CAST(sum2 AS DOUBLE) / n2 AS mean2
+  FROM tt_base
+),
+tt_var AS (
+  SELECT *,
+         CASE WHEN (CAST(sum_sq1 AS DOUBLE)
+                    - CAST(sum1 AS DOUBLE) * CAST(sum1 AS DOUBLE) / n1)
+                   / (n1 - 1) <= CAST(0 AS DOUBLE)
+              THEN CAST(0 AS DOUBLE)
+              ELSE (CAST(sum_sq1 AS DOUBLE)
+                    - CAST(sum1 AS DOUBLE) * CAST(sum1 AS DOUBLE) / n1)
+                   / (n1 - 1)
+         END AS v1,
+         CASE WHEN (CAST(sum_sq2 AS DOUBLE)
+                    - CAST(sum2 AS DOUBLE) * CAST(sum2 AS DOUBLE) / n2)
+                   / (n2 - 1) <= CAST(0 AS DOUBLE)
+              THEN CAST(0 AS DOUBLE)
+              ELSE (CAST(sum_sq2 AS DOUBLE)
+                    - CAST(sum2 AS DOUBLE) * CAST(sum2 AS DOUBLE) / n2)
+                   / (n2 - 1)
+         END AS v2
+  FROM tt_mean
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       n1, sum1, sum_sq1, n2, sum2, sum_sq2, mean1, mean2,
+       CASE WHEN sqrt(v1 / n1 + v2 / n2) > CAST(0 AS DOUBLE)
+            THEN (mean1 - mean2) / sqrt(v1 / n1 + v2 / n2)
+            ELSE CAST(0 AS DOUBLE)
+       END AS t_stat
+FROM tt_var"""
+    )
+
+
+def scroll_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                    pages: int = 3) -> str:
+    """Scroll oracle (pipelines.scroll_topk replay; ES ``scroll`` deep
+    pagination): the global top pages·k under (units DESC, doc_id ASC),
+    sliced into fixed-k pages."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+SELECT query_id,
+       CAST((rnk - 1) // {k} + 1 AS BIGINT) AS page,
+       CAST(rnk - ((rnk - 1) // {k}) * {k} AS BIGINT) AS rank,
+       doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM ranked WHERE rnk <= {int(pages) * int(k)}"""
+    )
+
+
 def composite_agg_sql(queries: list[tuple[int, str]], width: int = 16,
                       size: int = 4,
                       after: "tuple[str, int] | None" = ("de", 16)) -> str:

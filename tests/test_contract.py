@@ -30,6 +30,10 @@ FAST_KEYS = [
     "pinned_topk", "term_suggest",
     "constant_score_topk", "rank_feature_topk", "mad_agg",
     "composite_agg", "span_range_topk", "term_vectors", "rank_eval",
+    # round-5 closing session: boxplot/filters/weighted_avg/t_test aggs,
+    # scroll pagination (one sharded twin guards the partial kinds)
+    "boxplot_agg", "filters_agg", "weighted_avg_agg", "t_test_agg",
+    "scroll_topk", "t_test_agg_sharded",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
