@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_agg": p.weighted_avg_agg,
         "t_test_agg": p.t_test_agg,
         "scroll_topk": p.scroll_topk,
+        "phrase_suggest": p.phrase_suggest,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg_sharded": p.filters_agg_sharded,
         "weighted_avg_agg_sharded": p.weighted_avg_agg_sharded,
         "t_test_agg_sharded": p.t_test_agg_sharded,
+        "phrase_suggest_sharded": p.phrase_suggest_sharded,
     })
     # rest of the ops family (last green r3 — least-recently-verified next)
     catalog.update(ops_q)
@@ -286,6 +288,10 @@ def oracle_sql() -> dict[str, str]:
         "t_test_agg_sharded": sql.t_test_agg_sql(p.TT_PAIRS),
         "scroll_topk": sql.scroll_topk_sql(DOC_QUERIES, TOP_K,
                                            p.SCROLL_PAGES),
+        "phrase_suggest": sql.phrase_suggest_sql(
+            p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
+        "phrase_suggest_sharded": sql.phrase_suggest_sql(
+            p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(
             DOC_QUERIES, TOP_K,
             dead_pred=(f"(CAST(d.path AS BIGINT) % {p.DEAD_MOD})"

@@ -109,6 +109,7 @@ def cmd_query(args) -> int:
         "--rank-feature": getattr(args, "rank_feature", None) is not None,
         "--composite": bool(getattr(args, "composite", False)),
         "--boxplot": bool(getattr(args, "boxplot", False)),
+        "--suggest-phrase": bool(getattr(args, "suggest_phrase", False)),
         "--weighted-avg": bool(getattr(args, "weighted_avg", False)),
         "--t-test": bool(getattr(args, "t_test", "")),
         "--scroll": getattr(args, "scroll", None) is not None,
@@ -173,6 +174,14 @@ def cmd_query(args) -> int:
     if getattr(args, "adjacent", ""):
         print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
                                       lang))
+        return 0
+    if getattr(args, "suggest_phrase", False):
+        rows = engine.suggest_phrase(args.text, lang)
+        if not rows:
+            print("no suggestions")
+            return 0
+        for rank, (ph, n) in enumerate(rows, start=1):
+            print(f"{rank}\t{ph}\tn_docs={n}")
         return 0
     if getattr(args, "boxplot", False):
         n, lo, q1, med, q3, hi = engine.search_boxplot(args.text, lang)
@@ -715,6 +724,11 @@ def main(argv=None) -> int:
                    dest="rank_feature", metavar="PIVOT",
                    help="rank_feature mode: saturation doc_len/(doc_len+"
                         "PIVOT), integer-quantized")
+    q.add_argument("--suggest-phrase", action="store_true",
+                   dest="suggest_phrase",
+                   help="phrase suggester: per-token fuzzy candidates, "
+                        "phrases ranked by exact co-occurrence collate "
+                        "(ES phrase suggester)")
     q.add_argument("--boxplot", action="store_true",
                    help="boxplot agg (min/q1/median/q3/max of doc_len) "
                         "over the hit set (ES boxplot, exact)")

@@ -2791,6 +2791,64 @@ def scroll_topk(sf_dir: str, top_k: int = TOP_K, pages: int = SCROLL_PAGES):
                            batch_format="pyarrow")
 
 
+# phrase-suggester queries: 1-edit misspellings over the corpus vocab
+# (one token may be exact — d=0 candidates are kept, the ES generator
+# convention), one with an unreachable token (no suggestions at all)
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "merg windoww"),
+    (1, "spak joinn"),
+    (2, "vectr batch"),
+    (3, "zzzzz window"),
+    (4, "stream strem"),
+]
+PS_MAX_EDITS = 1
+PS_CAND_N = 5
+PS_N = 5
+
+
+def phrase_suggest(sf_dir: str):
+    """Phrase suggester (Elasticsearch ``phrase`` suggester with exact
+    ``collate`` pruning): per PHRASE_SUGGEST_QUERIES entry, each token
+    generates dictionary candidates within PS_MAX_EDITS (d=0 kept),
+    capped to PS_CAND_N per position by (distance ASC, df DESC, term
+    ASC); candidate phrases score by document co-occurrence count,
+    ranked (n_docs DESC, phrase ASC), cut to PS_N.  Value-identical to
+    sql.phrase_suggest_sql."""
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in PHRASE_SUGGEST_QUERIES],
+                             type=pa.int64()),
+        "query": pa.array([s for _, s in PHRASE_SUGGEST_QUERIES]),
+    })
+    return run_queries(rd.from_arrow(tbl), idx, concurrency=2,
+                       query_kind="phrase_suggest",
+                       engine_kwargs={"suggest_max_edits": PS_MAX_EDITS,
+                                      "phrase_cand_n": PS_CAND_N,
+                                      "suggest_n": PS_N})
+
+
+def phrase_suggest_sharded(sf_dir: str):
+    """phrase_suggest through the doc-range fan-out: candidate
+    generation scans the global dictionary identically in every shard,
+    presence sets are complete per ordinal range, so per-shard
+    co-occurrence counts ADD; the merge re-ranks the summed counts.
+    Same oracle as phrase_suggest."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in PHRASE_SUGGEST_QUERIES],
+                             type=pa.int64()),
+        "query": pa.array([s for _, s in PHRASE_SUGGEST_QUERIES]),
+    })
+    return run_queries_sharded(
+        rd.from_arrow(tbl), idx, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="phrase_suggest",
+        engine_kwargs={"suggest_max_edits": PS_MAX_EDITS,
+                       "phrase_cand_n": PS_CAND_N,
+                       "suggest_n": PS_N})
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

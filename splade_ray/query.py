@@ -296,7 +296,8 @@ class QueryEngine:
                  comp_size: int = 4,
                  comp_after: "tuple[str, int] | None" = None,
                  filter_buckets: "list[tuple[str, str]] | None" = None,
-                 scroll_pages: int = 3):
+                 scroll_pages: int = 3,
+                 phrase_cand_n: int = 8):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -343,7 +344,8 @@ class QueryEngine:
                               "rank_feature", "mad", "composite",
                               "rank_eval", "boxplot", "filters",
                               "weighted_avg", "weighted_avg_partial",
-                              "t_test", "t_test_partial", "scroll"):
+                              "t_test", "t_test_partial", "scroll",
+                              "phrase_suggest", "phrase_suggest_partial"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -397,6 +399,11 @@ class QueryEngine:
         self.scroll_pages = int(scroll_pages)  # search_scroll page count
         if self.scroll_pages < 1:
             raise ValueError("scroll_pages must be >= 1")
+        # per-position candidate cut for suggest_phrase (ES phrase
+        # suggester's DirectCandidateGenerator max_candidates)
+        self.phrase_cand_n = int(phrase_cand_n)
+        if self.phrase_cand_n < 1:
+            raise ValueError("phrase_cand_n must be >= 1")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -1383,6 +1390,80 @@ class QueryEngine:
         out = [(bare, d, df) for bare, (d, df) in by_bare.items()]
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out[: self.suggest_n]
+
+    def _phrase_candidates(self, tok: str,
+                           lang: str | None) -> list[str]:
+        """Per-position candidate terms for suggest_phrase: dictionary
+        terms within Levenshtein distance [0, suggest_max_edits] of the
+        token — d=0 INCLUDED (the ES DirectCandidateGenerator keeps the
+        original term), ranked (distance ASC, df DESC, term ASC) and cut
+        to phrase_cand_n.  Bare terms on lang-tagged dictionaries, df
+        summed across language variants (the suggest_terms convention)."""
+        cand = self.expand_fuzzy_automaton(tok, lang,
+                                           self.suggest_max_edits)
+        by_bare: dict[str, list[int]] = {}
+        for term in cand:
+            bare = term.rpartition(LANG_SEP)[2] if (
+                self.lang_tagged and LANG_SEP in term) else term
+            d = lev_dist(bare, tok, cap=self.suggest_max_edits + 1)
+            if d > self.suggest_max_edits:
+                continue
+            df = self._term_refs(term)[1]
+            row = by_bare.get(bare)
+            if row is None:
+                by_bare[bare] = [d, df]
+            else:
+                row[1] += df
+        out = sorted(by_bare.items(),
+                     key=lambda kv: (kv[1][0], -kv[1][1], kv[0]))
+        return [bare for bare, _ in out[: self.phrase_cand_n]]
+
+    def suggest_phrase(self, text: str, lang: str | None = None,
+                       cut: bool = True):
+        """Phrase suggester (Elasticsearch ``phrase`` suggester with
+        ``collate`` pruning made exact): every analyzed token generates
+        dictionary candidates within suggest_max_edits (d=0 kept — the
+        generator includes the original), capped per position by
+        _phrase_candidates; candidate phrases are the cross product,
+        scored by their document CO-OCCURRENCE count (the size of the
+        intersection of the candidates' live doc sets — a suggestion
+        survives only if some document contains every corrected token,
+        the collate query made a first-class score).  Ranked
+        (n_docs DESC, phrase ASC), cut to suggest_n.
+
+        Sharding: candidate generation scans the GLOBAL dictionary
+        identically in every shard, presence sets are complete per
+        ordinal range, and every doc lives in exactly one range — so
+        per-shard co-occurrence counts ADD and the merge re-ranks
+        summed counts (phrase_suggest_partial).  Returns
+        [(phrase, n_docs)]."""
+        toks = tokens_py(text)
+        if not toks:
+            return []
+        cands = [self._phrase_candidates(t, lang) for t in toks]
+        if any(not c for c in cands):
+            return []
+        sets = {}
+        for c in set(t for cs in cands for t in cs):
+            ds = self._token_doc_set(c, lang)
+            ds, _ = self._mask_dead(ds, np.ones(len(ds), dtype=np.int64))
+            sets[c] = ds
+        out: list[tuple[str, int]] = []
+        import itertools
+
+        for combo in itertools.product(*cands):
+            inter = sets[combo[0]]
+            for c in combo[1:]:
+                if not len(inter):
+                    break
+                inter = np.intersect1d(inter, sets[c],
+                                       assume_unique=True)
+            if len(inter):
+                out.append((" ".join(combo), int(len(inter))))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        # cut=False: the sharded pool's partial — every surviving phrase
+        # flows to the merge, which re-ranks the SUMMED counts
+        return out[: self.suggest_n] if cut else out
 
     def search_constant_score(self, query: str, lang: str | None = None):
         """Constant-score query (Elasticsearch ``constant_score`` / Lucene
@@ -2746,6 +2827,28 @@ class QueryEngine:
                 for c, v in fl.items():
                     cols[c] = pa.array(v, type=pa.float64())
             return pa.table(cols)
+        if self.query_kind in ("phrase_suggest", "phrase_suggest_partial"):
+            # final kind: (rank, phrase, n_docs) cut to suggest_n;
+            # partial: every surviving phrase with its range-local count
+            # (no rank — the merge re-ranks summed counts)
+            partial = self.query_kind == "phrase_suggest_partial"
+            out = {"query_id": [], "rank": [], "phrase": [], "n_docs": []}
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                rows = self.suggest_phrase(q or "", lg or None,
+                                           cut=not partial)
+                for r, (ph, n) in enumerate(rows, start=1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(r)
+                    out["phrase"].append(ph)
+                    out["n_docs"].append(n)
+            cols = {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "phrase": pa.array(out["phrase"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            }
+            if not partial:
+                cols["rank"] = pa.array(out["rank"], type=pa.int64())
+            return pa.table(cols)
         if self.query_kind == "scroll":
             out = {"query_id": [], "page": [], "rank": [], "doc_id": [],
                    "score": []}
@@ -3134,7 +3237,8 @@ def run_queries_sharded(
                   "percentiles", "mget", "query_string", "lang_stats",
                   "ext_stats", "random_score", "adjacency", "pinned",
                   "constant_score", "rank_feature", "mad", "composite",
-                  "boxplot", "filters", "weighted_avg", "t_test"}
+                  "boxplot", "filters", "weighted_avg", "t_test",
+                  "phrase_suggest"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -3152,7 +3256,8 @@ def run_queries_sharded(
                      "boxplot": "percentiles_partial",
                      # raw integer sufficient statistics, no skip rules
                      "t_test": "t_test_partial",
-                     "weighted_avg": "weighted_avg_partial"}
+                     "weighted_avg": "weighted_avg_partial",
+                     "phrase_suggest": "phrase_suggest_partial"}
     pool_kind = _PARTIAL_KIND.get(query_kind, query_kind)
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
@@ -3546,6 +3651,26 @@ def run_queries_sharded(
                  .append_column("mean2", pa.array(m2s, type=pa.float64()))
                  .append_column("t_stat", pa.array(ts, type=pa.float64())))
 
+    def _merge_phrase_suggest(g: pa.Table) -> pa.Table:
+        # candidate generation is range-independent (global dictionary),
+        # so per-shard (phrase, n_docs) counts ADD; re-rank the sums
+        # under the final kind's (n_docs DESC, phrase ASC) order, cut to
+        # suggest_n
+        n_sug = int((engine_kwargs or {}).get("suggest_n", 5))
+        t = g.group_by("phrase").aggregate([("n_docs", "sum")])
+        rows = sorted(zip(t["phrase"].to_pylist(),
+                          t["n_docs_sum"].to_pylist()),
+                      key=lambda x: (-int(x[1]), x[0]))[:n_sug]
+        qid = g["query_id"][0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+            "phrase": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_docs": pa.array([int(r[1]) for r in rows],
+                               type=pa.int64()),
+            "rank": pa.array(list(range(1, len(rows) + 1)),
+                             type=pa.int64()),
+        })
+
     comp_kw = engine_kwargs or {}
     comp_size = int(comp_kw.get("comp_size", 4))
     comp_after = comp_kw.get("comp_after")
@@ -3591,7 +3716,8 @@ def run_queries_sharded(
                "composite": _merge_composite, "boxplot": _merge_boxplot,
                "filters": _merge_filters,
                "weighted_avg": _merge_weighted_avg,
-               "t_test": _merge_t_test}
+               "t_test": _merge_t_test,
+               "phrase_suggest": _merge_phrase_suggest}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

@@ -1594,6 +1594,67 @@ FROM ranked WHERE rnk <= {int(pages) * int(k)}"""
     )
 
 
+def phrase_suggest_sql(queries: list[tuple[int, str]], n: int = 5,
+                       max_edits: int = 1, cand_n: int = 5) -> str:
+    """Phrase-suggester oracle (pipelines.phrase_suggest replay; ES
+    ``phrase`` suggester, exact collate): per query, each of its TWO
+    analyzer-normalized tokens generates dictionary candidates within
+    levenshtein ``max_edits`` (d=0 kept), cut to ``cand_n`` by
+    (distance ASC, df DESC, term ASC) — the engine's _phrase_candidates
+    rule; candidate pairs score by document co-occurrence count, ranked
+    (n_docs DESC, phrase ASC), cut to ``n``."""
+    from .analyzer import tokens_py
+
+    rows = []
+    for qid, q in queries:
+        toks = tokens_py(q)
+        if len(toks) != 2:
+            continue  # the SQL twin covers the two-token suggester shape
+        a = toks[0].replace("'", "''")
+        b = toks[1].replace("'", "''")
+        rows.append(f"({int(qid)}, '{a}', '{b}')")
+    lit = (f"ps_lit(query_id, tok1, tok2) AS "
+           f"(SELECT * FROM (VALUES {','.join(rows)}))")
+    cand = """
+cand{i} AS (
+  SELECT q.query_id, f.term, f.df,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY levenshtein(f.term, q.tok{i}) ASC,
+                                     f.df DESC, f.term ASC) AS rnk
+  FROM ps_lit q
+  JOIN df f ON levenshtein(f.term, q.tok{i}) <= {e}
+)"""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, lit)
+        + ","
+        + cand.format(i=1, e=int(max_edits))
+        + ","
+        + cand.format(i=2, e=int(max_edits))
+        + f"""
+, ps_pairs AS (
+  SELECT a.query_id, a.term AS t1, b.term AS t2
+  FROM cand1 a JOIN cand2 b ON b.query_id = a.query_id
+  WHERE a.rnk <= {int(cand_n)} AND b.rnk <= {int(cand_n)}
+),
+ps_co AS (
+  SELECT p.query_id, p.t1, p.t2, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ps_pairs p
+  JOIN postings h1 ON h1.term = p.t1
+  JOIN postings h2 ON h2.term = p.t2 AND h2.doc_id = h1.doc_id
+  GROUP BY p.query_id, p.t1, p.t2
+),
+ps_ranked AS (
+  SELECT query_id, t1 || ' ' || t2 AS phrase, n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC,
+                                     t1 || ' ' || t2 ASC) AS rnk
+  FROM ps_co
+)
+SELECT query_id, phrase, n_docs, CAST(rnk AS BIGINT) AS rank
+FROM ps_ranked WHERE rnk <= {int(n)}"""
+    )
+
+
 def composite_agg_sql(queries: list[tuple[int, str]], width: int = 16,
                       size: int = 4,
                       after: "tuple[str, int] | None" = ("de", 16)) -> str:

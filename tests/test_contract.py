@@ -33,7 +33,7 @@ FAST_KEYS = [
     # round-5 closing session: boxplot/filters/weighted_avg/t_test aggs,
     # scroll pagination (one sharded twin guards the partial kinds)
     "boxplot_agg", "filters_agg", "weighted_avg_agg", "t_test_agg",
-    "scroll_topk", "t_test_agg_sharded",
+    "scroll_topk", "t_test_agg_sharded", "phrase_suggest",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
