@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_test_agg": p.t_test_agg,
         "scroll_topk": p.scroll_topk,
         "phrase_suggest": p.phrase_suggest,
+        "multi_match_topk": p.multi_match_topk,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
                                            p.SCROLL_PAGES),
         "phrase_suggest": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
+        "multi_match_topk": sql.multi_match_topk_sql(p.MM_QUERIES, TOP_K),
         "phrase_suggest_sharded": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(

@@ -110,6 +110,7 @@ def cmd_query(args) -> int:
         "--composite": bool(getattr(args, "composite", False)),
         "--boxplot": bool(getattr(args, "boxplot", False)),
         "--suggest-phrase": bool(getattr(args, "suggest_phrase", False)),
+        "--multi-match": bool(getattr(args, "multi_match", "")),
         "--weighted-avg": bool(getattr(args, "weighted_avg", False)),
         "--t-test": bool(getattr(args, "t_test", "")),
         "--scroll": getattr(args, "scroll", None) is not None,
@@ -145,7 +146,8 @@ def cmd_query(args) -> int:
                      else 1.0),
         rf_pivot=getattr(args, "rank_feature", None) or 50,
         filter_buckets=filter_buckets,
-        scroll_pages=scroll or 3)
+        scroll_pages=scroll or 3,
+        aux_index_dir=getattr(args, "multi_match", "") or None)
     lang = args.lang or None
     if getattr(args, "ext_stats", False):
         n, lo, hi, s, ss = engine.search_ext_stats(args.text, lang)
@@ -174,6 +176,14 @@ def cmd_query(args) -> int:
     if getattr(args, "adjacent", ""):
         print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
                                       lang))
+        return 0
+    if getattr(args, "multi_match", ""):
+        ids, units = engine.search_multi_match(args.text, lang)
+        if not len(ids):
+            print("no results")
+            return 0
+        for rank, (d, u) in enumerate(zip(ids, units), start=1):
+            print(f"{rank}\t{int(d)}\t{int(u) / SCORE_SCALE:.9f}")
         return 0
     if getattr(args, "suggest_phrase", False):
         rows = engine.suggest_phrase(args.text, lang)
@@ -724,6 +734,11 @@ def main(argv=None) -> int:
                    dest="rank_feature", metavar="PIVOT",
                    help="rank_feature mode: saturation doc_len/(doc_len+"
                         "PIVOT), integer-quantized")
+    q.add_argument("--multi-match", default="", dest="multi_match",
+                   metavar="AUX_INDEX",
+                   help="best_fields multi-field search: max of this "
+                        "index's score and AUX_INDEX's per doc (ES "
+                        "multi_match)")
     q.add_argument("--suggest-phrase", action="store_true",
                    dest="suggest_phrase",
                    help="phrase suggester: per-token fuzzy candidates, "

@@ -2849,6 +2849,77 @@ def phrase_suggest_sharded(sf_dir: str):
                        "suggest_n": PS_N})
 
 
+# multi_match queries: content-only, source-only, mixed, and no-match
+# terms — best_fields takes the per-field max so the mixed entries prove
+# each field's own df/avgdl flows through
+MM_QUERIES: list[tuple[int, str]] = [
+    (0, "merge src1"),
+    (1, "src3"),
+    (2, "window batch src7"),
+    (3, "the"),
+    (4, "nonexistentzzterm"),
+    (5, "spark src2 src2"),  # qtf=2 on the source field
+]
+
+
+def source_field_corpus_ds(sf_dir: str):
+    """The ``source`` FIELD's corpus: identity columns identical to
+    corpus_ds (same doc_id63), content := source — an ES multi-field
+    mapping materialized as a second index input.  SQL mirror:
+    sql._field2_ctes."""
+    from .corpus import DOCS_COMMIT
+
+    def _b(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["source"],
+            "path": pc.cast(t["doc_id"], pa.string()),
+            "commit": pa.array([DOCS_COMMIT] * len(t), type=pa.string()),
+            "lang": t["lang"],
+            "content": t["source"],
+        })
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).map_batches(_b, batch_format="pyarrow")
+
+
+def _contract_index_src(sf_dir: str) -> str:
+    """Build (or resume) the source-FIELD index beside the content one —
+    its own df/avgdl statistics, same doc_id space."""
+    key = hashlib.sha256(
+        (os.path.abspath(sf_dir) + ":field=source").encode()
+    ).hexdigest()[:12]
+    idx = os.path.join("/tmp/splade_ray_contract", key)
+    from .build import fingerprint_files
+
+    fp = fingerprint_files(
+        [os.path.join(sf_dir, "documents.parquet")]) + "-src"
+    build_index(source_field_corpus_ds(sf_dir), idx, lang_tagged=False,
+                n_shards=4, corpus_fp=fp)
+    return idx
+
+
+def multi_match_topk(sf_dir: str, top_k: int = TOP_K):
+    """Multi-field search (Elasticsearch ``multi_match`` type=best_fields
+    tie_breaker=0 / Lucene DisjunctionMaxQuery across fields): per
+    MM_QUERIES entry, the query scores independently against the content
+    index and the source FIELD index (each with its own df/avgdl — the
+    ES per-field-statistics rule), a doc takes the max, top-k under
+    (score DESC, doc_id ASC).  Rank-identical to
+    sql.multi_match_topk_sql."""
+    idx = _contract_index(sf_dir)
+    idx2 = _contract_index_src(sf_dir)
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in MM_QUERIES], type=pa.int64()),
+        "query": pa.array([s for _, s in MM_QUERIES]),
+    })
+    res = run_queries(rd.from_arrow(tbl), idx, k=top_k, concurrency=2,
+                      query_kind="multi_match",
+                      engine_kwargs={"aux_index_dir": idx2})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

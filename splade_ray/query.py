@@ -297,7 +297,8 @@ class QueryEngine:
                  comp_after: "tuple[str, int] | None" = None,
                  filter_buckets: "list[tuple[str, str]] | None" = None,
                  scroll_pages: int = 3,
-                 phrase_cand_n: int = 8):
+                 phrase_cand_n: int = 8,
+                 aux_index_dir: "str | None" = None):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -345,7 +346,8 @@ class QueryEngine:
                               "rank_eval", "boxplot", "filters",
                               "weighted_avg", "weighted_avg_partial",
                               "t_test", "t_test_partial", "scroll",
-                              "phrase_suggest", "phrase_suggest_partial"):
+                              "phrase_suggest", "phrase_suggest_partial",
+                              "multi_match"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -404,6 +406,16 @@ class QueryEngine:
         self.phrase_cand_n = int(phrase_cand_n)
         if self.phrase_cand_n < 1:
             raise ValueError("phrase_cand_n must be >= 1")
+        # second FIELD index for search_multi_match (ES multi-field
+        # mapping: every field gets its own inverted index, df and avgdl
+        # — Lucene per-field statistics).  A nested engine over the aux
+        # index loads in THIS actor's __init__, so multi-field serving
+        # stays one-pass per actor; doc identity joins by real doc_id
+        # (both indexes are built over the same identity columns)
+        self.aux = (QueryEngine(aux_index_dir, k=k, scorer=scorer)
+                    if aux_index_dir else None)
+        if query_kind == "multi_match" and self.aux is None:
+            raise ValueError("multi_match needs aux_index_dir")
         self.ord_range = None
         if ord_range is not None:
             lo, hi = int(ord_range[0]), int(ord_range[1])
@@ -1464,6 +1476,38 @@ class QueryEngine:
         # cut=False: the sharded pool's partial — every surviving phrase
         # flows to the merge, which re-ranks the SUMMED counts
         return out[: self.suggest_n] if cut else out
+
+    def search_multi_match(self, query: str, lang: str | None = None):
+        """Multi-field query (Elasticsearch ``multi_match`` with
+        ``type: best_fields``, ``tie_breaker: 0`` — Lucene
+        DisjunctionMaxQuery over per-field subqueries): the same analyzed
+        query scores independently against THIS index (field 1) and the
+        aux field index (field 2), each with its OWN df / avgdl corpus
+        statistics (Lucene per-field semantics — a multi-field mapping IS
+        several inverted indexes); a doc's score is the MAX of its
+        per-field complete BM25 sums, cut to top-k under (units DESC,
+        doc_id ASC).  Ordinal spaces differ between field indexes (each
+        sorts its own live doc set), so the join is by REAL doc_id —
+        both indexes were built over the same identity columns.
+        Reference analogue: splade's Milvus collection holds one sparse
+        field; Lucene/ES field mappings are the class this completes."""
+        sides = []
+        for eng in (self, self.aux):
+            ords, units = eng._sparse_sums(eng._query_terms(query, lang))
+            keep = units > 0
+            ords, units = ords[keep], units[keep]
+            ids = (eng.docs.gather_ids(ords) if len(ords)
+                   else np.empty(0, dtype=np.int64))
+            sides.append((ids, units))
+        ids = np.concatenate([s[0] for s in sides])
+        units = np.concatenate([s[1] for s in sides])
+        if not len(ids):
+            return ids.astype(np.int64), units.astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        best = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(best, inv, units)
+        order = np.lexsort((uniq, -best))[: self.k]
+        return uniq[order], best[order]
 
     def search_constant_score(self, query: str, lang: str | None = None):
         """Constant-score query (Elasticsearch ``constant_score`` / Lucene
@@ -3022,7 +3066,8 @@ class QueryEngine:
                        "regexp": self.search_regexp,
                        "rescore": self.search_rescore,
                        "function_score": self.search_function_score,
-                       "query_string": self.search_query_string}
+                       "query_string": self.search_query_string,
+                       "multi_match": self.search_multi_match}
 
             def search(q, lg, _f=by_kind[self.query_kind]):
                 return _f(q or "", lg)

@@ -1594,6 +1594,103 @@ FROM ranked WHERE rnk <= {int(pages) * int(k)}"""
     )
 
 
+def _field2_ctes() -> list[str]:
+    """The ``source`` FIELD's own CTE chain (corpus2 → docs2 → postings2
+    → df2 → stats2): same identity columns as the content field — so
+    doc_id63 agrees — but content := source, its own df and avgdl.  The
+    SQL rendering of an ES multi-field mapping (one inverted index per
+    field, per-field statistics)."""
+    corpus2 = f"""
+corpus2 AS (
+  SELECT source AS repo,
+         CAST(doc_id AS VARCHAR) AS path,
+         '{DOCS_COMMIT}' AS commit_sha,
+         lang,
+         source AS content
+  FROM documents
+)"""
+    docs2 = f"""
+docs2 AS (
+  SELECT {doc_id63_sql('repo', 'path', 'commit_sha')} AS doc_id,
+         repo, path, commit_sha, lang,
+         CAST(len(tokens) AS BIGINT) AS doc_len,
+         tokens
+  FROM (
+    SELECT *, {tokens_sql('content')} AS tokens
+    FROM corpus2
+    WHERE content IS NOT NULL AND trim(content, {_WS_TRIMSET}) <> ''
+  )
+)"""
+    postings2 = """
+tok2 AS (SELECT doc_id, unnest(tokens) AS term FROM docs2),
+postings2 AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY term, doc_id
+)"""
+    df2 = """
+df2 AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings2 GROUP BY term
+)"""
+    stats2 = """
+stats2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(doc_len) AS BIGINT) AS total_tokens
+  FROM docs2
+)"""
+    return [corpus2, docs2, postings2, df2, stats2]
+
+
+def multi_match_topk_sql(queries: list[tuple[int, str]],
+                         k: int = 10) -> str:
+    """Multi-match oracle (pipelines.multi_match_topk replay; ES
+    ``multi_match`` type=best_fields tie_breaker=0 / Lucene
+    DisjunctionMaxQuery across fields): the shared BM25 unit expression
+    runs once against the content field's chain and once against the
+    source field's chain (each with its OWN df/avgdl — _field2_ctes);
+    a doc's score is the MAX of its per-field sums, ranked
+    (units DESC, doc_id ASC), cut to k."""
+    contrib = _bm25_contrib_expr()
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_field2_ctes(), *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, contribs2 AS (
+  SELECT q.query_id, p.doc_id, {contrib} AS units
+  FROM qterms q
+  JOIN postings2 p ON p.term = q.term
+  JOIN df2 f ON f.term = q.term
+  JOIN docs2 d ON d.doc_id = p.doc_id
+  CROSS JOIN stats2 s
+),
+scores2 AS (
+  SELECT query_id, doc_id, CAST(sum(units) AS BIGINT) AS units
+  FROM contribs2 GROUP BY query_id, doc_id
+),
+mm_all AS (
+  SELECT query_id, doc_id, units FROM scores WHERE units > 0
+  UNION ALL
+  SELECT query_id, doc_id, units FROM scores2 WHERE units > 0
+),
+mm_best AS (
+  SELECT query_id, doc_id, CAST(max(units) AS BIGINT) AS units
+  FROM mm_all GROUP BY query_id, doc_id
+),
+mm_ranked AS (
+  SELECT query_id, doc_id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, doc_id ASC) AS rnk
+  FROM mm_best
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM mm_ranked WHERE rnk <= {int(k)}"""
+    )
+
+
 def phrase_suggest_sql(queries: list[tuple[int, str]], n: int = 5,
                        max_edits: int = 1, cand_n: int = 5) -> str:
     """Phrase-suggester oracle (pipelines.phrase_suggest replay; ES
