@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # closing session's ops additions) — always first
     never_ops = ("pack_sequences", "stratified_sample", "decontaminate",
                  "repetition_stats", "gopher_filter", "unigram_nll",
+                 "bigram_nll",
                  "ann_range_search", "ann_grouped_topk", "ann_filtered_topk",
                  "line_dedup")
     ops_q: dict[str, Callable[[str], Any]] = {}
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scroll_topk": p.scroll_topk,
         "phrase_suggest": p.phrase_suggest,
         "multi_match_topk": p.multi_match_topk,
+        "tfidf_keywords": p.tfidf_keywords,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -292,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggest": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "multi_match_topk": sql.multi_match_topk_sql(p.MM_QUERIES, TOP_K),
+        "tfidf_keywords": sql.tfidf_keywords_sql(),
         "phrase_suggest_sharded": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(

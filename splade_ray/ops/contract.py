@@ -1142,3 +1142,64 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     s = oracle_sql_v4()
     s["line_dedup"] = line_dedup_sql()
     return s
+
+
+def q_bigram_nll(sf_dir: str):
+    """Interpolated bigram-LM fluency score (one order above
+    unigram_nll; LM estimated from the corpus itself here — at 100 TB
+    pass a bounded sample as lm_ds, the CCNet convention)."""
+    return textstats.bigram_nll(_docs_ds(sf_dir), concurrency=2)
+
+
+def bigram_nll_sql() -> str:
+    lb, lu = textstats.BIGRAM_LAM_B, textstats.BIGRAM_LAM_U
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+uc AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM uc),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+    FROM tl WHERE len(toks) >= 2
+  )
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+       FROM big GROUP BY w1, w2),
+base AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams
+  FROM tl
+),
+sc AS (
+  SELECT b.doc_id,
+         avg(-ln({lb!r}e0 * bc.c / u1.c + {lu!r}e0 * u2.c / tot.n)) AS m
+  FROM big b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uc u1 ON u1.term = b.w1
+  JOIN uc u2 ON u2.term = b.w2
+  CROSS JOIN tot
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id, b.n_bigrams,
+       round(coalesce(s.m, 0e0), 6) AS mean_nll
+FROM base b LEFT JOIN sc s USING (doc_id)"""
+
+
+queries_v5 = queries
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    q = queries_v5()
+    q["bigram_nll"] = q_bigram_nll
+    return q
+
+
+oracle_sql_v5 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    s = oracle_sql_v5()
+    s["bigram_nll"] = bigram_nll_sql()
+    return s

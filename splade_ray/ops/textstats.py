@@ -630,3 +630,128 @@ def make_op(batch_fn, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return op
+
+
+# interpolated bigram LM weights — explicit literals on BOTH sides of the
+# oracle boundary (1 - 0.7 in float is 0.30000000000000004, not 0.3; the
+# weights need not sum to exactly 1, they need to MATCH)
+BIGRAM_LAM_B = 0.7
+BIGRAM_LAM_U = 0.3
+
+
+def _gram_count_partial(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial counts over unigrams AND ordered within-doc
+    bigrams in ONE pass (bigrams render as 'w1 w2' — unambiguous, tokens
+    never contain spaces).  The combiner side of the LM-estimation
+    groupby: the shuffle moves one row per DISTINCT gram per batch."""
+    flat, parents, n_rows = _flat_tokens(t, text_col)
+    if len(flat) == 0:
+        return pa.table({"gram": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())})
+    toks = flat.to_pylist()
+    same = parents[1:] == parents[:-1]
+    idx = np.nonzero(same)[0]
+    grams = pa.array(toks + [f"{toks[i]} {toks[i + 1]}" for i in idx],
+                     type=pa.string())
+    enc = pc.dictionary_encode(grams)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+    return pa.table({"gram": pa.array(enc.dictionary.to_pylist(),
+                                      type=pa.string()),
+                     "c": pa.array(cnt)})
+
+
+class _BigramNLL:
+    """Actor-pool scorer for the interpolated bigram LM: count tables
+    fetched from the object store ONCE per actor, dicts built in
+    ``__init__`` (ST2/ST3).  Per position i >= 2,
+    p = LAM_B·c(w_{i-1} w_i)/c(w_{i-1}) + LAM_U·c(w_i)/N and the doc
+    scores mean(-ln p) over its bigram positions — the KenLM-shaped
+    fluency filter one order up from unigram_nll.  When the LM was
+    estimated on a sample, an unseen bigram contributes only its unigram
+    leg and an unseen unigram backs off to 1/N (never zero probability);
+    on a full-corpus LM (the oracle contract) neither path fires."""
+
+    def __init__(self, lm_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        grams, counts, total = ray.get(lm_ref)
+        self.uni: dict[str, float] = {}
+        self.big: dict[str, float] = {}
+        for g, c in zip(grams, counts):
+            (self.big if " " in g else self.uni)[g] = float(c)
+        self.total = float(total)
+
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = _flat_tokens(t, self.text_col)
+        nb = np.zeros(n_rows, dtype=np.int64)
+        s = np.zeros(n_rows, dtype=np.float64)
+        if len(flat) > 1:
+            toks = flat.to_pylist()
+            same = parents[1:] == parents[:-1]
+            idx = np.nonzero(same)[0]
+            if len(idx):
+                w1 = [toks[i] for i in idx]
+                w2 = [toks[i + 1] for i in idx]
+                cb = np.fromiter(
+                    (self.big.get(f"{a} {b}", 0.0)
+                     for a, b in zip(w1, w2)),
+                    dtype=np.float64, count=len(idx))
+                cu1 = np.fromiter((self.uni.get(a, 0.0) for a in w1),
+                                  dtype=np.float64, count=len(idx))
+                cu2 = np.fromiter((self.uni.get(b, 1.0) for b in w2),
+                                  dtype=np.float64, count=len(idx))
+                big_leg = np.where(cu1 > 0.0,
+                                   BIGRAM_LAM_B * cb
+                                   / np.where(cu1 > 0.0, cu1, 1.0),
+                                   0.0)
+                p = big_leg + BIGRAM_LAM_U * cu2 / self.total
+                nll = -np.log(p)
+                par = parents[idx]
+                nb = np.bincount(par, minlength=n_rows).astype(np.int64)
+                s = np.bincount(par, weights=nll, minlength=n_rows)
+        mean_nll = np.where(nb > 0, s / np.where(nb > 0, nb, 1), 0.0)
+        return pa.table({
+            "doc_id": pc.cast(t[self.id_col], pa.int64()),
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "mean_nll": pa.array(np.round(mean_nll, 6), type=pa.float64()),
+        })
+
+
+def bigram_nll(ds, lm_ds=None, text_col: str = "text",
+               id_col: str = "doc_id", concurrency: int = 4):
+    """Per-doc mean negative log-probability under an interpolated BIGRAM
+    LM (p = LAM_B·p_bigram + LAM_U·p_unigram) — the next-order fluency
+    filter above unigram_nll, the closest in-container stand-in for the
+    CCNet KenLM 5-gram perplexity gate.
+
+    Pass 1 estimates both count tables in ONE corpus pass
+    (_gram_count_partial → a gram-keyed groupby; rows = unigram + bigram
+    vocabulary, SUBLINEAR in corpus bytes but larger than unigram_nll's —
+    at 100 TB pass a bounded sample as ``lm_ds``, the CCNet convention).
+    Broadcast once via ray.put; pass 2 scores every doc through an actor
+    pool.  Returns (doc_id, n_bigrams, mean_nll)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    src = ds if lm_ds is None else lm_ds
+    rows = (
+        src.map_batches(_gram_count_partial, batch_format="pyarrow",
+                        fn_kwargs={"text_col": text_col})
+        .groupby("gram")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: one row per distinct gram
+    )
+    grams = [r["gram"] for r in rows]
+    counts = [int(r["c"]) for r in rows]
+    total = float(sum(c for g, c in zip(grams, counts) if " " not in g))
+    lm_ref = ray.put((grams, counts, total))
+    return ds.map_batches(
+        _BigramNLL,
+        fn_constructor_kwargs={"lm_ref": lm_ref, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )

@@ -2920,6 +2920,93 @@ def multi_match_topk(sf_dir: str, top_k: int = TOP_K):
                            batch_format="pyarrow")
 
 
+class _TfidfKeywords:
+    """Actor-pool stage for tfidf_keywords: the vocabulary-bounded df map
+    dereferences ONCE per actor (ST2) and stays resident (ST3 — the same
+    dictionary-residency class as the query engine); per batch, the work
+    is doc-LOCAL (a doc's terms never leave their batch), so no doc-scale
+    shuffle exists at any corpus size."""
+
+    def __init__(self, df_ref, n_docs: int, n: int):
+        import ray as _ray
+
+        terms, dfs = _ray.get(df_ref)
+        self.df = dict(zip(terms, dfs))
+        self.n_docs = int(n_docs)
+        self.n = int(n)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from .build import SCORE_SCALE
+
+        p = _postings_batch(t)
+        empty = {
+            "doc_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+        if not len(p):
+            return pa.table(empty)
+        terms = pd.Series(p["term"].to_pylist())
+        dfv = terms.map(self.df).to_numpy(dtype=np.int64)
+        tf = p["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the idf_coord unit convention, term-side: one float chain in
+        # the EXACT op order of sql.tfidf_keywords_sql, quantized to
+        # integer units so the top-n cut has no float boundary
+        w = np.log(1.0 + (self.n_docs - dfv + 0.5) / (dfv + 0.5))
+        units = np.rint((tf.astype(np.float64) * w)
+                        * SCORE_SCALE).astype(np.int64)
+        pdf = pd.DataFrame({
+            "doc_id": p["doc_id"].to_numpy(zero_copy_only=False),
+            "term": terms,
+            "tf": tf,
+            "df": dfv,
+            "units": units,
+        })
+        pdf.sort_values(["doc_id", "units", "term"],
+                        ascending=[True, False, True], kind="mergesort",
+                        inplace=True)
+        pdf["rank"] = pdf.groupby("doc_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= self.n]
+        return pa.table({
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(), type=pa.int64()),
+            "rank": pa.array(pdf["rank"].to_numpy(), type=pa.int64()),
+            "term": pa.array(pdf["term"].tolist(), type=pa.string()),
+            "tf": pa.array(pdf["tf"].to_numpy(), type=pa.int64()),
+            "df": pa.array(pdf["df"].to_numpy(), type=pa.int64()),
+            "score": pa.array(pdf["units"].to_numpy() / SCORE_SCALE,
+                              type=pa.float64()),
+        })
+
+
+def tfidf_keywords(sf_dir: str, n: int = 5):
+    """Per-doc keyword extraction: every document's top-n terms by
+    quantized tf·idf units (training-data doc tagging; Lucene
+    MoreLikeThis interestingTerms surfaced as a batch operator).
+
+    Pass 1 aggregates df per term (one row per DISTINCT term —
+    vocabulary-bounded, sublinear in corpus bytes) and broadcasts it via
+    ray.put; pass 2 is the doc-local rank/cut (_TfidfKeywords).  Ranking
+    (units DESC, term ASC) uses idf_coord's integer quantization, so the
+    SQL twin reproduces the cut bit-identically.  Value-identical to
+    sql.tfidf_keywords_sql."""
+    import ray as _ray
+
+    rows = term_df(sf_dir).take_all()  # bounded: one row per distinct term
+    df_ref = _ray.put(([r["term"] for r in rows],
+                       [int(r["df"]) for r in rows]))
+    n_docs = _staged(sf_dir, with_sha=False).count()
+    return _staged(sf_dir, with_sha=False).map_batches(
+        _TfidfKeywords,
+        fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs, "n": n},
+        batch_format="pyarrow", concurrency=4, num_cpus=1,
+    )
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

@@ -1691,6 +1691,35 @@ FROM mm_ranked WHERE rnk <= {int(k)}"""
     )
 
 
+def tfidf_keywords_sql(n: int = 5) -> str:
+    """Per-doc keyword oracle (pipelines.tfidf_keywords replay): top-n
+    terms per document by quantized tf·idf units — the idf_coord unit
+    convention on the term side (one float chain, identical op order),
+    ties term ASC."""
+    return (
+        _with(CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE,
+              STATS_CTE)
+        + f"""
+, kw AS (
+  SELECT p.doc_id, p.term, p.tf, f.df,
+         CAST(round((p.tf * ln(1e0 + (s.n_docs - f.df + {_f(0.5)})
+                               / (f.df + {_f(0.5)})))
+                    * {_f(float(SCORE_SCALE))}) AS BIGINT) AS units
+  FROM postings p
+  JOIN df f ON f.term = p.term
+  CROSS JOIN stats s
+),
+kw_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY units DESC, term ASC) AS rnk
+  FROM kw
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df,
+       units / {_f(float(SCORE_SCALE))} AS score
+FROM kw_ranked WHERE rnk <= {int(n)}"""
+    )
+
+
 def phrase_suggest_sql(queries: list[tuple[int, str]], n: int = 5,
                        max_edits: int = 1, cand_n: int = 5) -> str:
     """Phrase-suggester oracle (pipelines.phrase_suggest replay; ES

@@ -34,7 +34,7 @@ FAST_KEYS = [
     # scroll pagination (one sharded twin guards the partial kinds)
     "boxplot_agg", "filters_agg", "weighted_avg_agg", "t_test_agg",
     "scroll_topk", "t_test_agg_sharded", "phrase_suggest",
-    "multi_match_topk",
+    "multi_match_topk", "tfidf_keywords", "bigram_nll",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
