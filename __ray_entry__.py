@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggest": p.phrase_suggest,
         "multi_match_topk": p.multi_match_topk,
         "tfidf_keywords": p.tfidf_keywords,
+        "analyze_api": p.analyze_api,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "multi_match_topk": sql.multi_match_topk_sql(p.MM_QUERIES, TOP_K),
         "tfidf_keywords": sql.tfidf_keywords_sql(),
+        "analyze_api": sql.analyze_api_sql(p.ANALYZE_TEXTS),
         "phrase_suggest_sharded": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(

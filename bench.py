@@ -344,7 +344,21 @@ def main() -> None:
                      ("mad_agg", pipelines.mad_agg),
                      ("composite_agg", pipelines.composite_agg),
                      ("span_range_topk", pipelines.span_range_topk),
-                     ("term_vectors", pipelines.term_vectors)):
+                     ("term_vectors", pipelines.term_vectors),
+                     # closing-session additions: boxplot/filters/
+                     # weighted_avg/t_test aggs, scroll pagination, the
+                     # phrase suggester, best_fields multi_match (builds/
+                     # resumes the source-field index), per-doc tf-idf
+                     # keywords, and the _analyze API
+                     ("boxplot_agg", pipelines.boxplot_agg),
+                     ("filters_agg", pipelines.filters_agg),
+                     ("weighted_avg_agg", pipelines.weighted_avg_agg),
+                     ("t_test_agg", pipelines.t_test_agg),
+                     ("scroll_topk", pipelines.scroll_topk),
+                     ("phrase_suggest", pipelines.phrase_suggest),
+                     ("multi_match_topk", pipelines.multi_match_topk),
+                     ("tfidf_keywords", pipelines.tfidf_keywords),
+                     ("analyze_api", pipelines.analyze_api)):
         t0 = time.perf_counter()
         _fn(SF_DIR).count()
         timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)
@@ -352,8 +366,8 @@ def main() -> None:
     # unigram-LM perplexity (two-pass: LM estimation + broadcast scoring),
     # train/test decontamination — walls over the documents table
     _oq = ops_contract.queries()
-    for _nm in ("repetition_stats", "unigram_nll", "decontaminate",
-                "line_dedup"):
+    for _nm in ("repetition_stats", "unigram_nll", "bigram_nll",
+                "decontaminate", "line_dedup"):
         t0 = time.perf_counter()
         _oq[_nm](SF_DIR).count()
         timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)

@@ -3007,6 +3007,55 @@ def tfidf_keywords(sf_dir: str, n: int = 5):
     )
 
 
+# _analyze API inputs: identifier splitting, case folding, punctuation
+# stripping, digits, a zero-token string — the analyzer's full surface
+ANALYZE_TEXTS: list[tuple[int, str]] = [
+    (0, "sparkWindow MERGE_sort"),
+    (1, "HashJoin2000 order-by"),
+    (2, "  the   quick  "),
+    (3, "!!! ..."),
+    (4, "camelCaseABCDef x86_64"),
+]
+
+
+def analyze_api(sf_dir: str):
+    """Analyze API (Elasticsearch ``_analyze`` / Lucene Analyzer.tokenStream
+    surfaced as an endpoint): per ANALYZE_TEXTS entry, the ordered token
+    stream (1-based positions) the index-side and query-side analyzers
+    share — the code-aware tokenizer (identifier splitting, case folding)
+    as a first-class API.  The Arrow-kernel path answers; the SQL twin is
+    the analyzer's tokens_sql rendering, proving both sides tokenize
+    identically position by position (the whole-engine parity anchor).
+    Takes sf_dir for driver-contract uniformity; input is the fixed text
+    list.  Value-identical to sql.analyze_api_sql."""
+    from .analyzer import tokenize_flat
+
+    def _b(t: pa.Table) -> pa.Table:
+        flat, parents = tokenize_flat(t["query"].combine_chunks()
+                                      if isinstance(t["query"],
+                                                    pa.ChunkedArray)
+                                      else t["query"])
+        qids = t["query_id"].to_numpy(zero_copy_only=False)[parents]
+        # 1-based position within each input string
+        if len(parents):
+            starts = np.r_[0, np.nonzero(np.diff(parents))[0] + 1]
+            pos = np.arange(len(parents)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(parents)])) + 1
+        else:
+            pos = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "pos": pa.array(pos.astype(np.int64), type=pa.int64()),
+            "token": flat,
+        })
+
+    tbl = pa.table({
+        "query_id": pa.array([q for q, _ in ANALYZE_TEXTS], type=pa.int64()),
+        "query": pa.array([s for _, s in ANALYZE_TEXTS]),
+    })
+    return rd.from_arrow(tbl).map_batches(_b, batch_format="pyarrow")
+
+
 def collapse_topk_sharded(sf_dir: str, top_k: int = TOP_K):
     """collapse_topk through the doc-range query fan-out
     (run_queries_sharded, 3 ordinal ranges): per-shard collapse pages

@@ -1691,6 +1691,24 @@ FROM mm_ranked WHERE rnk <= {int(k)}"""
     )
 
 
+def analyze_api_sql(texts: list[tuple[int, str]]) -> str:
+    """Analyze-API oracle (pipelines.analyze_api replay; ES ``_analyze``):
+    the SQL analyzer twin's ordered token stream with 1-based positions —
+    position-by-position parity between tokens_sql and the Arrow-kernel
+    tokenizer, the anchor every other oracle builds on."""
+    rows = ",".join(
+        f"({int(qid)}, '" + s.replace("'", "''") + "')" for qid, s in texts
+    )
+    return f"""
+WITH an_lit(query_id, txt) AS (SELECT * FROM (VALUES {rows})),
+an_toks AS (SELECT query_id, {tokens_sql('txt')} AS toks FROM an_lit)
+SELECT query_id, CAST(i AS BIGINT) AS pos, toks[i] AS token
+FROM (
+  SELECT query_id, toks, unnest(range(1, len(toks) + 1)) AS i
+  FROM an_toks
+)"""
+
+
 def tfidf_keywords_sql(n: int = 5) -> str:
     """Per-doc keyword oracle (pipelines.tfidf_keywords replay): top-n
     terms per document by quantized tf·idf units — the idf_coord unit

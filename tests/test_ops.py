@@ -634,3 +634,40 @@ def test_line_dedup_semantics(ray_session):
            for r in dedup.line_dedup(ds, min_chars=10,
                                      hash_mode="mixer").take_all()}
     assert mix == out
+
+
+def test_bigram_nll_matches_hand_computation(ray_session):
+    import math
+
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 0, "text": "a b a"},
+        {"doc_id": 1, "text": "a"},
+        {"doc_id": 2, "text": ""},
+    ]))
+    out = textstats.bigram_nll(ds, concurrency=1).to_pandas()
+    out = out.set_index("doc_id")
+    # uni: a=3, b=1, N=4; bigrams: (a b)=1, (b a)=1
+    lb, lu = textstats.BIGRAM_LAM_B, textstats.BIGRAM_LAM_U
+    p_ab = lb * 1 / 3 + lu * 1 / 4
+    p_ba = lb * 1 / 1 + lu * 3 / 4
+    want = (-math.log(p_ab) - math.log(p_ba)) / 2
+    assert out.loc[0, "n_bigrams"] == 2
+    assert abs(out.loc[0, "mean_nll"] - want) < 1e-6
+    assert out.loc[1, "n_bigrams"] == 0 and out.loc[1, "mean_nll"] == 0.0
+    assert out.loc[2, "n_bigrams"] == 0 and out.loc[2, "mean_nll"] == 0.0
+
+
+def test_bigram_nll_sample_lm_oov_backoff(ray_session):
+    """LM from a sample missing the scored doc's bigrams/unigrams: the
+    bigram leg contributes 0 and an unseen unigram backs off to 1/N —
+    never a zero probability, never a crash."""
+    import math
+
+    lm = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 9, "text": "a"}]))
+    ds = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 0, "text": "a b"}]))
+    out = textstats.bigram_nll(ds, lm_ds=lm, concurrency=1).to_pandas()
+    # uni LM: a=1, N=1; doc bigram (a b): cb=0, cu1(a)=1 -> big leg 0;
+    # cu2(b) OOV -> 1.0 -> p = LAM_U * 1/1
+    want = -math.log(textstats.BIGRAM_LAM_U)
+    assert out.loc[0, "n_bigrams"] == 1
+    assert abs(out.loc[0, "mean_nll"] - want) < 1e-6
