@@ -111,6 +111,7 @@ def cmd_query(args) -> int:
         "--boxplot": bool(getattr(args, "boxplot", False)),
         "--suggest-phrase": bool(getattr(args, "suggest_phrase", False)),
         "--multi-match": bool(getattr(args, "multi_match", "")),
+        "--validate": bool(getattr(args, "validate", False)),
         "--weighted-avg": bool(getattr(args, "weighted_avg", False)),
         "--t-test": bool(getattr(args, "t_test", "")),
         "--scroll": getattr(args, "scroll", None) is not None,
@@ -176,6 +177,16 @@ def cmd_query(args) -> int:
     if getattr(args, "adjacent", ""):
         print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
                                       lang))
+        return 0
+    if getattr(args, "validate", False):
+        qterms = engine._query_terms(args.text, lang)
+        if not qterms:
+            print("valid: 0 terms (matches nothing)")
+            return 0
+        for term, qtf in qterms.items():
+            df = engine._term_refs(term)[1]
+            state = f"df={df}" if df else "NOT IN DICTIONARY"
+            print(f"{term}\tqtf={qtf}\t{state}")
         return 0
     if getattr(args, "multi_match", ""):
         ids, units = engine.search_multi_match(args.text, lang)
@@ -598,6 +609,32 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_fields(args) -> int:
+    """Index introspection (Elasticsearch ``_field_caps`` + index-stats
+    shape): the fields/capabilities a consumer can query, straight from
+    the frozen MANIFEST — no postings touched."""
+    import json as _json
+
+    with open(os.path.join(args.index, "MANIFEST.json")) as f:
+        m = _json.load(f)
+    has_pos = bool(m.get("positions"))
+    rows = [
+        ("content", "text", "searchable; BM25 scored"
+         + ("; positions (phrase/span native)" if has_pos else "")),
+        ("doc_len", "long", "doc-value: stats/range/sort/histogram aggs"),
+        ("lang", "keyword", "doc-value: terms/filter/collapse aggs"
+         + ("; lang-tagged scoring" if m.get("lang_tagged") else "")),
+        ("doc_id", "long", "identity; mget/ids, cursor tiebreak"),
+    ]
+    for name, typ, caps in rows:
+        print(f"{name}\t{typ}\t{caps}")
+    print(f"-- n_docs={m['n_docs']}\tavgdl={m['avgdl']:.3f}\t"
+          f"n_postings={m.get('n_postings')}\t"
+          f"segments={len(m.get('segments', []))}\t"
+          f"langs={','.join(m.get('langs', []))}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     """Scorer-agreement quality report over an sf-style data dir."""
     from .eval import summarize
@@ -734,6 +771,10 @@ def main(argv=None) -> int:
                    dest="rank_feature", metavar="PIVOT",
                    help="rank_feature mode: saturation doc_len/(doc_len+"
                         "PIVOT), integer-quantized")
+    q.add_argument("--validate", action="store_true",
+                   help="validate/inspect the query: analyzed terms with "
+                        "dictionary presence and df, no scoring (ES "
+                        "_validate/query + _analyze)")
     q.add_argument("--multi-match", default="", dest="multi_match",
                    metavar="AUX_INDEX",
                    help="best_fields multi-field search: max of this "
@@ -856,6 +897,10 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    fi = sub.add_parser("fields")
+    fi.add_argument("--index", required=True)
+    fi.set_defaults(fn=cmd_fields)
 
     qy = sub.add_parser("quality")
     qy.add_argument("--data", required=True,

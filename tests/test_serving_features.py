@@ -628,6 +628,19 @@ def test_cli_query_mode_flags_are_exclusive(ray_session):
          "--percentiles"],
         ["query", "x", "--index", "/nonexistent", "--percentiles",
          "--count"],
+        ["query", "x", "--index", "/nonexistent", "--boxplot",
+         "--scroll", "2"],
+        ["query", "x", "--index", "/nonexistent", "--t-test", "y",
+         "--weighted-avg"],
+        ["query", "x", "--index", "/nonexistent", "--suggest-phrase",
+         "--validate"],
+        ["query", "x", "--index", "/nonexistent",
+         "--filter-bucket", "a=b", "--count"],
+        ["query", "x", "--index", "/nonexistent", "--scroll", "0"],
+        ["query", "x", "--index", "/nonexistent",
+         "--filter-bucket", "noequals"],
+        ["query", "x", "--index", "/nonexistent",
+         "--multi-match", "/nonexistent2", "--prefix"],
     ):
         assert cli.main(argv) == 2, argv
 
