@@ -635,6 +635,27 @@ def cmd_fields(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Atomic alias management (ES alias API): ``--set`` repoints (or
+    creates) the alias in one os.replace — the blue-green reindex
+    cutover; without --set, prints the resolved target."""
+    from .alias import read_alias, resolve_index, set_alias
+
+    if args.set:
+        try:
+            set_alias(args.name, args.set)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"{args.name} -> {read_alias(args.name)}")
+        return 0
+    if not os.path.exists(args.name):
+        print(f"error: no alias at {args.name}", file=sys.stderr)
+        return 2
+    print(resolve_index(args.name))
+    return 0
+
+
 def cmd_quality(args) -> int:
     """Scorer-agreement quality report over an sf-style data dir."""
     from .eval import summarize
@@ -901,6 +922,13 @@ def main(argv=None) -> int:
     fi = sub.add_parser("fields")
     fi.add_argument("--index", required=True)
     fi.set_defaults(fn=cmd_fields)
+
+    al = sub.add_parser("alias")
+    al.add_argument("name", help="alias file path")
+    al.add_argument("--set", default="",
+                    help="index dir (or alias) to point the alias at; "
+                         "atomic swap")
+    al.set_defaults(fn=cmd_alias)
 
     qy = sub.add_parser("quality")
     qy.add_argument("--data", required=True,

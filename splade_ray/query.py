@@ -314,7 +314,15 @@ class QueryEngine:
         set is ~1/n_shards of the index instead of all of it — the 100x
         residency fix.  Scores inside the range are complete and exact
         (every posting of an in-range doc lands in-range), so per-range
-        top-k merge is globally exact; see ``run_queries_sharded``."""
+        top-k merge is globally exact; see ``run_queries_sharded``.
+
+        ``index_dir`` may be an ALIAS file (alias.resolve_index) —
+        resolved once here, so a blue-green swap takes effect for newly
+        constructed actor pools while in-flight actors keep serving the
+        generation they opened (the ES search-context semantics)."""
+        from .alias import resolve_index
+
+        index_dir = resolve_index(index_dir)
         with open(os.path.join(index_dir, "MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self._cache: dict[str, tuple] = {}
@@ -3304,6 +3312,9 @@ def run_queries_sharded(
                      "weighted_avg": "weighted_avg_partial",
                      "phrase_suggest": "phrase_suggest_partial"}
     pool_kind = _PARTIAL_KIND.get(query_kind, query_kind)
+    from .alias import resolve_index
+
+    index_dir = resolve_index(index_dir)
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         n_docs = json.load(f)["n_docs"]
     n_shards = max(1, min(n_query_shards, n_docs))
