@@ -2983,7 +2983,7 @@ class _TfidfKeywords:
         })
 
 
-def tfidf_keywords(sf_dir: str, n: int = 5):
+def tfidf_keywords(sf_dir: str, n: int = 5, concurrency: int = 2):
     """Per-doc keyword extraction: every document's top-n terms by
     quantized tf·idf units (training-data doc tagging; Lucene
     MoreLikeThis interestingTerms surfaced as a batch operator).
@@ -3000,10 +3000,14 @@ def tfidf_keywords(sf_dir: str, n: int = 5):
     df_ref = _ray.put(([r["term"] for r in rows],
                        [int(r["df"]) for r in rows]))
     n_docs = _staged(sf_dir, with_sha=False).count()
+    # a FIXED pool of `concurrency` 1-cpu actors reserves that many CPUs
+    # for the whole stage — leave headroom for the upstream read/tokenize
+    # tasks or a small session (tests run at num_cpus=4) deadlocks with
+    # every CPU parked in a waiting actor
     return _staged(sf_dir, with_sha=False).map_batches(
         _TfidfKeywords,
         fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs, "n": n},
-        batch_format="pyarrow", concurrency=4, num_cpus=1,
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
     )
 
 

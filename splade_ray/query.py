@@ -1605,9 +1605,12 @@ class QueryEngine:
         num = Σ doc_len·tf — exact integers, so per-shard partials ADD
         and the single float division re-derives bit-identically at any
         shard count.  Hits lacking the weight term contribute 0 to both
-        sums (ES skips docs whose weight field is missing).  Returns
-        (n_hits, sum_w, sum_wv); the caller derives the average and drops
-        den == 0 rows (the SQL HAVING twin)."""
+        sums (ES skips docs whose weight field is missing).  On a
+        lang-tagged index the weight term is the first LANGUAGE VARIANT
+        of the first token (per-field weights are per-variant, like
+        per-variant df); the SQL twin covers the untagged shape.
+        Returns (n_hits, sum_w, sum_wv); the caller derives the average
+        and drops den == 0 rows (the SQL HAVING twin)."""
         qterms = self._query_terms(query, lang)
         if not qterms:
             return 0, 0, 0
