@@ -106,7 +106,11 @@ def lev_dist(a: str, b: str, cap: int = 3) -> int:
         if best >= cap:
             return cap
         prev = cur
-    return prev[lb]
+    # the row-min early exit proves every ROW held a value < cap, not
+    # that the FINAL cell did (e.g. ("bb", "aaaaa", cap=4) ends at 5
+    # with row minima 2..4) — clamp so the capped contract
+    # min(true_distance, cap) holds on every path
+    return min(prev[lb], cap)
 
 
 def disc_percentiles(vals: np.ndarray, counts: np.ndarray,
