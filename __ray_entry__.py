@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_topk": p.multi_match_topk,
         "tfidf_keywords": p.tfidf_keywords,
         "analyze_api": p.analyze_api,
+        "distance_feature_topk": p.distance_feature_topk,
         # never-verified sharded twins (same oracles as the single-pool
         # entries; pytest covers shard parity, so these rank below the
         # distinct operators)
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_agg_sharded": p.weighted_avg_agg_sharded,
         "t_test_agg_sharded": p.t_test_agg_sharded,
         "phrase_suggest_sharded": p.phrase_suggest_sharded,
+        "distance_feature_topk_sharded": p.distance_feature_topk_sharded,
     })
     # rest of the ops family (last green r3 — least-recently-verified next)
     catalog.update(ops_q)
@@ -297,6 +299,10 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_topk": sql.multi_match_topk_sql(p.MM_QUERIES, TOP_K),
         "tfidf_keywords": sql.tfidf_keywords_sql(),
         "analyze_api": sql.analyze_api_sql(p.ANALYZE_TEXTS),
+        "distance_feature_topk": sql.distance_feature_topk_sql(
+            DOC_QUERIES, TOP_K, p.DF_ORIGIN),
+        "distance_feature_topk_sharded": sql.distance_feature_topk_sql(
+            DOC_QUERIES, TOP_K, p.DF_ORIGIN),
         "phrase_suggest_sharded": sql.phrase_suggest_sql(
             p.PHRASE_SUGGEST_QUERIES, p.PS_N, p.PS_MAX_EDITS, p.PS_CAND_N),
         "bm25_topk_deleted": sql.bm25_topk_deleted_sql(

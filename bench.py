@@ -358,7 +358,9 @@ def main() -> None:
                      ("phrase_suggest", pipelines.phrase_suggest),
                      ("multi_match_topk", pipelines.multi_match_topk),
                      ("tfidf_keywords", pipelines.tfidf_keywords),
-                     ("analyze_api", pipelines.analyze_api)):
+                     ("analyze_api", pipelines.analyze_api),
+                     ("distance_feature_topk",
+                      pipelines.distance_feature_topk)):
         t0 = time.perf_counter()
         _fn(SF_DIR).count()
         timings[f"{_nm}_sec"] = round(time.perf_counter() - t0, 3)

@@ -112,6 +112,8 @@ def cmd_query(args) -> int:
         "--suggest-phrase": bool(getattr(args, "suggest_phrase", False)),
         "--multi-match": bool(getattr(args, "multi_match", "")),
         "--validate": bool(getattr(args, "validate", False)),
+        "--distance-feature": getattr(args, "distance_feature",
+                                      None) is not None,
         "--weighted-avg": bool(getattr(args, "weighted_avg", False)),
         "--t-test": bool(getattr(args, "t_test", "")),
         "--scroll": getattr(args, "scroll", None) is not None,
@@ -148,7 +150,10 @@ def cmd_query(args) -> int:
         rf_pivot=getattr(args, "rank_feature", None) or 50,
         filter_buckets=filter_buckets,
         scroll_pages=scroll or 3,
-        aux_index_dir=getattr(args, "multi_match", "") or None)
+        aux_index_dir=getattr(args, "multi_match", "") or None,
+        df_origin=(getattr(args, "distance_feature", None)
+                   if getattr(args, "distance_feature", None) is not None
+                   else 64))
     lang = args.lang or None
     if getattr(args, "ext_stats", False):
         n, lo, hi, s, ss = engine.search_ext_stats(args.text, lang)
@@ -177,6 +182,14 @@ def cmd_query(args) -> int:
     if getattr(args, "adjacent", ""):
         print(engine.search_adjacency(f"{args.text}|||{args.adjacent}",
                                       lang))
+        return 0
+    if getattr(args, "distance_feature", None) is not None:
+        ids, dists = engine.search_distance_feature(args.text, lang)
+        if not len(ids):
+            print("no results")
+            return 0
+        for rank, (d, dv) in enumerate(zip(ids, dists), start=1):
+            print(f"{rank}\t{int(d)}\tdist={int(dv)}")
         return 0
     if getattr(args, "validate", False):
         qterms = engine._query_terms(args.text, lang)
@@ -792,6 +805,10 @@ def main(argv=None) -> int:
                    dest="rank_feature", metavar="PIVOT",
                    help="rank_feature mode: saturation doc_len/(doc_len+"
                         "PIVOT), integer-quantized")
+    q.add_argument("--distance-feature", type=int, default=None,
+                   dest="distance_feature", metavar="ORIGIN",
+                   help="rank hits by |doc_len - ORIGIN| ASC (ES "
+                        "distance_feature)")
     q.add_argument("--validate", action="store_true",
                    help="validate/inspect the query: analyzed terms with "
                         "dictionary presence and df, no scoring (ES "

@@ -3011,6 +3011,41 @@ def tfidf_keywords(sf_dir: str, n: int = 5, concurrency: int = 2):
     )
 
 
+# distance_feature origin: mid-corpus doc_len so both |dl - origin| arms
+# (above and below) appear in every page
+DF_ORIGIN = 60
+
+
+def distance_feature_topk(sf_dir: str, top_k: int = TOP_K):
+    """Distance-feature query (Elasticsearch ``distance_feature`` /
+    Lucene newDistanceFeatureQuery): per DOC_QUERIES entry, hits rank by
+    closeness of the doc_len doc-value to DF_ORIGIN — integer distance
+    ASC, doc_id ASC, cut to k (ES's boost/(boost + dist/pivot) is
+    monotone in dist, so ranks are identical with no float in the
+    oracle).  Rank-identical to sql.distance_feature_topk_sql."""
+    idx = _contract_index(sf_dir)
+    res = run_queries(rd.from_arrow(_queries_table()), idx, k=top_k,
+                      concurrency=2, query_kind="distance_feature",
+                      engine_kwargs={"df_origin": DF_ORIGIN})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
+def distance_feature_topk_sharded(sf_dir: str, top_k: int = TOP_K):
+    """distance_feature_topk through the doc-range fan-out: selection by
+    a per-doc key, so per-shard pages re-cut exactly under (dist ASC,
+    doc_id ASC).  Same oracle as distance_feature_topk."""
+    from .query import run_queries_sharded
+
+    idx = _contract_index(sf_dir)
+    res = run_queries_sharded(
+        rd.from_arrow(_queries_table()), idx, k=top_k, n_query_shards=3,
+        concurrency_per_shard=1, query_kind="distance_feature",
+        engine_kwargs={"df_origin": DF_ORIGIN})
+    return res.map_batches(lambda t: _i64(t, ["rank"]),
+                           batch_format="pyarrow")
+
+
 # _analyze API inputs: identifier splitting, case folding, punctuation
 # stripping, digits, a zero-token string — the analyzer's full surface
 ANALYZE_TEXTS: list[tuple[int, str]] = [

@@ -302,7 +302,8 @@ class QueryEngine:
                  filter_buckets: "list[tuple[str, str]] | None" = None,
                  scroll_pages: int = 3,
                  phrase_cand_n: int = 8,
-                 aux_index_dir: "str | None" = None):
+                 aux_index_dir: "str | None" = None,
+                 df_origin: int = 64):
         """``cache_postings_budget``: max cached decoded postings per actor
         (~16 bytes each).  Admission-without-eviction: once full, new terms
         are simply not cached — plain LRU degenerates on the cyclic access
@@ -359,7 +360,7 @@ class QueryEngine:
                               "weighted_avg", "weighted_avg_partial",
                               "t_test", "t_test_partial", "scroll",
                               "phrase_suggest", "phrase_suggest_partial",
-                              "multi_match"):
+                              "multi_match", "distance_feature"):
             raise ValueError(f"unknown query_kind {query_kind!r}")
         self.query_kind = query_kind  # how __call__ reads the query column
         # query-time synonym map (term -> group, self NOT implied — pass
@@ -410,6 +411,7 @@ class QueryEngine:
         # query time like any other query string
         self.filter_buckets = [(str(nm), str(fq))
                                for nm, fq in (filter_buckets or [])]
+        self.df_origin = int(df_origin)  # search_distance_feature pivot
         self.scroll_pages = int(scroll_pages)  # search_scroll page count
         if self.scroll_pages < 1:
             raise ValueError("scroll_pages must be >= 1")
@@ -1315,6 +1317,29 @@ class QueryEngine:
                         dtype=np.int64, count=len(ids))
         order = np.lexsort((ids, -h))[: self.k]
         return ids[order], h[order]
+
+    def search_distance_feature(self, query: str,
+                                lang: str | None = None):
+        """Distance-feature query (Elasticsearch ``distance_feature`` on
+        a numeric field / Lucene LongField.newDistanceFeatureQuery):
+        hits rank by CLOSENESS of the doc_len doc-value to the
+        configured origin — the integer distance |doc_len - df_origin|
+        ASC, ties doc_id ASC, cut to k.  All-integer ranking (ES's
+        boost/(boost + dist/pivot) is monotone in dist, so the rank
+        order is identical and no float crosses the oracle boundary).
+        Selection by a per-doc key — per-shard pages re-cut exactly
+        (the random_score merge rule).  Returns (doc_ids, dists)."""
+        qterms = self._query_terms(query, lang)
+        ords, units = self._sparse_sums(qterms)
+        ords = ords[units > 0]
+        if not len(ords):
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        dls = self.docs.gather_lens(ords).astype(np.int64)
+        dist = np.abs(dls - self.df_origin)
+        ids = self.docs.gather_ids(ords)
+        order = np.lexsort((ids, dist))[: self.k]
+        return ids[order], dist[order]
 
     def search_adjacency(self, pair: str, lang: str | None = None):
         """One adjacency-matrix cell (Elasticsearch ``adjacency_matrix``
@@ -2714,6 +2739,22 @@ class QueryEngine:
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "rs": pa.array(out_rs, type=pa.int64()),
             })
+        if self.query_kind == "distance_feature":
+            out_qid, out_rank, out_doc, out_dist = [], [], [], []
+            for qid, q, lg in zip(qids, batch["query"].to_pylist(), langs):
+                ids, dists = self.search_distance_feature(q or "",
+                                                          lg or None)
+                for r, (d, dv) in enumerate(zip(ids, dists), start=1):
+                    out_qid.append(qid)
+                    out_rank.append(r)
+                    out_doc.append(int(d))
+                    out_dist.append(int(dv))
+            return pa.table({
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "dist": pa.array(out_dist, type=pa.int64()),
+            })
         if self.query_kind == "adjacency":
             # one row per pair ALWAYS (zero-intersection cells emit 0 —
             # the LEFT-JOIN oracle mirrors this)
@@ -3298,7 +3339,7 @@ def run_queries_sharded(
                   "ext_stats", "random_score", "adjacency", "pinned",
                   "constant_score", "rank_feature", "mad", "composite",
                   "boxplot", "filters", "weighted_avg", "t_test",
-                  "phrase_suggest"}
+                  "phrase_suggest", "distance_feature"}
     if query_kind not in _SHARDABLE:
         raise ValueError(
             f"query_kind {query_kind!r} is not shard-mergeable "
@@ -3579,6 +3620,20 @@ def run_queries_sharded(
             "rs": pa.array(rs[order], type=pa.int64()),
         })
 
+    def _merge_distance(g: pa.Table, k: int = k) -> pa.Table:
+        # selection by a per-doc key (the random_score rule, ascending):
+        # every doc lives in exactly one range, so the union re-cut
+        # under (dist asc, doc_id asc) is the global page
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "dist": pa.array(dist[order], type=pa.int64()),
+        })
+
     def _merge_adjacency(g: pa.Table) -> pa.Table:
         # both presence sets are complete per ordinal range and every doc
         # lives in exactly one range — cells ADD
@@ -3780,7 +3835,8 @@ def run_queries_sharded(
                "filters": _merge_filters,
                "weighted_avg": _merge_weighted_avg,
                "t_test": _merge_t_test,
-               "phrase_suggest": _merge_phrase_suggest}
+               "phrase_suggest": _merge_phrase_suggest,
+               "distance_feature": _merge_distance}
     # the ranked kinds (text/prefix/fuzzy/wildcard/bool/filtered/synonym/
     # regexp/search_after) all merge as plain top-k: per-shard scores are
     # complete and the cursor/filter predicates are per-doc, hence exact

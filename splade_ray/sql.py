@@ -1691,6 +1691,29 @@ FROM mm_ranked WHERE rnk <= {int(k)}"""
     )
 
 
+def distance_feature_topk_sql(queries: list[tuple[int, str]],
+                              k: int = 10, origin: int = 60) -> str:
+    """Distance-feature oracle (pipelines.distance_feature_topk replay):
+    hits ranked by |doc_len - origin| ASC, doc_id ASC — all integers."""
+    return (
+        _with(
+            CORPUS_FROM_DOCUMENTS, DOCS_CTE, POSTINGS_CTE, DF_CTE, STATS_CTE,
+            *_query_ctes(queries), _bm25_ranked_cte(),
+        )
+        + f"""
+, df_ranked AS (
+  SELECT r.query_id, r.doc_id,
+         CAST(abs(d.doc_len - {int(origin)}) AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY abs(d.doc_len - {int(origin)}) ASC,
+                                     r.doc_id ASC) AS rnk
+  FROM ranked r JOIN docs d ON d.doc_id = r.doc_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, dist
+FROM df_ranked WHERE rnk <= {int(k)}"""
+    )
+
+
 def analyze_api_sql(texts: list[tuple[int, str]]) -> str:
     """Analyze-API oracle (pipelines.analyze_api replay; ES ``_analyze``):
     the SQL analyzer twin's ordered token stream with 1-based positions —

@@ -35,6 +35,7 @@ FAST_KEYS = [
     "boxplot_agg", "filters_agg", "weighted_avg_agg", "t_test_agg",
     "scroll_topk", "t_test_agg_sharded", "phrase_suggest",
     "multi_match_topk", "tfidf_keywords", "bigram_nll",
+    "distance_feature_topk", "analyze_api",
     # round 3
     "sparse_encode", "sparse_topk",
     "phrase_topk", "phrase_topk_tokens", "phrase_near_topk",
