@@ -68,11 +68,13 @@ def resolve_index(path: str) -> str:
     """Follow alias indirection(s) to a real index directory.
 
     A directory passes through untouched (the common case costs one
-    isfile stat).  Alias chains are followed up to ``_MAX_HOPS`` then
-    refused loudly — a cycle is a config error."""
-    for _ in range(_MAX_HOPS):
+    isfile stat).  Chains of up to ``_MAX_HOPS`` aliases resolve (the
+    +1 check below accepts the final non-alias target); longer ones —
+    cycles — are refused loudly, naming the path the CALLER passed."""
+    start = path
+    for _ in range(_MAX_HOPS + 1):
         if not _is_alias(path):
             return path
         path = read_alias(path)
-    raise ValueError(f"alias chain from {path!r} exceeds {_MAX_HOPS} hops "
-                     f"(cycle?)")
+    raise ValueError(f"alias chain from {start!r} exceeds {_MAX_HOPS} "
+                     f"hops (cycle?)")

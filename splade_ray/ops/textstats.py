@@ -722,7 +722,7 @@ class _BigramNLL:
 
 
 def bigram_nll(ds, lm_ds=None, text_col: str = "text",
-               id_col: str = "doc_id", concurrency: int = 4):
+               id_col: str = "doc_id", concurrency: int = 2):
     """Per-doc mean negative log-probability under an interpolated BIGRAM
     LM (p = LAM_B·p_bigram + LAM_U·p_unigram) — the next-order fluency
     filter above unigram_nll, the closest in-container stand-in for the
@@ -748,7 +748,13 @@ def bigram_nll(ds, lm_ds=None, text_col: str = "text",
     grams = [r["gram"] for r in rows]
     counts = [int(r["c"]) for r in rows]
     total = float(sum(c for g, c in zip(grams, counts) if " " not in g))
+    if total <= 0:
+        # an all-empty LM source would make every probability divide by
+        # zero and emit -inf scores — refuse loudly instead
+        raise ValueError("bigram_nll: the LM source contains no tokens")
     lm_ref = ray.put((grams, counts, total))
+    # concurrency default leaves CPU headroom for the upstream
+    # read/tokenize tasks (the tfidf_keywords small-session rule)
     return ds.map_batches(
         _BigramNLL,
         fn_constructor_kwargs={"lm_ref": lm_ref, "text_col": text_col,

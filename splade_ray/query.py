@@ -411,6 +411,7 @@ class QueryEngine:
         # query time like any other query string
         self.filter_buckets = [(str(nm), str(fq))
                                for nm, fq in (filter_buckets or [])]
+        self._fbucket_memo: dict[tuple, np.ndarray] = {}  # (fq, lang) sets
         self.df_origin = int(df_origin)  # search_distance_feature pivot
         self.scroll_pages = int(scroll_pages)  # search_scroll page count
         if self.scroll_pages < 1:
@@ -1492,6 +1493,18 @@ class QueryEngine:
         cands = [self._phrase_candidates(t, lang) for t in toks]
         if any(not c for c in cands):
             return []
+        n_combos = 1
+        for c in cands:
+            n_combos *= len(c)
+        if n_combos > 4096:
+            # Lucene BooleanQuery.TooManyClauses analogue: a suggestion
+            # request whose candidate cross product explodes (many
+            # tokens x phrase_cand_n each) is a config error — refuse
+            # loudly instead of grinding through millions of intersects
+            raise ValueError(
+                f"phrase suggestion over {len(toks)} tokens expands to "
+                f"{n_combos} candidate phrases (> 4096); shorten the "
+                f"input or lower phrase_cand_n")
         sets = {}
         for c in set(t for cs in cands for t in cs):
             ds = self._token_doc_set(c, lang)
@@ -1618,8 +1631,15 @@ class QueryEngine:
         counts: list[int] = []
         if len(ords):
             for nm, fq in self.filter_buckets:
-                ob, ub = self._sparse_sums(self._query_terms(fq, lang))
-                ob = ob[ub > 0]
+                # bucket presence depends only on (filter query, lang) —
+                # memoize per actor so a Q-query batch does B scoring
+                # passes for the buckets, not Q*B
+                key = (fq, lang)
+                ob = self._fbucket_memo.get(key)
+                if ob is None:
+                    ob, ub = self._sparse_sums(self._query_terms(fq, lang))
+                    ob = ob[ub > 0]
+                    self._fbucket_memo[key] = ob
                 n = (int(len(np.intersect1d(ords, ob, assume_unique=True)))
                      if len(ob) else 0)
                 if n:
@@ -3269,6 +3289,12 @@ def run_queries(
     (Lucene PrefixQuery semantics; QueryEngine.search_prefix).
     ``engine_kwargs`` pass through to the QueryEngine constructor (e.g.
     ``synonyms`` for query_kind="synonym")."""
+    # resolve an alias ONCE at the driver, not per actor — a blue-green
+    # swap mid-pool-construction must not mix index generations inside
+    # one result Dataset (run_queries_sharded already resolves up front)
+    from .alias import resolve_index
+
+    index_dir = resolve_index(index_dir)
     # a small query table often arrives as one block, which would starve the
     # pool (1 block -> 1 task); split so every actor gets work
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]

@@ -63,6 +63,15 @@ def test_alias_chain_and_errors(two_indexes, tmp_path):
     set_alias(a1, blue)
     set_alias(a2, a1)  # alias -> alias -> index
     assert resolve_index(a2) == os.path.abspath(blue)
+    # a chain of exactly _MAX_HOPS aliases ending at a real index is
+    # legitimate and must resolve (the final non-alias target is checked
+    # on the +1 iteration, not refused as a cycle)
+    prev = blue
+    for i in range(4):
+        nxt = os.path.join(BASE, f"chain{i}.alias")
+        set_alias(nxt, prev)
+        prev = nxt
+    assert resolve_index(prev) == os.path.abspath(blue)
     with pytest.raises(ValueError, match="not an index"):
         set_alias(os.path.join(BASE, "bad.alias"), str(tmp_path))
     # cycle refuses loudly instead of spinning

@@ -671,3 +671,12 @@ def test_bigram_nll_sample_lm_oov_backoff(ray_session):
     want = -math.log(textstats.BIGRAM_LAM_U)
     assert out.loc[0, "n_bigrams"] == 1
     assert abs(out.loc[0, "mean_nll"] - want) < 1e-6
+
+
+def test_bigram_nll_empty_lm_raises(ray_session):
+    lm = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 9, "text": "  "}]))
+    ds = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 0, "text": "a b"}]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tokens"):
+        textstats.bigram_nll(ds, lm_ds=lm, concurrency=1)

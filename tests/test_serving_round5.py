@@ -50,3 +50,20 @@ def test_lev_dist_basics_and_cap():
     # cap early-exit: everything at-or-beyond cap reports exactly cap
     assert lev_dist("abcdefgh", "zzzzzzzz", cap=3) == 3
     assert lev_dist("a", "abcdef", cap=3) == 3
+
+
+def test_suggest_phrase_refuses_candidate_explosion(tmp_path):
+    # the Lucene TooManyClauses analogue: the cap triggers on the combo
+    # COUNT rule alone, so exercise the pure arithmetic via a stub engine
+    class _Stub:
+        suggest_max_edits = 1
+        phrase_cand_n = 8
+        suggest_n = 5
+
+        _phrase_candidates = lambda self, t, lang: ["x"] * 8  # noqa: E731
+
+    import pytest as _pytest
+
+    stub = _Stub()
+    with _pytest.raises(ValueError, match="4096"):
+        QueryEngine.suggest_phrase(stub, "a b c d e", None)
